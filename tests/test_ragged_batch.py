@@ -1,0 +1,222 @@
+"""RaggedBatch core tests (model: reference tests/test_ragged_batch_functions.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from accvlab_tpu.ragged import RaggedBatch
+
+
+def make_rb():
+    # batch of 3 samples, sizes [2, 3, 1], data dim 2
+    tensor = jnp.arange(3 * 3 * 2, dtype=jnp.float32).reshape(3, 3, 2)
+    sizes = jnp.array([2, 3, 1], dtype=jnp.int32)
+    return RaggedBatch(tensor, sample_sizes=sizes)
+
+
+def test_mask_from_sizes():
+    rb = make_rb()
+    expected = np.array([[True, True, False], [True, True, True], [True, False, False]])
+    np.testing.assert_array_equal(np.asarray(rb.mask), expected)
+
+
+def test_sizes_from_mask():
+    mask = jnp.array([[True, False], [True, True]])
+    tensor = jnp.ones((2, 2, 4))
+    rb = RaggedBatch(tensor, mask=mask)
+    np.testing.assert_array_equal(np.asarray(rb.sample_sizes), [1, 2])
+    assert rb.num_batch_dims == 1
+    assert rb.non_uniform_dim == 1
+
+
+def test_basic_properties():
+    rb = make_rb()
+    assert rb.max_sample_size == 3
+    assert rb.batch_shape == (3,)
+    assert rb.total_num_samples_in_batch == 3
+    assert rb.total_num_entries == 6
+    assert rb.shape == (3, 3, 2)
+    assert rb.dtype == jnp.float32
+
+
+def test_from_full_tensor():
+    t = jnp.ones((2, 4, 3))
+    rb = RaggedBatch.FromFullTensor(t)
+    np.testing.assert_array_equal(np.asarray(rb.sample_sizes), [4, 4])
+    assert bool(jnp.all(rb.mask))
+
+
+def test_from_oversize_tensor():
+    t = jnp.arange(2 * 5 * 1, dtype=jnp.float32).reshape(2, 5, 1)
+    rb = RaggedBatch.FromOversizeTensor(t, sample_sizes=jnp.array([2, 3]))
+    assert rb.max_sample_size == 3
+    np.testing.assert_array_equal(np.asarray(rb.tensor), np.asarray(t[:, :3]))
+
+
+def test_from_oversize_tensor_static_bound():
+    t = jnp.zeros((2, 5))
+    rb = RaggedBatch.FromOversizeTensor(t, sample_sizes=jnp.array([2, 3]), max_sample_size=4)
+    assert rb.max_sample_size == 4
+
+
+def test_empty():
+    rb = RaggedBatch.Empty(3, 1)
+    assert rb.shape == (0, 0, 0)
+    assert rb.batch_shape == (0,)
+    rb2 = RaggedBatch.Empty(3, 2, batch_shape=(4, 5))
+    assert rb2.batch_shape == (4, 5)
+    assert rb2.non_uniform_dim == 2
+
+
+def test_with_padded_set_to():
+    rb = make_rb()
+    out = rb.with_padded_set_to(-1.0)
+    arr = np.asarray(out.tensor)
+    assert np.all(arr[0, 2] == -1.0)
+    assert np.all(arr[2, 1:] == -1.0)
+    assert np.all(arr[1] == np.asarray(rb.tensor)[1])
+    # in-place variant rebinds
+    rb.set_padded_to(-1.0)
+    np.testing.assert_array_equal(np.asarray(rb.tensor), arr)
+
+
+def test_set_padded_to_transposed_nud():
+    tensor = jnp.arange(2 * 2 * 3, dtype=jnp.float32).reshape(2, 2, 3)  # (B, D, S)
+    rb = RaggedBatch(tensor, sample_sizes=jnp.array([1, 3]), non_uniform_dim=2)
+    out = rb.with_padded_set_to(0.0)
+    arr = np.asarray(out.tensor)
+    assert np.all(arr[0, :, 1:] == 0.0)
+    assert np.all(arr[1] == np.asarray(tensor)[1])
+
+
+def test_existence_weights():
+    rb = make_rb()
+    w = rb.get_existence_weights()
+    assert w.shape == rb.shape
+    np.testing.assert_array_equal(
+        np.asarray(w[:, :, 0]),
+        np.array([[1, 1, 0], [1, 1, 1], [1, 0, 0]], dtype=np.float32),
+    )
+
+
+def test_transpose_non_uniform():
+    rb = make_rb()
+    t = rb.get_non_uniform_dimension_transposed_to(2)
+    assert t.non_uniform_dim == 2
+    assert t.shape == (3, 2, 3)
+    back = t.get_non_uniform_dimension_transposed_to(1)
+    np.testing.assert_array_equal(np.asarray(back.tensor), np.asarray(rb.tensor))
+
+
+def test_repeat_samples():
+    rb = make_rb()
+    r = rb.repeat_samples(2, batch_dim=0)
+    assert r.batch_shape == (6,)
+    np.testing.assert_array_equal(
+        np.asarray(r.sample_sizes), np.tile(np.asarray(rb.sample_sizes), 2)
+    )
+
+
+def test_unsqueeze_squeeze_batch_dim():
+    rb = make_rb()
+    u = rb.unsqueeze_batch_dim(0)
+    assert u.batch_shape == (1, 3)
+    assert u.non_uniform_dim == 2
+    s = u.squeeze_batch_dim(0)
+    assert s.batch_shape == (3,)
+    np.testing.assert_array_equal(np.asarray(s.tensor), np.asarray(rb.tensor))
+
+
+def test_reshape_flatten_batch_dims():
+    tensor = jnp.arange(2 * 3 * 4, dtype=jnp.float32).reshape(2, 3, 4)
+    sizes = jnp.array([[1, 2, 3], [4, 0, 2]], dtype=jnp.int32)
+    rb = RaggedBatch(tensor, sample_sizes=sizes)
+    assert rb.num_batch_dims == 2
+    flat = rb.flatten_batch_dims()
+    assert flat.batch_shape == (6,)
+    assert flat.non_uniform_dim == 1
+    back = flat.reshape_batch_dims((2, 3))
+    np.testing.assert_array_equal(np.asarray(back.sample_sizes), np.asarray(sizes))
+
+
+def test_broadcast_batch_dims():
+    a = make_rb()
+    b_tensor = jnp.ones((1, 3, 2))
+    b = RaggedBatch(b_tensor, sample_sizes=jnp.array([3]))
+    a2, b2 = RaggedBatch.broadcast_batch_dims([a, b])
+    assert a2.batch_shape == (3,)
+    assert b2.batch_shape == (3,)
+
+
+def test_split():
+    rb = make_rb()
+    parts = rb.split()
+    assert len(parts) == 3
+    assert parts[0].shape == (2, 2)
+    assert parts[1].shape == (3, 2)
+    assert parts[2].shape == (1, 2)
+    np.testing.assert_array_equal(np.asarray(parts[1]), np.asarray(rb.tensor)[1])
+
+
+def test_split_multi_batch_and_transposed():
+    tensor = jnp.arange(2 * 2 * 5 * 3, dtype=jnp.float32).reshape(2, 2, 5, 3)
+    sizes = jnp.array([[1, 2], [3, 0]], dtype=jnp.int32)
+    rb = RaggedBatch(tensor, sample_sizes=sizes, non_uniform_dim=2)
+    parts = rb.split()
+    assert parts[0][1].shape == (2, 3)
+    assert parts[1][1].shape == (0, 3)
+
+
+def test_apply():
+    rb = make_rb()
+    out = rb.apply(lambda t: t * 2)
+    np.testing.assert_array_equal(np.asarray(out.tensor), np.asarray(rb.tensor) * 2)
+    out2 = rb.apply(lambda t, m: (t + 1, t - 1))
+    assert isinstance(out2, tuple) and len(out2) == 2
+
+
+def test_dtype_conversions():
+    rb = make_rb()
+    assert rb.int().dtype == jnp.int32
+    assert rb.bfloat16().dtype == jnp.bfloat16
+    assert rb.bool().dtype == jnp.bool_
+
+
+def test_setitem_functional():
+    rb = make_rb()
+    rb[0, 0, 0] = 99.0
+    assert float(rb.tensor[0, 0, 0]) == 99.0
+
+
+def test_pytree_jit():
+    rb = make_rb()
+
+    @jax.jit
+    def f(r: RaggedBatch):
+        return r.apply(lambda t: t * 3.0)
+
+    out = f(rb)
+    np.testing.assert_allclose(np.asarray(out.tensor), np.asarray(rb.tensor) * 3.0)
+    # mask derived lazily inside jit
+    @jax.jit
+    def g(r: RaggedBatch):
+        return r.with_padded_set_to(0.0).tensor.sum()
+
+    expected = float(np.sum(np.asarray(rb.with_padded_set_to(0.0).tensor)))
+    assert float(g(rb)) == pytest.approx(expected)
+
+
+def test_pytree_grad():
+    rb = make_rb()
+
+    def loss(t):
+        r = RaggedBatch(t, rb.mask, rb.sample_sizes)
+        return jnp.sum(r.with_padded_set_to(0.0).tensor)
+
+    g = jax.grad(loss)(rb.tensor)
+    # grads are zero in the padded region, one elsewhere
+    np.testing.assert_array_equal(
+        np.asarray(g[:, :, 0]),
+        np.array([[1, 1, 0], [1, 1, 1], [1, 0, 0]], dtype=np.float32),
+    )
