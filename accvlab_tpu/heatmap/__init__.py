@@ -1,0 +1,9 @@
+"""accvlab_tpu.heatmap — batched Gaussian heatmap rasterization for TPU.
+
+TPU-native equivalent of ACCV-Lab's ``accvlab.draw_heatmap`` package
+(Pallas kernel + XLA golden model; see :mod:`accvlab_tpu.heatmap.draw`).
+"""
+
+from .draw import draw_heatmap, draw_heatmap_batched
+
+__all__ = ["draw_heatmap", "draw_heatmap_batched"]

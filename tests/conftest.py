@@ -3,16 +3,57 @@
 Multi-chip TPU hardware is not available in CI; sharding correctness is
 validated on XLA's host-platform virtual devices instead (the compiled
 collectives are identical modulo the transport layer).
+
+If a TPU PJRT plugin was pre-registered by a sitecustomize hook (it loads
+before conftest and can stall host-platform compiles via its remote-compile
+path), re-exec pytest once with the plugin disabled so tests always run on
+the local CPU backend.
 """
 
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "--xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_CPU_ENV = {
+    "_ACCVLAB_TESTS_REEXEC": "1",
+    "PALLAS_AXON_POOL_IPS": "",
+    "JAX_PLATFORMS": "cpu",
+}
+
+
+def _needs_reexec() -> bool:
+    if os.environ.get("_ACCVLAB_TESTS_REEXEC") == "1":
+        return False
+    # A TPU plugin hook was active at interpreter start.
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS")) or (
+        os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
+    )
+
+
+def _cpu_mesh_env(env):
+    env.update(_CPU_ENV)
+    flags = env.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    return env
+
+
+def pytest_configure(config):
+    if not _needs_reexec():
+        return
+    # Restore the real stdout/stderr before exec so the child's report is
+    # visible (global fd capture is already active at this point).
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest", *sys.argv[1:]],
+        _cpu_mesh_env(dict(os.environ)),
+    )
+
+
+if not _needs_reexec():
+    _cpu_mesh_env(os.environ)

@@ -1,0 +1,161 @@
+"""Heatmap rasterization tests: independent numpy golden model vs both
+implementations (model: reference draw_heatmap/tests/_gaussian_drawing.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from accvlab_tpu.heatmap import draw_heatmap, draw_heatmap_batched
+from accvlab_tpu.ragged import RaggedBatch
+
+
+def golden_draw(heatmap, x, y, radius, factor=6.0, k=1.0):
+    """Scalar-loop reference implementing draw_heatmap_cuda_kernel.cuh math."""
+    h, w = heatmap.shape
+    diameter = 2 * radius + 1
+    sigma = diameter / factor
+    var = 2.0 * sigma * sigma
+    left, right = min(x, radius), min(w - x, radius + 1)
+    top, bottom = min(y, radius), min(h - y, radius + 1)
+    out = heatmap.copy()
+    for i in range(-top, bottom):
+        for j in range(-left, right):
+            v = np.exp(-(i * i + j * j) / var) * k
+            out[y + i, x + j] = max(out[y + i, x + j], v)
+    return out
+
+
+def rb(x, sizes, dtype=jnp.int32):
+    return RaggedBatch(jnp.asarray(x, dtype), sample_sizes=jnp.asarray(sizes, jnp.int32))
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_batched_matches_golden(impl):
+    h, w = 16, 24
+    batch = 3
+    heatmap = np.zeros((batch, h, w), np.float32)
+    centers = [[[5, 4], [20, 10], [0, 0]], [[12, 8], [0, 0], [0, 0]], [[3, 15], [22, 2], [10, 10]]]
+    radii = [[2, 3, 1], [4, 0, 0], [1, 2, 3]]
+    sizes = [2, 1, 3]
+
+    expected = heatmap.copy()
+    for b in range(batch):
+        for t in range(sizes[b]):
+            expected[b] = golden_draw(expected[b], centers[b][t][0], centers[b][t][1], radii[b][t])
+
+    out = draw_heatmap_batched(
+        jnp.asarray(heatmap), rb(centers, sizes), rb(radii, sizes), implementation=impl
+    )
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=3e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_batched_classwise_matches_golden(impl):
+    h, w, nc = 12, 20, 4
+    batch = 2
+    heatmap = np.zeros((batch, nc, h, w), np.float32)
+    centers = [[[5, 4], [15, 8]], [[10, 6], [0, 0]]]
+    radii = [[2, 3], [4, 0]]
+    labels = [[1, 3], [0, 0]]
+    sizes = [2, 1]
+
+    expected = heatmap.copy()
+    for b in range(batch):
+        for t in range(sizes[b]):
+            c = labels[b][t]
+            expected[b, c] = golden_draw(
+                expected[b, c], centers[b][t][0], centers[b][t][1], radii[b][t]
+            )
+
+    out = draw_heatmap_batched(
+        jnp.asarray(heatmap),
+        rb(centers, sizes),
+        rb(radii, sizes),
+        labels=rb(labels, sizes),
+        implementation=impl,
+    )
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=3e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_flat_matches_golden(impl):
+    h, w, n_maps = 10, 14, 3
+    heatmaps = np.zeros((n_maps, h, w), np.float32)
+    centers = np.array([[3, 3], [9, 5], [7, 7], [1, 1]], np.int32)
+    radii = np.array([2, 1, 3, 1], np.int32)
+    idxes = np.array([0, 2, 0, 1], np.int32)
+
+    expected = heatmaps.copy()
+    for t in range(4):
+        n = idxes[t]
+        expected[n] = golden_draw(expected[n], centers[t][0], centers[t][1], radii[t])
+
+    out = draw_heatmap(jnp.asarray(heatmaps), centers, radii, idxes, implementation=impl)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=3e-5, atol=1e-6)
+
+
+def test_overlap_takes_max():
+    heatmap = np.zeros((1, 9, 9), np.float32)
+    out = draw_heatmap_batched(
+        jnp.asarray(heatmap),
+        rb([[[4, 4], [4, 4]]], [2]),
+        rb([[3, 1]], [2]),
+        implementation="xla",
+    )
+    # center pixel = 1.0 from either; neighbors take the larger (wider) gaussian
+    assert float(out[0, 4, 4]) == pytest.approx(1.0)
+    wide_sigma = (2 * 3 + 1) / 6.0
+    expect_neighbor = np.exp(-1.0 / (2 * wide_sigma**2))
+    assert float(out[0, 4, 5]) == pytest.approx(expect_neighbor, rel=3e-5)
+
+
+def test_preserves_existing_values():
+    heatmap = np.full((1, 5, 5), 0.9, np.float32)
+    out = draw_heatmap_batched(
+        jnp.asarray(heatmap), rb([[[2, 2]]], [1]), rb([[1]], [1]), implementation="xla"
+    )
+    arr = np.asarray(out)
+    assert arr[0, 2, 2] == pytest.approx(1.0)  # peak wins
+    assert arr[0, 0, 0] == pytest.approx(0.9)  # untouched region keeps value
+    # off-center gaussian value < 0.9 -> existing survives (atomicMax semantics)
+    assert arr[0, 2, 3] == pytest.approx(0.9)
+
+
+def test_k_scale_and_factor():
+    heatmap = np.zeros((1, 7, 7), np.float32)
+    out = draw_heatmap_batched(
+        jnp.asarray(heatmap),
+        rb([[[3, 3]]], [1]),
+        rb([[2]], [1]),
+        diameter_to_sigma_factor=3.0,
+        k_scale=0.5,
+        implementation="xla",
+    )
+    expected = golden_draw(np.zeros((7, 7), np.float32), 3, 3, 2, factor=3.0, k=0.5)
+    np.testing.assert_allclose(np.asarray(out[0]), expected, rtol=3e-5)
+
+
+def test_empty_targets():
+    heatmap = np.full((2, 4, 4), 0.25, np.float32)
+    out = draw_heatmap_batched(
+        jnp.asarray(heatmap), rb(np.zeros((2, 3, 2)), [0, 0]), rb(np.zeros((2, 3)), [0, 0]),
+        implementation="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(out), heatmap)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_jit(impl):
+    import jax
+
+    heatmap = jnp.zeros((2, 8, 8))
+    centers = rb([[[3, 3]], [[5, 5]]], [1, 1])
+    radii = rb([[2], [1]], [1, 1])
+
+    @jax.jit
+    def f(hm):
+        return draw_heatmap_batched(hm, centers, radii, implementation=impl)
+
+    out = f(heatmap)
+    assert float(out[0, 3, 3]) == pytest.approx(1.0)
+    assert float(out[1, 5, 5]) == pytest.approx(1.0)

@@ -149,13 +149,14 @@ def test_loss_pattern_end_to_end():
         jnp.array([[1, 0, 0], [0, 0, 0]], dtype=jnp.int32), sample_sizes=jnp.array([2, 1])
     )
 
-    def loss_fn(c: RaggedBatch):
+    def loss_fn(t):
+        c = RaggedBatch(t, classes.mask, classes.sample_sizes)
         matched = batched_indexing_access(c, matches)
-        per_obj = matched.apply(lambda t: t * t)
+        per_obj = matched.apply(lambda x: x * x)
         return jnp.sum(average_over_targets(per_obj))
 
-    val = loss_fn(classes)
+    val = loss_fn(classes.tensor)
     # sample0: gathered [2,1] -> sq [4,1] -> mean 2.5 ; sample1: [3]->[9]->9
     assert float(val) == pytest.approx(11.5)
-    g = jax.grad(lambda c: loss_fn(c))(classes)
-    assert g.tensor.shape == classes.tensor.shape
+    g = jax.grad(loss_fn)(classes.tensor)
+    assert g.shape == classes.tensor.shape
