@@ -11,10 +11,29 @@ device compute. Construction-time blueprint checking is preserved exactly
 
 from .dtypes import DType, dtype_for_numpy, numpy_dtype_for
 from .sample_data_group import SampleDataGroup
+from .pipeline import PipelineDefinition, TPUPipeline
+from .random_context import (
+    DeviceRandomContext,
+    HostRandomContext,
+    RandomContext,
+    ScriptedRandomContext,
+)
+from .structured_output_iterator import (
+    DALIStructuredOutputIterator,
+    StructuredOutputIterator,
+)
 
 __all__ = [
+    "DALIStructuredOutputIterator",
     "DType",
+    "DeviceRandomContext",
+    "HostRandomContext",
+    "PipelineDefinition",
+    "RandomContext",
     "SampleDataGroup",
+    "ScriptedRandomContext",
+    "StructuredOutputIterator",
+    "TPUPipeline",
     "dtype_for_numpy",
     "numpy_dtype_for",
 ]

@@ -1,0 +1,419 @@
+"""PipelineDefinition + TPU pipeline executor.
+
+TPU-native re-design of the reference
+``dali_pipeline_framework/accvlab/dali_pipeline_framework/pipeline/pipeline.py:36-295``.
+The DALI graph executor is replaced by:
+
+* a **host stage**: parallel workers run the input callable and the
+  host-placed steps per sample (numpy; JPEG decode etc. release the GIL),
+* the **uniform boundary**: per-field per-sample arrays are stacked into
+  batched numpy arrays (strings NUL-padded to the batch max, mirroring
+  ``ensure_uniform_size_in_batch_for_all_strings``),
+* one **device stage**: all device-placed steps fused into a single
+  jit-compiled XLA program per batch shape — ``jit(vmap(compose(steps)))`` —
+  executed asynchronously on the TPU,
+* a **prefetch ring**: a background thread keeps ``prefetch_queue_depth``
+  batches in flight, overlapping host work, H2D transfer, and device compute
+  (the DALI prefetch-queue equivalent).
+
+Construction-time blueprint checking is preserved 1:1
+(``check_and_get_output_data_structure``). The DALI pass-through-copy
+machinery (``_InsertCopyForPassthrough``) guards against DALI buffer aliasing;
+XLA arrays are immutable so the corruption cannot occur — the parameters are
+accepted for API parity and ignored.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import warnings
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from .inputs.base import CallableBase, IterableBase, SampleInfo
+from .processing_steps.pipeline_step_base import BatchLevelStepBase, PipelineStepBase
+from .random_context import DeviceRandomContext, HostRandomContext
+from .dtypes import DType
+from .sample_data_group import SampleDataGroup
+
+
+def _split_steps(steps: Sequence[PipelineStepBase]):
+    """Partition steps into the host prefix and the fused device suffix."""
+    host_steps: List[PipelineStepBase] = []
+    device_steps: List[PipelineStepBase] = []
+    in_device = False
+    for s in steps:
+        if s.placement == "device" or (in_device and s.placement == "any"):
+            in_device = True
+            device_steps.append(s)
+        elif not in_device:
+            host_steps.append(s)
+        else:
+            raise ValueError(
+                f"Host-only step {type(s).__name__} cannot run after the "
+                "host/device boundary (a device-placed step precedes it)."
+            )
+    return host_steps, device_steps
+
+
+class PipelineDefinition:
+    """Composes an input source and processing steps into a TPU input pipeline.
+
+    Parity with the reference constructor (``pipeline.py:45``); DALI-specific
+    pass-through-copy arguments are accepted and ignored (see module
+    docstring).
+    """
+
+    def __init__(
+        self,
+        data_loading_callable_iterable: Union[CallableBase, IterableBase],
+        preprocess_functors: Optional[Sequence[Optional[PipelineStepBase]]] = None,
+        check_data_format: bool = True,
+        use_parallel_external_source: bool = True,
+        prefetch_queue_depth: int = 2,
+        print_sample_data_group_format: bool = False,
+        copy_external_source_passthrough_outputs: Optional[bool] = None,
+        passthrough_copy_field_names: Optional[Sequence] = None,
+        passthrough_copy_field_names_scope_paths: Optional[Sequence] = None,
+        passthrough_copy_branch_paths: Optional[Sequence] = None,
+    ):
+        self._input = data_loading_callable_iterable
+        self._steps = [s for s in (preprocess_functors or []) if s is not None]
+        self._check_data_format = check_data_format
+        self._use_parallel = use_parallel_external_source
+        self._prefetch_queue_depth = prefetch_queue_depth
+        self._print_format = print_sample_data_group_format
+        # XLA buffers are immutable; the DALI pass-through corruption cannot
+        # occur, so no copies are ever needed.
+        if copy_external_source_passthrough_outputs:
+            warnings.warn(
+                "copy_external_source_passthrough_outputs has no effect: XLA "
+                "arrays are immutable, pass-through outputs cannot be corrupted."
+            )
+
+    @property
+    def input_data_structure(self) -> SampleDataGroup:
+        """Input format blueprint (from the data-loading functor)."""
+        return self._input.used_sample_data_structure
+
+    def check_and_get_output_data_structure(self) -> SampleDataGroup:
+        """Infer the output format by folding every step's format check
+        (parity: ``pipeline.py:150``)."""
+        blueprint = self.input_data_structure
+        if self._print_format:
+            print("### Input format:\n" + str(blueprint))
+        for step in self._steps:
+            blueprint = step.check_input_data_format_and_set_output_data_format(blueprint)
+            if self._print_format:
+                print(f"### After {type(step).__name__}:\n" + str(blueprint))
+        return blueprint
+
+    def get_pipeline(
+        self,
+        batch_size: int,
+        num_threads: int = 4,
+        device=None,
+        seed: int = 0,
+        prefetch_queue_depth: Optional[int] = None,
+    ) -> "TPUPipeline":
+        """Build the executable pipeline (parity: ``get_dali_pipeline``,
+        ``pipeline.py:180``)."""
+        return TPUPipeline(
+            self,
+            batch_size=batch_size,
+            num_threads=num_threads,
+            device=device,
+            seed=seed,
+            prefetch_queue_depth=(
+                self._prefetch_queue_depth
+                if prefetch_queue_depth is None
+                else prefetch_queue_depth
+            ),
+            parallel=self._use_parallel,
+            check_data_format=self._check_data_format,
+        )
+
+    # API-compat alias for call sites written against the reference name.
+    get_dali_pipeline = get_pipeline
+
+
+class TPUPipeline:
+    """Executable input pipeline with prefetching. Yields name-keyed batches.
+
+    Iteration protocol matches the DALI generic iterator: ``__next__`` returns
+    ``[{flat_name: batched_array}]`` (device arrays), raises ``StopIteration``
+    at epoch end; ``reset()`` starts the next epoch.
+    """
+
+    def __init__(
+        self,
+        definition: PipelineDefinition,
+        batch_size: int,
+        num_threads: int,
+        device,
+        seed: int,
+        prefetch_queue_depth: int,
+        parallel: bool,
+        check_data_format: bool,
+    ):
+        self._definition = definition
+        self._batch_size = batch_size
+        self._device = device
+        self._seed = seed
+        self._depth = max(1, prefetch_queue_depth)
+        self._parallel = parallel
+        self._check = check_data_format
+
+        self._host_steps, self._device_steps = _split_steps(definition._steps)
+
+        # Blueprint inference (construction time).
+        self._input_blueprint = definition.input_data_structure
+        bp = self._input_blueprint
+        for s in self._host_steps:
+            bp = s.check_input_data_format_and_set_output_data_format(bp)
+        self._host_out_blueprint = bp
+        for s in self._device_steps:
+            bp = s.check_input_data_format_and_set_output_data_format(bp)
+        self._output_blueprint = bp
+        self._output_names = bp.field_names_flat
+
+        # host-stage string fields need batch padding
+        self._host_out_types = self._host_out_blueprint.field_types_flat
+
+        self._pool = (
+            ThreadPoolExecutor(max_workers=num_threads, thread_name_prefix="accvlab-host")
+            if parallel
+            else None
+        )
+        self._device_fn = None  # built lazily (jit)
+
+        self._epoch = 0
+        self._iteration = 0
+        self._global_batch = 0
+
+        self._queue: "queue.Queue" = queue.Queue(maxsize=self._depth)
+        self._producer: Optional[threading.Thread] = None
+        self._producer_stop = threading.Event()
+        self._exhausted = False
+
+    # ------------------------------------------------------------------ #
+    # Host stage                                                         #
+    # ------------------------------------------------------------------ #
+
+    _EPOCH_END = object()
+
+    def _load_sample(self, idx_in_batch: int):
+        info = SampleInfo(
+            idx_in_epoch=self._iteration * self._batch_size + idx_in_batch,
+            idx_in_batch=idx_in_batch,
+            iteration=self._iteration,
+            epoch_idx=self._epoch,
+        )
+        try:
+            return self._definition._input(info)
+        except StopIteration:
+            # PEP 479: StopIteration cannot cross executor.map generators;
+            # translate to a sentinel and re-raise after gathering.
+            return self._EPOCH_END
+
+    def _run_host_steps(self, flat: tuple, idx_in_batch: int) -> SampleDataGroup:
+        sdg = self._input_blueprint.get_empty_like_self()
+        sdg.set_data(list(flat))
+        if self._host_steps:
+            rng = HostRandomContext(
+                np.random.default_rng(
+                    (self._seed, self._epoch, self._iteration, idx_in_batch)
+                )
+            )
+            for step in self._host_steps:
+                if step.is_batch_level:
+                    continue  # applied after the per-sample phase
+                step.set_random_context(rng)
+                sdg = step(sdg) if self._check else step._process(sdg)
+        return sdg
+
+    def _produce_host_batch(self):
+        """Run input + host steps for one batch. Returns per-field stacked
+        numpy arrays (or raises StopIteration at epoch end)."""
+        is_callable = isinstance(self._definition._input, CallableBase)
+        if is_callable:
+            if self._parallel and self._pool is not None:
+                flats = list(self._pool.map(self._load_sample, range(self._batch_size)))
+            else:
+                flats = [self._load_sample(i) for i in range(self._batch_size)]
+            if any(f is self._EPOCH_END for f in flats):
+                raise StopIteration  # partial batches are dropped (DALI semantics)
+            samples = [self._run_host_steps(f, i) for i, f in enumerate(flats)]
+        else:
+            per_field = next(self._definition._input)  # may raise StopIteration
+            batch_size = len(per_field[0])
+            samples = []
+            for i in range(batch_size):
+                flat = tuple(field[i] for field in per_field)
+                samples.append(self._run_host_steps(flat, i))
+
+        # batch-level host steps
+        for step in self._host_steps:
+            if step.is_batch_level:
+                assert isinstance(step, BatchLevelStepBase)
+                samples = step.process_batch_checked(samples, self._check)
+
+        self._iteration += 1
+        self._global_batch += 1
+        return self._stack_samples(samples)
+
+    def _stack_samples(self, samples: List[SampleDataGroup]):
+        names = self._host_out_blueprint.field_names_flat
+        types = self._host_out_types
+        per_sample_flat = [s.get_data() for s in samples]
+        batched = []
+        for fi, name in enumerate(names):
+            vals = [np.asarray(ps[fi]) for ps in per_sample_flat]
+            if types[fi] == DType.UINT8:
+                # strings were declared STRING but flatten as UINT8; pad 1-D
+                # uint8 fields of unequal length with NULs
+                if any(v.ndim == 1 and v.dtype == np.uint8 for v in vals):
+                    max_len = max(v.shape[0] if v.ndim == 1 else -1 for v in vals)
+                    if any(v.ndim == 1 and v.shape[0] != max_len for v in vals):
+                        vals = [
+                            np.pad(v, (0, max_len - v.shape[0])) if v.ndim == 1 else v
+                            for v in vals
+                        ]
+            shapes = {v.shape for v in vals}
+            if len(shapes) > 1:
+                raise ValueError(
+                    f"Field '{name}' has non-uniform per-sample shapes {shapes} at "
+                    "the host->device boundary. Add a padding step (e.g. "
+                    "PaddingToUniform / ImageToTileSizePadder) before the first "
+                    "device-placed step."
+                )
+            batched.append(np.stack(vals, axis=0))
+        return tuple(batched)
+
+    # ------------------------------------------------------------------ #
+    # Device stage                                                       #
+    # ------------------------------------------------------------------ #
+
+    def _build_device_fn(self):
+        import jax
+
+        host_bp = self._host_out_blueprint
+
+        def sample_fn(leaves, key):
+            sdg = host_bp.get_empty_like_self()
+            sdg.set_data(list(leaves))
+            ctx = DeviceRandomContext(key)
+            for step in self._device_steps:
+                step.set_random_context(ctx)
+                sdg = step(sdg) if self._check else step._process(sdg)
+            return tuple(sdg.get_data())
+
+        def device_fn(batch_leaves, batch_key):
+            keys = jax.random.split(batch_key, batch_leaves[0].shape[0])
+            return jax.vmap(sample_fn)(batch_leaves, keys)
+
+        return jax.jit(device_fn)
+
+    def _run_device_stage(self, host_batch: tuple):
+        import jax
+
+        if self._device is not None:
+            host_batch = jax.device_put(host_batch, self._device)
+        if not self._device_steps:
+            return jax.device_put(host_batch, self._device) if self._device else tuple(
+                map(jax.numpy.asarray, host_batch)
+            )
+        if self._device_fn is None:
+            self._device_fn = self._build_device_fn()
+        key = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._global_batch)
+        return self._device_fn(host_batch, key)
+
+    # ------------------------------------------------------------------ #
+    # Prefetching iterator protocol                                      #
+    # ------------------------------------------------------------------ #
+
+    _END = object()
+
+    def _producer_loop(self):
+        while not self._producer_stop.is_set():
+            try:
+                host_batch = self._produce_host_batch()
+            except StopIteration:
+                self._queue.put(self._END)
+                return
+            except Exception as e:  # propagate to the consumer
+                self._queue.put(e)
+                return
+            out = self._run_device_stage(host_batch)
+            self._queue.put(out)
+
+    def _ensure_producer(self):
+        if self._producer is None or not self._producer.is_alive():
+            if not self._exhausted:
+                self._producer_stop.clear()
+                self._producer = threading.Thread(
+                    target=self._producer_loop, daemon=True, name="accvlab-prefetch"
+                )
+                self._producer.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._exhausted:
+            raise StopIteration
+        self._ensure_producer()
+        item = self._queue.get()
+        if item is self._END:
+            self._exhausted = True
+            raise StopIteration
+        if isinstance(item, Exception):
+            self._exhausted = True
+            raise item
+        return [dict(zip(self._output_names, item))]
+
+    def run(self):
+        """Fetch one batch as a name-keyed dict (convenience around __next__)."""
+        return self.__next__()[0]
+
+    def reset(self):
+        """Start the next epoch (parity with DALI iterator reset)."""
+        self._producer_stop.set()
+        if self._producer is not None and self._producer.is_alive():
+            # drain so the producer can exit
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass
+            self._producer.join(timeout=5.0)
+        self._queue = queue.Queue(maxsize=self._depth)
+        if self._exhausted or self._iteration > 0:
+            self._epoch += 1
+        self._iteration = 0
+        self._exhausted = False
+        self._producer = None
+
+    def stop(self):
+        """Shut down the producer thread and worker pool."""
+        self._producer_stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        if self._producer is not None and self._producer.is_alive():
+            self._producer.join(timeout=5.0)
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+
+    @property
+    def output_blueprint(self) -> SampleDataGroup:
+        return self._output_blueprint.get_empty_like_self()
+
+    @property
+    def output_names(self):
+        return self._output_names

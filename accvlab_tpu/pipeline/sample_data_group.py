@@ -521,11 +521,16 @@ class SampleDataGroup:
         return len(self.find_all_occurrences(name_to_find))
 
     def change_type_of_data_and_remove_data(
-        self, name: Name, new_type: Any, mapping: Optional[dict] = None
+        self, name: Path, new_type: Any, mapping: Optional[dict] = None
     ):
-        """Change a direct child's declared type, clearing its value
-        (parity: ``:1145``). ``new_type`` is a DType or a SampleDataGroup
-        blueprint (which makes the child a group field)."""
+        """Change a field's declared type, clearing its value
+        (parity: ``:1145``). ``name`` may be a direct child name or a nested
+        path; ``new_type`` is a DType or a SampleDataGroup blueprint (which
+        makes the child a group field)."""
+        if isinstance(name, (tuple, list)):
+            parent = self.get_parent_of_path(list(name))
+            parent.change_type_of_data_and_remove_data(name[-1], new_type, mapping)
+            return
         if name not in self._values:
             raise KeyError(f"No field with name '{name}'")
         idx = self._value_order.index(name)
