@@ -10,16 +10,46 @@ from .image_decoder import ImageDecoder
 from .image_normalizers import ImageMeanStdDevNormalizer, ImageRange01Normalizer
 from .padders import ImageToTileSizePadder, PaddingToUniform
 from .field_utils import AxesLayoutSetter, TensorSizeAdder, UnneededFieldRemover
+from .photo_metric_distorter import PhotoMetricDistorter
+from .affine_transformer import AffineTransformer
+from .selection_steps import (
+    ConditionalElementRemover,
+    CoordinateCropper,
+    PointsInRangeCheck,
+    VisibleBboxSelector,
+)
+from .bounding_box_to_heatmap_converter import BoundingBoxToHeatmapConverter
+from .annotation_element_condition_eval import AnnotationElementConditionEval
+from .applied_steps import (
+    DataGroupArrayInPathElementsAppliedStep,
+    DataGroupArrayWithNameElementsAppliedStep,
+    DataGroupInPathAppliedStep,
+    DataGroupsWithNameAppliedStep,
+    GroupToApplyToSelectedStepBase,
+)
 
 __all__ = [
+    "AffineTransformer",
+    "AnnotationElementConditionEval",
     "AxesLayoutSetter",
     "BatchLevelStepBase",
+    "BoundingBoxToHeatmapConverter",
+    "ConditionalElementRemover",
+    "CoordinateCropper",
+    "DataGroupArrayInPathElementsAppliedStep",
+    "DataGroupArrayWithNameElementsAppliedStep",
+    "DataGroupInPathAppliedStep",
+    "DataGroupsWithNameAppliedStep",
+    "GroupToApplyToSelectedStepBase",
     "ImageDecoder",
     "ImageMeanStdDevNormalizer",
     "ImageRange01Normalizer",
     "ImageToTileSizePadder",
     "PaddingToUniform",
+    "PhotoMetricDistorter",
     "PipelineStepBase",
+    "PointsInRangeCheck",
     "TensorSizeAdder",
     "UnneededFieldRemover",
+    "VisibleBboxSelector",
 ]

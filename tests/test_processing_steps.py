@@ -1,0 +1,367 @@
+"""Processing-step tests with scripted randomness (model: reference per-step
+tests + the DaliFakeRandomGenerator injection pattern)."""
+
+import numpy as np
+import pytest
+
+from accvlab_tpu.pipeline import DType, SampleDataGroup, ScriptedRandomContext
+from accvlab_tpu.pipeline.processing_steps import (
+    AffineTransformer,
+    AnnotationElementConditionEval,
+    ConditionalElementRemover,
+    CoordinateCropper,
+    DataGroupsWithNameAppliedStep,
+    PhotoMetricDistorter,
+    PointsInRangeCheck,
+    VisibleBboxSelector,
+)
+
+
+def make_sample(with_objects=True):
+    sdg = SampleDataGroup()
+    sdg.add_data_field("image", DType.UINT8)
+    sdg.add_data_field("image_hw", DType.INT32)
+    ann = SampleDataGroup()
+    ann.add_data_field("bboxes", DType.FLOAT)
+    ann.add_data_field("depths", DType.FLOAT)
+    ann.add_data_field("visibility", DType.FLOAT)
+    sdg.add_data_group_field("annotations", ann)
+    sdg["image"] = np.random.default_rng(0).integers(0, 255, (16, 20, 3)).astype(np.uint8)
+    sdg["image_hw"] = np.array([16, 20], np.int32)
+    if with_objects:
+        sdg["annotations"]["bboxes"] = np.array(
+            [[2.0, 2.0, 8.0, 9.0], [3.0, 3.0, 7.0, 8.0], [15.0, 10.0, 19.0, 15.0]],
+            np.float32,
+        )
+        sdg["annotations"]["depths"] = np.array([5.0, 2.0, 7.0], np.float32)
+        sdg["annotations"]["visibility"] = np.array([0.9, 0.1, 0.5], np.float32)
+    return sdg
+
+
+# --------------------------- condition eval ---------------------------- #
+
+
+def test_condition_eval():
+    sdg = make_sample()
+    step = AnnotationElementConditionEval(
+        "annotations", "is_valid = visibility > 0.4 and depths < 6", False
+    )
+    out = step(sdg)
+    np.testing.assert_array_equal(
+        np.asarray(out["annotations"]["is_valid"]), [True, False, False]
+    )
+
+
+def test_condition_eval_complex():
+    sdg = make_sample()
+    step = AnnotationElementConditionEval(
+        "annotations", "keep = (visibility > 0.4 or depths < 3) and not (depths == 7)", False
+    )
+    out = step(sdg)
+    np.testing.assert_array_equal(np.asarray(out["annotations"]["keep"]), [True, True, False])
+
+
+def test_condition_eval_removes_used_fields():
+    sdg = make_sample()
+    step = AnnotationElementConditionEval("annotations", "v = visibility >= 0.5", True)
+    out = step(sdg)
+    assert not out["annotations"].has_child("visibility")
+    assert out["annotations"].has_child("v")
+
+
+def test_condition_eval_missing_field_raises():
+    sdg = make_sample()
+    step = AnnotationElementConditionEval("annotations", "v = nonexistent > 1", False)
+    with pytest.raises(KeyError):
+        step.check_input_data_format_and_set_output_data_format(sdg.get_empty_like_self())
+
+
+# --------------------------- selection steps --------------------------- #
+
+
+def test_coordinate_cropper():
+    sdg = make_sample()
+    step = CoordinateCropper("bboxes", [0.0, 0.0, 0.0, 0.0], [18.0, 12.0, 18.0, 12.0])
+    out = step(sdg)
+    b = np.asarray(out["annotations"]["bboxes"])
+    assert b.max() <= 18.0
+    assert b[2, 3] == 12.0  # clipped
+
+
+def test_points_in_range_check():
+    sdg = make_sample()
+    step = PointsInRangeCheck("bboxes", "inside", [0, 0, 0, 0], [10, 10, 10, 10])
+    out = step(sdg)
+    np.testing.assert_array_equal(
+        np.asarray(out["annotations"]["inside"]), [True, True, False]
+    )
+
+
+def test_visible_bbox_selector_occlusion():
+    sdg = make_sample()
+    # box 1 (depth 2) sits inside box 0 (depth 5): box 0 is mostly occluded? No
+    # — box 1 is nearer and covers the center of box 0; box 0 still has visible
+    # border pixels, box 2 is far but unoccluded.
+    step = VisibleBboxSelector(
+        "bboxes",
+        "visible",
+        image_hw_field_name="image_hw",
+        depths_field_name="depths",
+        check_for_minimum_size=False,
+    )
+    out = step(sdg)
+    vis = np.asarray(out["visible"])
+    assert vis[1]  # nearest box always visible
+    assert vis[0]  # border ring still visible
+    assert vis[2]  # partially in image, unoccluded
+
+
+def test_visible_bbox_selector_full_occlusion():
+    sdg = make_sample()
+    sdg["annotations"]["bboxes"] = np.array(
+        [[2.0, 2.0, 8.0, 9.0], [2.0, 2.0, 8.0, 9.0]], np.float32
+    )
+    sdg["annotations"]["depths"] = np.array([5.0, 2.0], np.float32)
+    sdg["annotations"]["visibility"] = np.array([1.0, 1.0], np.float32)
+    step = VisibleBboxSelector(
+        "bboxes",
+        "visible",
+        image_hw_field_name="image_hw",
+        depths_field_name="depths",
+        check_for_minimum_size=False,
+    )
+    out = step(sdg)
+    np.testing.assert_array_equal(np.asarray(out["visible"]), [False, True])
+
+
+def test_visible_bbox_selector_min_size():
+    sdg = make_sample()
+    step = VisibleBboxSelector(
+        "bboxes",
+        "big_enough",
+        image_hw=[16, 20],
+        check_for_bbox_occlusion=False,
+        minimum_bbox_size=5.0,
+    )
+    out = step(sdg)
+    np.testing.assert_array_equal(np.asarray(out["big_enough"]), [True, False, False])
+
+
+def test_conditional_element_remover():
+    sdg = make_sample()
+    sdg["annotations"].add_data_field("keep", DType.BOOL)
+    sdg["annotations"]["keep"] = np.array([True, False, True])
+    step = ConditionalElementRemover(
+        "annotations", "keep", ["bboxes", "depths", "visibility"], [0, 0, 0],
+        remove_mask_field=True,
+    )
+    out = step(sdg)
+    assert np.asarray(out["annotations"]["bboxes"]).shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(out["annotations"]["depths"]), [5.0, 7.0])
+    assert not out["annotations"].has_child("keep")
+
+
+# ------------------------- photometric distorter ----------------------- #
+
+
+def test_photometric_brightness_only():
+    sdg = make_sample(with_objects=False)
+    sdg.remove_field("annotations")
+    step = PhotoMetricDistorter(
+        "image",
+        min_max_brightness=[10.0, 10.0],
+        min_max_hue=[0.0, 0.0],
+        min_max_contrast=[1.0, 1.0],
+        min_max_saturation=[1.0, 1.0],
+        prob_brightness_aug=1.0,
+        prob_hue_aug=0.0,
+        prob_contrast_aug=0.0,
+        prob_saturation_aug=0.0,
+        prob_swap_channels=0.0,
+    )
+    rng = ScriptedRandomContext()
+    rng.script_uniform(0.0, 1.0, [0.5, 0.5, 0.5, 0.5, 0.5])  # gates
+    rng.script_randint(0, 2, [0])  # contrast mode
+    rng.script_randint(0, 6, [0])  # permutation index
+    step.set_random_context(rng)
+    before = np.asarray(sdg["image"], np.float32)
+    out = step(sdg)
+    after = np.asarray(out["image"], np.float32)
+    # brightness delta 10 (uint8 scale), clipped at 255
+    np.testing.assert_allclose(after, np.clip(before + 10, 0, 255), atol=1.0)
+
+
+def test_photometric_channel_swap():
+    sdg = make_sample(with_objects=False)
+    sdg.remove_field("annotations")
+    step = PhotoMetricDistorter(
+        "image",
+        min_max_brightness=[0.0, 0.0],
+        min_max_hue=[0.0, 0.0],
+        min_max_contrast=[1.0, 1.0],
+        min_max_saturation=[1.0, 1.0],
+        prob_brightness_aug=0.0,
+        prob_hue_aug=0.0,
+        prob_contrast_aug=0.0,
+        prob_saturation_aug=0.0,
+        prob_swap_channels=1.0,
+    )
+    rng = ScriptedRandomContext()
+    rng.script_uniform(0.0, 1.0, [0.5] * 5)
+    rng.script_randint(0, 2, [0])
+    rng.script_randint(0, 6, [3])  # permutation [2, 1, 0] -> reverse channels
+    step.set_random_context(rng)
+    before = np.asarray(sdg["image"])
+    out = step(sdg)
+    np.testing.assert_allclose(
+        np.asarray(out["image"]), before[..., ::-1], atol=1.0
+    )
+
+
+# --------------------------- affine transformer ------------------------ #
+
+
+def affine_sample():
+    sdg = SampleDataGroup()
+    sdg.add_data_field("image", DType.FLOAT)
+    sdg.add_data_field("points", DType.FLOAT)
+    sdg.add_data_field("proj", DType.FLOAT)
+    img = np.zeros((8, 10, 1), np.float32)
+    img[2, 3] = 1.0
+    sdg["image"] = img
+    sdg["points"] = np.array([[3.0, 2.0]], np.float32)  # x, y of the bright pixel
+    sdg["proj"] = np.eye(3, dtype=np.float32)
+    return sdg
+
+
+def test_affine_stretch_resize_consistency():
+    sdg = affine_sample()
+    step = AffineTransformer(
+        output_hw=(16, 20),
+        resizing_mode=AffineTransformer.ResizingMode.STRETCH,
+        image_field_names="image",
+        point_field_names="points",
+        projection_matrix_field_names="proj",
+    )
+    step.set_random_context(ScriptedRandomContext())
+    out = step(sdg)
+    img = np.asarray(out["image"])
+    pts = np.asarray(out["points"])
+    assert img.shape == (16, 20, 1)
+    # the point moved with the image: scale x2 -> (6, 4)
+    np.testing.assert_allclose(pts[0], [6.0, 4.0], atol=1e-5)
+    # image content near the transformed point location is bright
+    y, x = int(round(pts[0][1])), int(round(pts[0][0]))
+    assert img[y, x, 0] > 0.2
+    # projection matrix got the same post-transform
+    proj = np.asarray(out["proj"])
+    np.testing.assert_allclose(proj[0, 0], 2.0, atol=1e-5)
+    np.testing.assert_allclose(proj[1, 1], 2.0, atol=1e-5)
+
+
+def test_affine_translation_step():
+    sdg = affine_sample()
+    step = AffineTransformer(
+        output_hw=(8, 10),
+        resizing_mode=AffineTransformer.ResizingMode.STRETCH,
+        image_field_names="image",
+        point_field_names="points",
+        transformation_steps=[AffineTransformer.Translation(1.0, [2.0, 1.0])],
+    )
+    step.set_random_context(ScriptedRandomContext())
+    out = step(sdg)
+    np.testing.assert_allclose(np.asarray(out["points"])[0], [5.0, 3.0], atol=1e-5)
+    img = np.asarray(out["image"])
+    assert img[3, 5, 0] > 0.9  # pixel moved by (+2, +1)
+
+
+def test_affine_rotation_point_image_consistency():
+    sdg = affine_sample()
+    step = AffineTransformer(
+        output_hw=(8, 10),
+        resizing_mode=AffineTransformer.ResizingMode.STRETCH,
+        image_field_names="image",
+        point_field_names="points",
+        transformation_steps=[AffineTransformer.Rotation(1.0, 90.0)],
+    )
+    step.set_random_context(ScriptedRandomContext())
+    out = step(sdg)
+    pts = np.asarray(out["points"])[0]
+    img = np.asarray(out["image"])
+    y, x = int(round(pts[1])), int(round(pts[0]))
+    if 0 <= y < 8 and 0 <= x < 10:
+        assert img[y, x, 0] > 0.2  # image follows the points
+
+
+def test_affine_probability_gate():
+    sdg = affine_sample()
+    step = AffineTransformer(
+        output_hw=(8, 10),
+        resizing_mode=AffineTransformer.ResizingMode.STRETCH,
+        image_field_names="image",
+        point_field_names="points",
+        transformation_steps=[AffineTransformer.Translation(0.5, [4.0, 0.0])],
+    )
+    rng = ScriptedRandomContext()
+    rng.script_uniform(0.0, 1.0, [0.9])  # gate fails (0.9 >= 0.5)
+    step.set_random_context(rng)
+    out = step(sdg)
+    np.testing.assert_allclose(np.asarray(out["points"])[0], [3.0, 2.0], atol=1e-5)
+
+
+def test_affine_ordering_constraint():
+    with pytest.raises(ValueError):
+        AffineTransformer(
+            output_hw=(8, 10),
+            resizing_mode=AffineTransformer.ResizingMode.STRETCH,
+            image_field_names="image",
+            transformation_steps=[
+                AffineTransformer.Rotation(0.5, 10.0),
+                AffineTransformer.ShiftInsideOriginalImage(1.0, True, True),
+            ],
+        )
+
+
+def test_affine_pad_mode_centers():
+    sdg = affine_sample()
+    step = AffineTransformer(
+        output_hw=(20, 20),
+        resizing_mode=AffineTransformer.ResizingMode.PAD,
+        resizing_anchor=AffineTransformer.ResizingAnchor.CENTER,
+        image_field_names="image",
+        point_field_names="points",
+    )
+    step.set_random_context(ScriptedRandomContext())
+    out = step(sdg)
+    # scale = min(20/8, 20/10) = 2; image becomes 16x20, centered -> y shift 2
+    np.testing.assert_allclose(np.asarray(out["points"])[0], [6.0, 6.0], atol=1e-5)
+
+
+# --------------------------- wrapper steps ----------------------------- #
+
+
+def test_wrapper_independent_application():
+    cam = SampleDataGroup()
+    cam.add_data_field("points", DType.FLOAT)
+    root = SampleDataGroup()
+    root.add_data_group_field("cam_a", cam)
+    root.add_data_group_field("cam_b", cam)
+    root["cam_a"]["points"] = np.array([[1.0, 1.0]], np.float32)
+    root["cam_b"]["points"] = np.array([[1.0, 1.0]], np.float32)
+
+    inner = CoordinateCropper("points", [0.0, 0.0], [0.5, 0.5])
+    wrapper = DataGroupsWithNameAppliedStep(inner, ["cam_a", "cam_b"])
+    out = wrapper(root)
+    np.testing.assert_allclose(np.asarray(out["cam_a"]["points"])[0], [0.5, 0.5])
+    np.testing.assert_allclose(np.asarray(out["cam_b"]["points"])[0], [0.5, 0.5])
+
+
+def test_wrapper_blueprint_inference():
+    cam = SampleDataGroup()
+    cam.add_data_field("points", DType.FLOAT)
+    root = SampleDataGroup()
+    root.add_data_group_field("cam_a", cam)
+    inner = PointsInRangeCheck("points", "inside", [0, 0], [1, 1])
+    wrapper = DataGroupsWithNameAppliedStep(inner, "cam_a")
+    bp = wrapper.check_input_data_format_and_set_output_data_format(root)
+    assert bp["cam_a"].has_child("inside")
