@@ -1,0 +1,228 @@
+"""Async packed multi-tensor host->device copy.
+
+TPU-native re-design of the reference's multi_tensor_copier
+(``packages/multi_tensor_copier/accvlab/multi_tensor_copier/async_copy.py:27-169``
++ the C++ engine in ``csrc/multi_tensor_copier.cpp``). The performance
+phenomenon is identical on TPU: per-transfer overhead dominates when a batch
+contains hundreds of small meta-data arrays, so the win comes from packing
+them into a few large contiguous transfers.
+
+Mapping of the reference design onto the JAX runtime:
+
+* Python-tree traversal -> ``jax.tree_util`` flatten (dict/list/tuple nesting
+  preserved; opaque non-array leaves pass through; numpy scalars converted).
+* pack planner (candidates <= 256 KB, alignment buckets, chunks <= 32 MB,
+  ``compute_pack_plan``, ``multi_tensor_copier.cpp:553``) -> same thresholds,
+  but chunks are built **per dtype** so the device-side views are plain
+  slice+reshape (no byte aliasing needed — XLA arrays are typed).
+* staging fill (parallel memcpy pool, ``:647``) -> the C++ packer in
+  ``csrc/pack.cpp`` (ctypes, GIL released during the copy).
+* one ``cudaMemcpyAsync`` per chunk (``:683``) -> one ``jax.device_put`` per
+  chunk; JAX dispatch is asynchronous, the transfer overlaps Python.
+* per-tensor path for large/non-packable tensors (``:775``) -> direct
+  ``device_put``.
+* completion events / future (``:841-965``) -> ``jax.Array.is_ready`` +
+  a background-thread future.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, List, Optional
+
+import numpy as np
+
+from .native import parallel_pack
+
+_PACK_CANDIDATE_MAX_BYTES = 256 * 1024  # reference: make_pack_candidate, :481
+_DEFAULT_MAX_CHUNK = 32 * 1024 * 1024  # reference: max_packed_chunk_bytes
+
+_background_pool: Optional[ThreadPoolExecutor] = None
+_pool_lock = threading.Lock()
+
+
+def _get_background_pool() -> ThreadPoolExecutor:
+    global _background_pool
+    with _pool_lock:
+        if _background_pool is None:
+            # reference: global 4-worker CopyThreadPool (:288-356)
+            _background_pool = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="accvlab-hostcopy"
+            )
+    return _background_pool
+
+
+def _is_packable_array(x) -> bool:
+    if isinstance(x, (str, bytes)):
+        return False  # opaque (reference passes non-tensor leaves through)
+    if isinstance(x, np.ndarray):
+        return x.dtype.kind in "biufc"
+    return isinstance(x, (int, float, bool, np.number, np.bool_))
+
+
+class AsyncCopyHandle:
+    """Handle for an in-flight copy (parity:
+    ``async_copy.py:27`` / C++ ``AsyncCopyHandle``, ``:945-1049``)."""
+
+    def __init__(self, future: Future):
+        self._future = future
+        self._result = None
+        self._done = False
+
+    def ready(self) -> bool:
+        """Non-blocking completion check: host-side work finished AND all
+        device buffers materialized."""
+        if self._done:
+            return True
+        if not self._future.done():
+            return False
+        import jax
+
+        result, device_arrays = self._future.result()
+        for arr in device_arrays:
+            if hasattr(arr, "is_ready") and not arr.is_ready():
+                return False
+        self._result = result
+        self._done = True
+        return True
+
+    def get(self) -> Any:
+        """Block until complete and return the copied structure (same nesting
+        as the input; array leaves are device arrays, opaque leaves pass
+        through unchanged)."""
+        import jax
+
+        result, device_arrays = self._future.result()
+        for arr in device_arrays:
+            jax.block_until_ready(arr)
+        self._result = result
+        self._done = True
+        return result
+
+
+def _plan_and_copy(
+    leaves: List[Any],
+    device,
+    pack_cpu_tensors: bool,
+    min_packed_alignment_bytes: int,
+    max_packed_chunk_bytes: int,
+):
+    import jax
+    import jax.numpy as jnp
+
+    out: List[Any] = [None] * len(leaves)
+    device_arrays: List[Any] = []
+
+    # Note: 64-bit float/int leaves are canonicalized to 32-bit on device
+    # unless jax_enable_x64 is set (JAX-wide behavior).
+    def canonical(arr: np.ndarray) -> np.ndarray:
+        target = jnp.result_type(arr.dtype)
+        return arr.astype(target) if np.dtype(target) != arr.dtype else arr
+
+    # classify leaves
+    pack_groups = {}  # dtype -> list of (leaf_index, np_array)
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):
+            arr = jax.device_put(leaf, device) if device is not None else leaf
+            out[i] = arr
+            device_arrays.append(arr)
+            continue
+        if _is_packable_array(leaf):
+            arr = np.asarray(leaf)
+            if arr.ndim > 0 and not arr.flags["C_CONTIGUOUS"]:
+                arr = np.ascontiguousarray(arr)
+            if pack_cpu_tensors and 0 < arr.nbytes <= _PACK_CANDIDATE_MAX_BYTES:
+                arr = canonical(arr)
+                if arr.ndim > 0 and not arr.flags["C_CONTIGUOUS"]:
+                    arr = np.ascontiguousarray(arr)
+                pack_groups.setdefault(arr.dtype, []).append((i, arr))
+                continue
+            dev_arr = jax.device_put(arr, device)
+            out[i] = dev_arr
+            device_arrays.append(dev_arr)
+            continue
+        out[i] = leaf  # opaque pass-through (reference: :120-138)
+
+    # pack per dtype, split into chunks of max_packed_chunk_bytes
+    for dtype, items in pack_groups.items():
+        itemsize = np.dtype(dtype).itemsize
+        align_items = max(1, min_packed_alignment_bytes // itemsize)
+        chunk: List = []
+        chunk_elems = 0
+
+        def flush(chunk, chunk_elems):
+            if not chunk:
+                return
+            offsets_bytes = []
+            pos = 0
+            for _, arr in chunk:
+                offsets_bytes.append(pos * itemsize)
+                n = arr.size
+                pos += -(-n // align_items) * align_items  # align up in elements
+            total_bytes = pos * itemsize
+            arrays = [arr for _, arr in chunk]
+            staging = parallel_pack(arrays, offsets_bytes, total_bytes)
+            dev_chunk = jax.device_put(staging.view(dtype), device)
+            device_arrays.append(dev_chunk)
+            for (leaf_i, arr), off in zip(chunk, offsets_bytes):
+                start = off // itemsize
+                view = jax.lax.slice_in_dim(dev_chunk, start, start + arr.size)
+                out[leaf_i] = view.reshape(arr.shape)
+
+        for leaf_i, arr in items:
+            n_aligned = -(-arr.size // align_items) * align_items
+            if chunk and (chunk_elems + n_aligned) * itemsize > max_packed_chunk_bytes:
+                flush(chunk, chunk_elems)
+                chunk, chunk_elems = [], 0
+            chunk.append((leaf_i, arr))
+            chunk_elems += n_aligned
+        flush(chunk, chunk_elems)
+
+    return out, device_arrays
+
+
+def start_copy(
+    data: Any,
+    device=None,
+    use_pinned_staging: bool = True,
+    pack_cpu_tensors: bool = True,
+    min_packed_alignment_bytes: int = 16,
+    max_packed_chunk_bytes: int = _DEFAULT_MAX_CHUNK,
+    use_background_thread: bool = True,
+) -> AsyncCopyHandle:
+    """Start an asynchronous packed copy of a nested structure to a device.
+
+    Parity: ``async_copy.py:64``. ``data`` may be any nesting of
+    dict/list/tuple with numpy arrays / scalars / jax arrays as leaves;
+    non-array leaves pass through unchanged. ``use_pinned_staging`` is
+    accepted for API parity (JAX's transfer path manages pinning itself).
+
+    Returns an :class:`AsyncCopyHandle` with ``ready()`` / ``get()``.
+    """
+    import jax
+
+    del use_pinned_staging
+    leaves, treedef = jax.tree_util.tree_flatten(
+        data, is_leaf=lambda x: not isinstance(x, (dict, list, tuple))
+    )
+
+    def run():
+        out, device_arrays = _plan_and_copy(
+            leaves,
+            device,
+            pack_cpu_tensors,
+            min_packed_alignment_bytes,
+            max_packed_chunk_bytes,
+        )
+        return jax.tree_util.tree_unflatten(treedef, out), device_arrays
+
+    if use_background_thread:
+        future = _get_background_pool().submit(run)
+    else:
+        future: Future = Future()
+        try:
+            future.set_result(run())
+        except Exception as e:  # pragma: no cover
+            future.set_exception(e)
+    return AsyncCopyHandle(future)

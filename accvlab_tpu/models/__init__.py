@@ -1,0 +1,12 @@
+"""accvlab_tpu.models — reference perception models driving the framework.
+
+The reference toolkit feeds ADAS perception training (CenterNet-style 2-D
+detection, StreamPETR-style multi-camera 3-D detection; see its examples).
+This package provides the flagship TPU-native training target: a
+CenterNet-style multi-camera detector whose target generation (heatmaps) and
+loss (ragged masked reductions) exercise every accvlab_tpu layer.
+"""
+
+from .centernet import CenterNetDetector, centernet_loss, make_train_step
+
+__all__ = ["CenterNetDetector", "centernet_loss", "make_train_step"]

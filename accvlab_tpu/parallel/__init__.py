@@ -1,0 +1,17 @@
+"""accvlab_tpu.parallel — device-mesh input sharding & batch distribution.
+
+The TPU-native substrate replacing what the reference gets from DALI
+per-rank ``device_id`` + ``torch.distributed`` DDP (SURVEY §2.3/§5.8):
+
+* :func:`make_mesh` — build a ``jax.sharding.Mesh`` over (data, model) axes.
+* :func:`shard_batch` — place a process-local host batch onto the mesh,
+  sharded over the data axis (``jax.make_array_from_process_local_data``);
+  this is the ICI/DCN-aware replacement for both the reference copy engine's
+  H2D path and DDP batch placement.
+* :func:`host_shard_info` — the per-host (shard_id, num_shards) pair to feed
+  :class:`~accvlab_tpu.pipeline.inputs.ShuffledShardedInputCallable`.
+"""
+
+from .mesh import host_shard_info, make_mesh, shard_batch, shard_like_batch
+
+__all__ = ["host_shard_info", "make_mesh", "shard_batch", "shard_like_batch"]

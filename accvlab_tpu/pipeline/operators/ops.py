@@ -197,14 +197,23 @@ def apply_matrix(
     matrix_is_transposed: bool = False,
     matrix_is_inverted: bool = False,
     multiply_matrix_from_right: bool = False,
+    make_apply_to_homog: Optional[bool] = None,
 ):
     """Apply a matrix to a point set (optionally homogeneous / transposed /
     inverted / right-multiplied). Parity: ``numba_operators.py:733``.
 
-    ``to_apply_to`` is (D, N), or (N, D) with ``to_apply_to_is_transposed``.
+    ``to_apply_to`` is (D, N), or (N, D) with ``to_apply_to_is_transposed``;
+    1-D inputs are treated as a single vector. ``make_apply_to_homog`` is the
+    reference's keyword name for ``in_homog``.
     """
+    if make_apply_to_homog is not None:
+        in_homog = make_apply_to_homog
     xp = _xp(to_apply_to) if _xp(to_apply_to) is not np else _xp(matrix)
     data = xp.asarray(to_apply_to, dtype=np.float32)
+    was_1d = data.ndim == 1
+    if was_1d:
+        data = data.reshape(-1, 1)
+        to_apply_to_is_transposed = False
     mat = xp.asarray(matrix, dtype=np.float32)
     if to_apply_to_is_transposed:
         data = data.T
@@ -220,6 +229,8 @@ def apply_matrix(
         data = data[:-1, :] / data[-1:, :]
     if to_apply_to_is_transposed:
         data = data.T
+    if was_1d:
+        data = data.reshape(-1)
     return data
 
 

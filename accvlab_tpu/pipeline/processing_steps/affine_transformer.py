@@ -29,7 +29,13 @@ from typing import List, Optional, Sequence, Set, Tuple, Union
 
 import numpy as np
 
-from ._common import as_name_list, xp_for
+from ._common import as_name_list
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp
 from .pipeline_step_base import PipelineStepBase
 from ..operators.image_ops import warp_affine
 from ..operators.point_ops import (
@@ -81,7 +87,7 @@ class AffineTransformer(PipelineStepBase):
 
         def __call__(self, prior_trafo, image_hw, rng):
             self._rng = rng
-            xp = xp_for(image_hw)
+            xp = _jnp()
             trafo = xp.asarray(_IDENTITY) if prior_trafo is None else prior_trafo
             applied = self._apply(trafo, image_hw)
             if self.prob >= 1.0:
@@ -123,7 +129,7 @@ class AffineTransformer(PipelineStepBase):
             self.max_xy = list(max_xy) if max_xy is not None else None
 
         def _apply(self, prior_trafo, image_hw):
-            xp = xp_for(prior_trafo)
+            xp = _jnp()
             if self.max_xy is None:
                 offset = xp.asarray(np.asarray(self.min_xy, np.float32))
             else:
@@ -149,7 +155,7 @@ class AffineTransformer(PipelineStepBase):
             self.shift_y = shift_y
 
         def _apply(self, prior_trafo, image_hw):
-            xp = xp_for(prior_trafo)
+            xp = _jnp()
             hw = xp.asarray(image_hw, dtype=np.float32)
             prior3_ul = prior_trafo @ xp.asarray(np.array([0.0, 0.0, 1.0], np.float32))
             prior3_lr = prior_trafo @ xp.stack([hw[1], hw[0], xp.ones_like(hw[0])])
@@ -202,7 +208,7 @@ class AffineTransformer(PipelineStepBase):
             self._border = border
 
         def _apply(self, prior_trafo, image_hw):
-            xp = xp_for(prior_trafo)
+            xp = _jnp()
             hw = xp.asarray(image_hw, dtype=np.float32)
             ul = prior_trafo @ xp.asarray(np.array([0.0, 0.0, 1.0], np.float32))
             lr = prior_trafo @ xp.stack([hw[1], hw[0], xp.ones_like(hw[0])])
@@ -243,7 +249,7 @@ class AffineTransformer(PipelineStepBase):
             self.max_rot = max_rot
 
         def _apply(self, prior_trafo, image_hw):
-            xp = xp_for(prior_trafo)
+            xp = _jnp()
             if self.max_rot is None:
                 angle = -np.float32(self.min_rot)
             else:
@@ -268,7 +274,7 @@ class AffineTransformer(PipelineStepBase):
             self.max_scaling = max_scaling
 
         def _apply(self, prior_trafo, image_hw):
-            xp = xp_for(prior_trafo)
+            xp = _jnp()
             if self.max_scaling is None:
                 s = np.float32(self.min_scaling)
             else:
@@ -301,7 +307,7 @@ class AffineTransformer(PipelineStepBase):
             self.max_scaling_xy = list(max_scaling_xy) if max_scaling_xy is not None else None
 
         def _apply(self, prior_trafo, image_hw):
-            xp = xp_for(prior_trafo)
+            xp = _jnp()
             if self.max_scaling_xy is None:
                 sx = np.float32(self.min_scaling_xy[0])
                 sy = np.float32(self.min_scaling_xy[1])
@@ -334,7 +340,7 @@ class AffineTransformer(PipelineStepBase):
             )
 
         def _apply(self, prior_trafo, image_hw):
-            xp = xp_for(prior_trafo)
+            xp = _jnp()
             if self.max_shearing_xy is None:
                 ax = np.float32(self.min_shearing_xy[0])
                 ay = np.float32(self.min_shearing_xy[1])
@@ -373,7 +379,7 @@ class AffineTransformer(PipelineStepBase):
             self._accum = [float(a) for a in accum]
 
         def _apply(self, prior_trafo, image_hw):
-            xp = xp_for(prior_trafo)
+            xp = _jnp()
             draw = self._rng.uniform(0.0, 1.0)
             res = prior_trafo
             chosen = xp.zeros((), bool)
@@ -496,12 +502,12 @@ class AffineTransformer(PipelineStepBase):
                 data.find_all_occurrences(self._image_field_names[0])[0]
             )
             image_hw = np.asarray(first_image.shape[-3:-1], np.int32)
-            xp = xp_for(first_image)
+            xp = _jnp()
         else:
             image_hw = data.get_item_in_path(
                 data.find_all_occurrences(self._image_hw_field_names[0])[0]
             )
-            xp = xp_for(image_hw)
+            xp = _jnp()
 
         transform = self._get_transformation(image_hw, xp)
 

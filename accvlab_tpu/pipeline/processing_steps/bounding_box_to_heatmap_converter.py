@@ -190,6 +190,8 @@ class BoundingBoxToHeatmapConverter(PipelineStepBase):
         else:
             slice_ids = xp.zeros(radii.shape, np.int32)
 
+        self._add_fields_to_annotations(annotations)
+
         heatmap = xp.zeros((num_slices, hh, hw), np.float32)
         heatmap = draw_gaussians(
             heatmap,

@@ -1,0 +1,103 @@
+"""hostcopy tests (model: reference tests/test_multi_tensor_copier.py:
+structure preservation, numpy conversion, opaque leaves, pack/non-pack
+matrix, mixed dtypes + alignment, chunking)."""
+
+import numpy as np
+import pytest
+
+from accvlab_tpu.hostcopy import start_copy
+
+
+def nested_payload():
+    rng = np.random.default_rng(0)
+    return {
+        "meta": {
+            "boxes": rng.normal(size=(7, 4)).astype(np.float32),
+            "ids": rng.integers(0, 100, (7,)).astype(np.int32),
+            "tag": "opaque-string",
+        },
+        "list": [rng.normal(size=(3,)).astype(np.float32), 5, 2.5],
+        "big": rng.normal(size=(600, 600)).astype(np.float32),  # > pack threshold
+    }
+
+
+@pytest.mark.parametrize("pack", [True, False])
+@pytest.mark.parametrize("background", [True, False])
+def test_structure_and_values(pack, background):
+    data = nested_payload()
+    handle = start_copy(
+        data, pack_cpu_tensors=pack, use_background_thread=background
+    )
+    out = handle.get()
+    assert out["meta"]["tag"] == "opaque-string"
+    np.testing.assert_array_equal(np.asarray(out["meta"]["boxes"]), data["meta"]["boxes"])
+    np.testing.assert_array_equal(np.asarray(out["meta"]["ids"]), data["meta"]["ids"])
+    np.testing.assert_array_equal(np.asarray(out["list"][0]), data["list"][0])
+    assert int(out["list"][1]) == 5
+    np.testing.assert_array_equal(np.asarray(out["big"]), data["big"])
+    import jax
+
+    assert isinstance(out["big"], jax.Array)
+
+
+def test_ready_eventually_true():
+    handle = start_copy(nested_payload())
+    out = handle.get()
+    assert handle.ready()
+    assert out is handle.get()
+
+
+def test_many_small_tensors():
+    rng = np.random.default_rng(1)
+    data = [rng.normal(size=(rng.integers(1, 50),)).astype(np.float32) for _ in range(200)]
+    out = start_copy(data).get()
+    for a, b in zip(out, data):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_mixed_dtypes_alignment():
+    data = {
+        "u8": np.arange(13, dtype=np.uint8),
+        "f64": np.arange(5, dtype=np.float64),
+        "i16": np.arange(9, dtype=np.int16),
+        "b": np.array([True, False, True]),
+    }
+    out = start_copy(data, min_packed_alignment_bytes=16).get()
+    for k in data:
+        np.testing.assert_array_equal(np.asarray(out[k]), data[k])
+        import jax.numpy as jnp; assert out[k].dtype == jnp.result_type(data[k].dtype)  # 64-bit canonicalized without x64
+
+
+def test_chunking_small_max_chunk():
+    rng = np.random.default_rng(2)
+    data = [rng.normal(size=(100,)).astype(np.float32) for _ in range(50)]
+    out = start_copy(data, max_packed_chunk_bytes=1024).get()
+    for a, b in zip(out, data):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_empty_arrays_pass():
+    data = {"empty": np.zeros((0, 4), np.float32), "x": np.ones(3, np.float32)}
+    out = start_copy(data).get()
+    assert np.asarray(out["empty"]).shape == (0, 4)
+
+
+def test_jax_array_passthrough():
+    import jax.numpy as jnp
+
+    data = {"dev": jnp.arange(5), "host": np.arange(3)}
+    out = start_copy(data).get()
+    np.testing.assert_array_equal(np.asarray(out["dev"]), np.arange(5))
+
+
+def test_native_packer_builds():
+    from accvlab_tpu.hostcopy.native import get_lib, parallel_pack
+
+    arrays = [np.full((10,), i, np.float32) for i in range(4)]
+    offsets = [i * 48 for i in range(4)]  # 40 bytes data + 8 pad
+    staging = parallel_pack(arrays, offsets, 4 * 48)
+    for i in range(4):
+        got = staging[i * 48 : i * 48 + 40].view(np.float32)
+        np.testing.assert_array_equal(got, arrays[i])
+    # native lib should be available in this image (g++ baked in)
+    assert get_lib() is not None
