@@ -241,19 +241,37 @@ class TPUPipeline:
         is_callable = isinstance(self._definition._input, CallableBase)
         if is_callable:
             if self._parallel and self._pool is not None:
-                flats = list(self._pool.map(self._load_sample, range(self._batch_size)))
+                # load + run host steps per sample fully inside the workers
+                # (JPEG decode etc. release the GIL)
+                def load_and_process(i):
+                    flat = self._load_sample(i)
+                    if flat is self._EPOCH_END:
+                        return self._EPOCH_END
+                    return self._run_host_steps(flat, i)
+
+                samples = list(self._pool.map(load_and_process, range(self._batch_size)))
             else:
-                flats = [self._load_sample(i) for i in range(self._batch_size)]
-            if any(f is self._EPOCH_END for f in flats):
+                samples = []
+                for i in range(self._batch_size):
+                    flat = self._load_sample(i)
+                    samples.append(
+                        flat if flat is self._EPOCH_END else self._run_host_steps(flat, i)
+                    )
+            if any(s is self._EPOCH_END for s in samples):
                 raise StopIteration  # partial batches are dropped (DALI semantics)
-            samples = [self._run_host_steps(f, i) for i, f in enumerate(flats)]
         else:
             per_field = next(self._definition._input)  # may raise StopIteration
             batch_size = len(per_field[0])
-            samples = []
-            for i in range(batch_size):
-                flat = tuple(field[i] for field in per_field)
-                samples.append(self._run_host_steps(flat, i))
+            flats = [tuple(field[i] for field in per_field) for i in range(batch_size)]
+            if self._parallel and self._pool is not None:
+                samples = list(
+                    self._pool.map(
+                        lambda args: self._run_host_steps(*args),
+                        [(f, i) for i, f in enumerate(flats)],
+                    )
+                )
+            else:
+                samples = [self._run_host_steps(f, i) for i, f in enumerate(flats)]
 
         # batch-level host steps
         for step in self._host_steps:

@@ -1,0 +1,671 @@
+// Random-access GOP video engine for TPU hosts.
+//
+// TPU-native re-design of the reference's PyNvOnDemandDecoder module
+// (packages/on_demand_video_decoder/ext_impl/src/PyNvOnDemandDecoder/, ~9k LoC
+// of NVDEC/cuvid plumbing). TPU hosts have no NVDEC, so the design keeps the
+// reference's host-side architecture — FFmpeg demux + keyframe/pts index,
+// GOP-minimal packet extraction, self-describing serialized packet bundles,
+// decoder-state continuity for sequential stream reading — but decodes with
+// libavcodec software decoders into RGB host buffers that feed the
+// device-resident augment stage (BASELINE.json north star).
+//
+// C API with ctypes-friendly signatures; every call releases the GIL
+// (ctypes), so Python-level thread pools provide the demux/decode
+// parallelism the reference gets from its C++ ThreadRunner pools.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -o libaccvlab_video.so \
+//        video_engine.cpp -lavformat -lavcodec -lavutil -lswscale
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <string>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+// ------------------------------------------------------------------ //
+// Serialized GOP packet bundle (self-describing; parity with the      //
+// reference's createSerializedPacketBundle, PyNvGopDecoder.hpp:47)    //
+// ------------------------------------------------------------------ //
+
+constexpr uint32_t kBundleMagic = 0x42474141;  // "AAGB"
+constexpr uint32_t kBundleVersion = 1;
+
+struct BundleHeader {
+    uint32_t magic;
+    uint32_t version;
+    int32_t codec_id;
+    int32_t width;
+    int32_t height;
+    int32_t first_frame_id;  // display id of the GOP's keyframe
+    int32_t num_frames;      // frames covered by this bundle
+    int32_t num_packets;
+    int32_t extradata_size;
+    int32_t reserved;
+};
+
+struct PacketEntry {
+    uint64_t size;
+    int64_t pts;
+    int32_t display_rel;  // display index relative to first_frame_id (-1 unknown)
+    int32_t flags;
+};
+
+thread_local std::string g_error;
+
+void set_error(const std::string& msg) { g_error = msg; }
+
+// ------------------------------------------------------------------ //
+// Demuxer + frame index                                              //
+// ------------------------------------------------------------------ //
+
+struct Indexer {
+    AVFormatContext* fmt = nullptr;
+    int stream_index = -1;
+    int width = 0, height = 0;
+    AVCodecID codec_id = AV_CODEC_ID_NONE;
+    std::vector<uint8_t> extradata;
+    // per display-ordered frame: pts and whether its packet was a keyframe
+    std::vector<int64_t> pts_sorted;          // display order
+    std::vector<int32_t> keyframe_of_frame;   // display id -> keyframe display id
+    std::vector<uint8_t> frame_is_key;        // display id -> key flag
+    std::mutex mutex;                          // format ctx is not thread safe
+
+    ~Indexer() {
+        if (fmt) avformat_close_input(&fmt);
+    }
+
+    int display_id_of_pts(int64_t pts) const {
+        auto it = std::lower_bound(pts_sorted.begin(), pts_sorted.end(), pts);
+        if (it == pts_sorted.end() || *it != pts) return -1;
+        return static_cast<int>(it - pts_sorted.begin());
+    }
+};
+
+Indexer* open_and_index(const char* path) {
+    auto idx = new Indexer();
+    if (avformat_open_input(&idx->fmt, path, nullptr, nullptr) < 0) {
+        set_error(std::string("cannot open ") + path);
+        delete idx;
+        return nullptr;
+    }
+    if (avformat_find_stream_info(idx->fmt, nullptr) < 0) {
+        set_error("cannot find stream info");
+        delete idx;
+        return nullptr;
+    }
+    idx->stream_index =
+        av_find_best_stream(idx->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+    if (idx->stream_index < 0) {
+        set_error("no video stream");
+        delete idx;
+        return nullptr;
+    }
+    AVCodecParameters* par = idx->fmt->streams[idx->stream_index]->codecpar;
+    idx->width = par->width;
+    idx->height = par->height;
+    idx->codec_id = par->codec_id;
+    if (par->extradata_size > 0) {
+        idx->extradata.assign(par->extradata, par->extradata + par->extradata_size);
+    }
+
+    // Index pass: walk all packets, record (pts, keyframe).
+    std::vector<std::pair<int64_t, uint8_t>> entries;
+    AVPacket* pkt = av_packet_alloc();
+    while (av_read_frame(idx->fmt, pkt) >= 0) {
+        if (pkt->stream_index == idx->stream_index) {
+            int64_t pts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+            entries.emplace_back(pts, (pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0);
+        }
+        av_packet_unref(pkt);
+    }
+    av_packet_free(&pkt);
+    std::sort(entries.begin(), entries.end());
+    idx->pts_sorted.reserve(entries.size());
+    idx->frame_is_key.reserve(entries.size());
+    for (auto& e : entries) {
+        idx->pts_sorted.push_back(e.first);
+        idx->frame_is_key.push_back(e.second);
+    }
+    idx->keyframe_of_frame.resize(entries.size());
+    int last_key = 0;
+    for (size_t i = 0; i < entries.size(); ++i) {
+        if (idx->frame_is_key[i]) last_key = static_cast<int>(i);
+        idx->keyframe_of_frame[i] = last_key;
+    }
+    // rewind for later GOP extraction
+    av_seek_frame(idx->fmt, idx->stream_index, idx->pts_sorted.empty() ? 0 : idx->pts_sorted[0],
+                  AVSEEK_FLAG_BACKWARD);
+    return idx;
+}
+
+// Extract the packet set for the WHOLE GOP containing target_frame
+// (keyframe .. frame before the next keyframe), matching the reference's
+// GetGOP contract: the returned gop_len covers the full GOP so the cache
+// can serve any frame inside it.
+bool extract_gop(Indexer* idx, int target_frame, int /*unused*/,
+                 std::vector<uint8_t>& out) {
+    std::lock_guard<std::mutex> lock(idx->mutex);
+    int n = static_cast<int>(idx->pts_sorted.size());
+    if (target_frame < 0 || target_frame >= n) {
+        set_error("frame id out of range");
+        return false;
+    }
+    int key = idx->keyframe_of_frame[target_frame];
+    int gop_end = n - 1;
+    for (int f = key + 1; f < n; ++f) {
+        if (idx->frame_is_key[f]) {
+            gop_end = f - 1;
+            break;
+        }
+    }
+    int64_t key_pts = idx->pts_sorted[key];
+    int64_t end_pts = idx->pts_sorted[gop_end];
+
+    if (av_seek_frame(idx->fmt, idx->stream_index, key_pts, AVSEEK_FLAG_BACKWARD) < 0) {
+        set_error("seek failed");
+        return false;
+    }
+
+    std::vector<std::vector<uint8_t>> datas;
+    std::vector<PacketEntry> entries;
+    AVPacket* pkt = av_packet_alloc();
+    bool started = false;
+    while (av_read_frame(idx->fmt, pkt) >= 0) {
+        if (pkt->stream_index != idx->stream_index) {
+            av_packet_unref(pkt);
+            continue;
+        }
+        int64_t pts = pkt->pts != AV_NOPTS_VALUE ? pkt->pts : pkt->dts;
+        if (!started) {
+            if (pts == key_pts) {
+                started = true;
+            } else if (pts > end_pts) {
+                av_packet_unref(pkt);
+                break;
+            } else {
+                av_packet_unref(pkt);
+                continue;
+            }
+        }
+        if (started && pts > end_pts && (pkt->flags & AV_PKT_FLAG_KEY)) {
+            av_packet_unref(pkt);
+            break;
+        }
+        PacketEntry e;
+        e.size = static_cast<uint64_t>(pkt->size);
+        e.pts = pts;
+        int did = idx->display_id_of_pts(pts);
+        e.display_rel = did >= 0 ? did - key : -1;
+        e.flags = pkt->flags;
+        entries.push_back(e);
+        datas.emplace_back(pkt->data, pkt->data + pkt->size);
+        av_packet_unref(pkt);
+        if (pts == end_pts) {
+            break;  // full GOP collected (closed-GOP content)
+        }
+    }
+    av_packet_free(&pkt);
+    if (!started || entries.empty()) {
+        set_error("no packets extracted");
+        return false;
+    }
+
+    BundleHeader hdr;
+    hdr.magic = kBundleMagic;
+    hdr.version = kBundleVersion;
+    hdr.codec_id = static_cast<int32_t>(idx->codec_id);
+    hdr.width = idx->width;
+    hdr.height = idx->height;
+    hdr.first_frame_id = key;
+    hdr.num_frames = gop_end - key + 1;
+    hdr.num_packets = static_cast<int32_t>(entries.size());
+    hdr.extradata_size = static_cast<int32_t>(idx->extradata.size());
+    hdr.reserved = 0;
+
+    size_t total = sizeof(BundleHeader) + idx->extradata.size() +
+                   entries.size() * sizeof(PacketEntry);
+    for (auto& d : datas) total += d.size();
+    out.resize(total);
+    uint8_t* p = out.data();
+    std::memcpy(p, &hdr, sizeof(hdr));
+    p += sizeof(hdr);
+    if (!idx->extradata.empty()) {
+        std::memcpy(p, idx->extradata.data(), idx->extradata.size());
+        p += idx->extradata.size();
+    }
+    std::memcpy(p, entries.data(), entries.size() * sizeof(PacketEntry));
+    p += entries.size() * sizeof(PacketEntry);
+    for (auto& d : datas) {
+        std::memcpy(p, d.data(), d.size());
+        p += d.size();
+    }
+    return true;
+}
+
+// ------------------------------------------------------------------ //
+// Decoder                                                             //
+// ------------------------------------------------------------------ //
+
+struct Decoder {
+    AVCodecContext* ctx = nullptr;
+    SwsContext* sws = nullptr;
+    int sws_w = 0, sws_h = 0;
+    AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
+
+    ~Decoder() {
+        if (sws) sws_freeContext(sws);
+        if (ctx) avcodec_free_context(&ctx);
+    }
+
+    bool init(AVCodecID codec_id, const uint8_t* extradata, int extradata_size) {
+        const AVCodec* codec = avcodec_find_decoder(codec_id);
+        if (!codec) {
+            set_error("decoder not found");
+            return false;
+        }
+        ctx = avcodec_alloc_context3(codec);
+        if (extradata_size > 0) {
+            ctx->extradata = static_cast<uint8_t*>(
+                av_mallocz(extradata_size + AV_INPUT_BUFFER_PADDING_SIZE));
+            std::memcpy(ctx->extradata, extradata, extradata_size);
+            ctx->extradata_size = extradata_size;
+        }
+        ctx->thread_count = 0;  // auto
+        if (avcodec_open2(ctx, codec, nullptr) < 0) {
+            set_error("cannot open decoder");
+            return false;
+        }
+        return true;
+    }
+
+    // convert a decoded frame to packed RGB24 (or BGR24) into dst
+    bool to_rgb(AVFrame* frame, uint8_t* dst, int as_bgr) {
+        AVPixelFormat dst_fmt = as_bgr ? AV_PIX_FMT_BGR24 : AV_PIX_FMT_RGB24;
+        AVPixelFormat src_fmt = static_cast<AVPixelFormat>(frame->format);
+        if (!sws || sws_w != frame->width || sws_h != frame->height ||
+            sws_fmt != src_fmt) {
+            if (sws) sws_freeContext(sws);
+            sws = sws_getContext(frame->width, frame->height, src_fmt, frame->width,
+                                 frame->height, dst_fmt, SWS_BILINEAR, nullptr,
+                                 nullptr, nullptr);
+            sws_w = frame->width;
+            sws_h = frame->height;
+            sws_fmt = src_fmt;
+        }
+        uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
+        int dst_linesize[4] = {frame->width * 3, 0, 0, 0};
+        sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
+                  dst_linesize);
+        return true;
+    }
+};
+
+// ------------------------------------------------------------------ //
+// Stream reader (decoder-state continuity; parity: PyNvVideoReader)   //
+// ------------------------------------------------------------------ //
+
+struct StreamReader {
+    Indexer* idx = nullptr;
+    Decoder dec;
+    int next_display = -1;  // display id the next decoded frame will have
+    bool draining = false;
+
+    ~StreamReader() { delete idx; }
+};
+
+bool reader_decode_next(StreamReader* r, AVFrame* frame) {
+    AVPacket* pkt = av_packet_alloc();
+    int ret;
+    while (true) {
+        ret = avcodec_receive_frame(r->dec.ctx, frame);
+        if (ret == 0) {
+            av_packet_free(&pkt);
+            return true;
+        }
+        if (ret == AVERROR_EOF) {
+            av_packet_free(&pkt);
+            return false;
+        }
+        // need more input
+        int rf;
+        do {
+            rf = av_read_frame(r->idx->fmt, pkt);
+            if (rf < 0) {
+                avcodec_send_packet(r->dec.ctx, nullptr);  // start draining
+                break;
+            }
+        } while (pkt->stream_index != r->idx->stream_index &&
+                 (av_packet_unref(pkt), true));
+        if (rf >= 0) {
+            avcodec_send_packet(r->dec.ctx, pkt);
+            av_packet_unref(pkt);
+        }
+    }
+}
+
+}  // namespace
+
+// ------------------------------------------------------------------ //
+// C API                                                               //
+// ------------------------------------------------------------------ //
+
+extern "C" {
+
+const char* avx_last_error() { return g_error.c_str(); }
+
+void* avx_open(const char* path) { return open_and_index(path); }
+
+void avx_close(void* h) { delete static_cast<Indexer*>(h); }
+
+int avx_num_frames(void* h) {
+    return static_cast<int>(static_cast<Indexer*>(h)->pts_sorted.size());
+}
+int avx_width(void* h) { return static_cast<Indexer*>(h)->width; }
+int avx_height(void* h) { return static_cast<Indexer*>(h)->height; }
+int avx_codec_id(void* h) {
+    return static_cast<int>(static_cast<Indexer*>(h)->codec_id);
+}
+int avx_keyframe_of(void* h, int frame_id) {
+    auto idx = static_cast<Indexer*>(h);
+    if (frame_id < 0 || frame_id >= static_cast<int>(idx->keyframe_of_frame.size()))
+        return -1;
+    return idx->keyframe_of_frame[frame_id];
+}
+
+// Extract a GOP bundle covering [keyframe_of(target) .. >= last_needed].
+// Returns a malloc'd buffer (caller frees with avx_free); size via out_size.
+uint8_t* avx_gop_bundle(void* h, int target_frame, int last_needed_frame,
+                        uint64_t* out_size) {
+    std::vector<uint8_t> buf;
+    if (!extract_gop(static_cast<Indexer*>(h), target_frame, last_needed_frame, buf)) {
+        *out_size = 0;
+        return nullptr;
+    }
+    auto* res = static_cast<uint8_t*>(std::malloc(buf.size()));
+    std::memcpy(res, buf.data(), buf.size());
+    *out_size = buf.size();
+    return res;
+}
+
+void avx_free(uint8_t* buf) { std::free(buf); }
+
+// Parse bundle metadata. Returns 0 on success.
+int avx_bundle_info(const uint8_t* buf, uint64_t size, int32_t* first_frame_id,
+                    int32_t* num_frames, int32_t* width, int32_t* height,
+                    int32_t* codec_id) {
+    if (size < sizeof(BundleHeader)) return -1;
+    BundleHeader hdr;
+    std::memcpy(&hdr, buf, sizeof(hdr));
+    if (hdr.magic != kBundleMagic) return -2;
+    *first_frame_id = hdr.first_frame_id;
+    *num_frames = hdr.num_frames;
+    *width = hdr.width;
+    *height = hdr.height;
+    *codec_id = hdr.codec_id;
+    return 0;
+}
+
+// Decode `n_targets` frames (absolute display ids) from a serialized bundle
+// into out_rgb (n_targets * H * W * 3, row-major). Returns 0 on success.
+int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_ids,
+                      int32_t n_targets, uint8_t* out_rgb, int as_bgr) {
+    if (size < sizeof(BundleHeader)) {
+        set_error("bundle too small");
+        return -1;
+    }
+    BundleHeader hdr;
+    std::memcpy(&hdr, buf, sizeof(hdr));
+    if (hdr.magic != kBundleMagic) {
+        set_error("bad bundle magic");
+        return -2;
+    }
+    const uint8_t* p = buf + sizeof(BundleHeader);
+    const uint8_t* extradata = p;
+    p += hdr.extradata_size;
+    std::vector<PacketEntry> entries(hdr.num_packets);
+    std::memcpy(entries.data(), p, hdr.num_packets * sizeof(PacketEntry));
+    p += hdr.num_packets * sizeof(PacketEntry);
+
+    Decoder dec;
+    if (!dec.init(static_cast<AVCodecID>(hdr.codec_id), extradata, hdr.extradata_size))
+        return -3;
+
+    // map display_rel -> output slot(s)
+    std::vector<int> want(hdr.num_frames, -1);
+    int max_rel = -1;
+    for (int t = 0; t < n_targets; ++t) {
+        int rel = target_ids[t] - hdr.first_frame_id;
+        if (rel < 0 || rel >= hdr.num_frames) {
+            set_error("target frame not in bundle");
+            return -4;
+        }
+        want[rel] = t;
+        max_rel = std::max(max_rel, rel);
+    }
+
+    size_t frame_bytes = static_cast<size_t>(hdr.width) * hdr.height * 3;
+    AVPacket* pkt = av_packet_alloc();
+    AVFrame* frame = av_frame_alloc();
+    int decoded = 0;
+    int remaining = n_targets;
+    int rc = 0;
+
+    auto handle_frame = [&]() {
+        int rel = decoded;  // frames arrive in display order within the GOP
+        if (rel < hdr.num_frames && want[rel] >= 0) {
+            dec.to_rgb(frame, out_rgb + static_cast<size_t>(want[rel]) * frame_bytes,
+                       as_bgr);
+            --remaining;
+        }
+        ++decoded;
+    };
+
+    for (int i = 0; i < hdr.num_packets && remaining > 0; ++i) {
+        av_packet_unref(pkt);
+        av_new_packet(pkt, static_cast<int>(entries[i].size));
+        std::memcpy(pkt->data, p, entries[i].size);
+        p += entries[i].size;
+        pkt->pts = entries[i].pts;
+        pkt->flags = entries[i].flags;
+        if (avcodec_send_packet(dec.ctx, pkt) < 0) {
+            set_error("send_packet failed");
+            rc = -5;
+            break;
+        }
+        while (avcodec_receive_frame(dec.ctx, frame) == 0 && remaining > 0) {
+            handle_frame();
+        }
+    }
+    if (rc == 0 && remaining > 0) {
+        avcodec_send_packet(dec.ctx, nullptr);  // drain
+        while (avcodec_receive_frame(dec.ctx, frame) == 0 && remaining > 0) {
+            handle_frame();
+        }
+    }
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    if (rc == 0 && remaining > 0) {
+        set_error("not all target frames decoded");
+        rc = -6;
+    }
+    return rc;
+}
+
+// ---- stream reader ---------------------------------------------------- //
+
+void* avx_reader_open(const char* path) {
+    auto* r = new StreamReader();
+    r->idx = open_and_index(path);
+    if (!r->idx) {
+        delete r;
+        return nullptr;
+    }
+    if (!r->dec.init(r->idx->codec_id,
+                     r->idx->extradata.empty() ? nullptr : r->idx->extradata.data(),
+                     static_cast<int>(r->idx->extradata.size()))) {
+        delete r;
+        return nullptr;
+    }
+    r->next_display = -1;
+    return r;
+}
+
+void avx_reader_close(void* h) { delete static_cast<StreamReader*>(h); }
+
+int avx_reader_width(void* h) { return static_cast<StreamReader*>(h)->idx->width; }
+int avx_reader_height(void* h) { return static_cast<StreamReader*>(h)->idx->height; }
+int avx_reader_num_frames(void* h) {
+    return static_cast<int>(static_cast<StreamReader*>(h)->idx->pts_sorted.size());
+}
+
+// Read one frame by display id. Forward-decodes from the current position
+// when possible (decoder-state continuity, PyNvVideoReader.hpp:89-104);
+// otherwise seeks to the containing keyframe and decodes forward.
+int avx_reader_read(void* h, int frame_id, uint8_t* out_rgb, int as_bgr) {
+    auto* r = static_cast<StreamReader*>(h);
+    int n = static_cast<int>(r->idx->pts_sorted.size());
+    if (frame_id < 0 || frame_id >= n) {
+        set_error("frame id out of range");
+        return -1;
+    }
+    bool forward = r->next_display >= 0 && frame_id >= r->next_display &&
+                   r->idx->keyframe_of_frame[frame_id] < r->next_display;
+    if (!forward) {
+        int key = r->idx->keyframe_of_frame[frame_id];
+        std::lock_guard<std::mutex> lock(r->idx->mutex);
+        if (av_seek_frame(r->idx->fmt, r->idx->stream_index, r->idx->pts_sorted[key],
+                          AVSEEK_FLAG_BACKWARD) < 0) {
+            set_error("seek failed");
+            return -2;
+        }
+        avcodec_flush_buffers(r->dec.ctx);
+        r->next_display = key;
+    }
+    AVFrame* frame = av_frame_alloc();
+    int rc = -3;
+    while (r->next_display <= frame_id) {
+        if (!reader_decode_next(r, frame)) {
+            set_error("decode ended before target frame");
+            rc = -3;
+            av_frame_free(&frame);
+            return rc;
+        }
+        if (r->next_display == frame_id) {
+            r->dec.to_rgb(frame, out_rgb, as_bgr);
+            rc = 0;
+        }
+        r->next_display += 1;
+    }
+    av_frame_free(&frame);
+    return rc;
+}
+
+// ---- test-asset encoder ------------------------------------------------ //
+
+// Encode raw RGB frames into a video file (for tests; the reference commits
+// pre-generated clips instead). codec_name: "libx264", "libx265", "mpeg4".
+int avx_encode_video(const char* path, const uint8_t* rgb, int n_frames, int width,
+                     int height, int fps, int gop_size, const char* codec_name) {
+    AVFormatContext* fmt = nullptr;
+    avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+    if (!fmt) {
+        set_error("cannot alloc output context");
+        return -1;
+    }
+    const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
+    if (!codec) {
+        set_error(std::string("encoder not found: ") + codec_name);
+        avformat_free_context(fmt);
+        return -2;
+    }
+    AVStream* stream = avformat_new_stream(fmt, nullptr);
+    AVCodecContext* ctx = avcodec_alloc_context3(codec);
+    ctx->width = width;
+    ctx->height = height;
+    ctx->time_base = {1, fps};
+    ctx->framerate = {fps, 1};
+    ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+    ctx->gop_size = gop_size;
+    ctx->max_b_frames = 0;
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+        ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (std::string(codec_name) == "libx264") {
+        av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
+    }
+    int rc = 0;
+    SwsContext* sws = nullptr;
+    AVFrame* yuv = nullptr;
+    AVPacket* pkt = nullptr;
+    do {
+        if (avcodec_open2(ctx, codec, nullptr) < 0) {
+            set_error("cannot open encoder");
+            rc = -3;
+            break;
+        }
+        avcodec_parameters_from_context(stream->codecpar, ctx);
+        stream->time_base = ctx->time_base;
+        if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+            avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) {
+            set_error("cannot open output file");
+            rc = -4;
+            break;
+        }
+        if (avformat_write_header(fmt, nullptr) < 0) {
+            set_error("write_header failed");
+            rc = -5;
+            break;
+        }
+        sws = sws_getContext(width, height, AV_PIX_FMT_RGB24, width, height,
+                             AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
+                             nullptr);
+        yuv = av_frame_alloc();
+        yuv->format = AV_PIX_FMT_YUV420P;
+        yuv->width = width;
+        yuv->height = height;
+        av_frame_get_buffer(yuv, 0);
+        pkt = av_packet_alloc();
+
+        auto flush_packets = [&]() {
+            while (avcodec_receive_packet(ctx, pkt) == 0) {
+                av_packet_rescale_ts(pkt, ctx->time_base, stream->time_base);
+                pkt->stream_index = stream->index;
+                av_interleaved_write_frame(fmt, pkt);
+            }
+        };
+
+        size_t frame_bytes = static_cast<size_t>(width) * height * 3;
+        for (int i = 0; i < n_frames; ++i) {
+            const uint8_t* src[1] = {rgb + i * frame_bytes};
+            int src_linesize[1] = {width * 3};
+            av_frame_make_writable(yuv);
+            sws_scale(sws, src, src_linesize, 0, height, yuv->data, yuv->linesize);
+            yuv->pts = i;
+            avcodec_send_frame(ctx, yuv);
+            flush_packets();
+        }
+        avcodec_send_frame(ctx, nullptr);
+        flush_packets();
+        av_write_trailer(fmt);
+    } while (false);
+
+    if (pkt) av_packet_free(&pkt);
+    if (yuv) av_frame_free(&yuv);
+    if (sws) sws_freeContext(sws);
+    if (fmt && !(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb) avio_closep(&fmt->pb);
+    avcodec_free_context(&ctx);
+    avformat_free_context(fmt);
+    return rc;
+}
+
+}  // extern "C"

@@ -1,0 +1,263 @@
+"""Stream readers: multi-slot sequential decode with async double buffering.
+
+TPU-native re-design of the reference's ``PyNvSampleReader`` /
+``CreateSampleReader`` and ``PyNvBatchAsyncStreamReader``
+(``inc/PyNvSampleReader.hpp:42``, ``inc/PyNvBatchAsyncStreamReader.hpp:37``):
+
+* a fixed-size reader map with round-robin eviction
+  (``FixedSizeVideoReaderMap.hpp:27``) holds one decoder-state-continuous
+  stream reader per recently used file — sequential samplers decode forward
+  without re-seeking;
+* async variants keep at most ONE decode task in flight with a capacity-1
+  result slot, and ``GetBuffer`` validates that the request matches the
+  in-flight one (the reference's request-key contract,
+  ``PyNvSampleReader.hpp:159-165``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .native import get_lib, last_error
+
+
+class _StreamReader:
+    """One file's sequential reader (wraps the C engine's StreamReader)."""
+
+    def __init__(self, path: str):
+        lib = get_lib()
+        self._lib = lib
+        self._h = lib.avx_reader_open(path.encode())
+        if not self._h:
+            raise RuntimeError(f"Cannot open video '{path}': {last_error()}")
+        self.path = path
+        self.height = lib.avx_reader_height(self._h)
+        self.width = lib.avx_reader_width(self._h)
+        self.num_frames = lib.avx_reader_num_frames(self._h)
+
+    def read(self, frame_id: int, as_bgr: bool = False) -> np.ndarray:
+        out = np.empty((self.height, self.width, 3), np.uint8)
+        rc = self._lib.avx_reader_read(
+            self._h,
+            int(frame_id),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            int(as_bgr),
+        )
+        if rc != 0:
+            raise RuntimeError(
+                f"read frame {frame_id} of '{self.path}' failed: {last_error()}"
+            )
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.avx_reader_close(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class FixedSizeReaderMap:
+    """Fixed-slot reader cache with round-robin eviction (parity:
+    ``FixedSizeVideoReaderMap.hpp:27``)."""
+
+    def __init__(self, capacity: int):
+        self._capacity = capacity
+        self._readers = {}
+        self._order: List[str] = []
+        self._lock = threading.Lock()
+
+    def get(self, path: str) -> _StreamReader:
+        with self._lock:
+            if path in self._readers:
+                return self._readers[path]
+        reader = _StreamReader(path)
+        with self._lock:
+            if path in self._readers:  # raced
+                reader.close()
+                return self._readers[path]
+            self._readers[path] = reader
+            self._order.append(path)
+            while len(self._order) > self._capacity:
+                evict = self._order.pop(0)
+                self._readers.pop(evict).close()
+        return reader
+
+    def release(self):
+        with self._lock:
+            for r in self._readers.values():
+                r.close()
+            self._readers.clear()
+            self._order.clear()
+
+
+class SampleReader:
+    """Multi-slot stream reader: sync + async single-frame-per-file decode.
+
+    Parity: ``PyNvSampleReader`` (sync ``run_rgb_out``, async
+    ``DecodeN12ToRGBAsync`` / ``...GetBuffer`` with the single-in-flight
+    capacity-1 contract).
+    """
+
+    def __init__(self, max_readers: int = 8, num_workers: int = 4):
+        self._map = FixedSizeReaderMap(max_readers)
+        self._pool = ThreadPoolExecutor(
+            max_workers=num_workers, thread_name_prefix="accvlab-sreader"
+        )
+        self._inflight: Optional[Tuple[tuple, Future]] = None
+        self._lock = threading.Lock()
+
+    def _read_batch(self, paths, frame_ids, as_bgr):
+        futures = [
+            self._pool.submit(lambda p=p, f=f: self._map.get(p).read(f, as_bgr))
+            for p, f in zip(paths, frame_ids)
+        ]
+        return [f.result() for f in futures]
+
+    def run_rgb_out(
+        self, paths: Sequence[str], frame_ids: Sequence[int], as_bgr: bool = False
+    ) -> List[np.ndarray]:
+        """Synchronous batch read (parity: ``run_rgb_out``)."""
+        return self._read_batch(list(paths), list(frame_ids), as_bgr)
+
+    @staticmethod
+    def _request_key(paths, frame_ids, as_bgr):
+        return (tuple(paths), tuple(int(f) for f in frame_ids), bool(as_bgr))
+
+    def DecodeAsync(
+        self, paths: Sequence[str], frame_ids: Sequence[int], as_bgr: bool = False
+    ):
+        """Start an async batch read; at most one request may be in flight
+        (parity: ``DecodeN12ToRGBAsync``)."""
+        key = self._request_key(paths, frame_ids, as_bgr)
+        with self._lock:
+            if self._inflight is not None:
+                raise RuntimeError(
+                    "A decode request is already in flight; call GetBuffer first."
+                )
+            future = self._pool.submit(
+                self._read_batch, list(paths), list(frame_ids), as_bgr
+            )
+            self._inflight = (key, future)
+
+    def GetBuffer(
+        self, paths: Sequence[str], frame_ids: Sequence[int], as_bgr: bool = False
+    ) -> List[np.ndarray]:
+        """Block for the in-flight request; the arguments must match it
+        (parity: request-mismatch validation, ``PyNvSampleReader.hpp:159``)."""
+        key = self._request_key(paths, frame_ids, as_bgr)
+        with self._lock:
+            if self._inflight is None:
+                raise RuntimeError("No decode request in flight; call DecodeAsync first.")
+            inflight_key, future = self._inflight
+        if inflight_key != key:
+            raise RuntimeError(
+                "GetBuffer request does not match the in-flight Decode request."
+            )
+        try:
+            return future.result()
+        finally:
+            with self._lock:
+                self._inflight = None
+
+    def ReleaseResources(self):
+        self._map.release()
+
+
+class BatchAsyncStreamReader:
+    """Async V x F 2-D batch decode with the single-in-flight contract.
+
+    Parity: ``PyNvBatchAsyncStreamReader`` — ``Decode(paths[V],
+    frame_ids[V][F])`` enqueues; ``GetBuffer`` blocks, validates the request,
+    and returns ``List[List[frame]]`` (per video, per frame).
+    """
+
+    def __init__(self, max_readers: int = 8, num_workers: int = 4):
+        self._map = FixedSizeReaderMap(max_readers)
+        self._pool = ThreadPoolExecutor(
+            max_workers=num_workers, thread_name_prefix="accvlab-breader"
+        )
+        self._inflight: Optional[Tuple[tuple, Future]] = None
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _request_key(paths, frame_ids, as_bgr):
+        return (
+            tuple(paths),
+            tuple(tuple(int(f) for f in row) for row in frame_ids),
+            bool(as_bgr),
+        )
+
+    def _decode_all(self, paths, frame_ids, as_bgr):
+        # one task per video: frames of one video decode sequentially
+        # (decoder-state continuity), videos decode in parallel
+        def per_video(path, ids):
+            reader = self._map.get(path)
+            return [reader.read(f, as_bgr) for f in ids]
+
+        futures = [
+            self._pool.submit(per_video, p, ids) for p, ids in zip(paths, frame_ids)
+        ]
+        return [f.result() for f in futures]
+
+    def Decode(
+        self,
+        paths: Sequence[str],
+        frame_ids: Sequence[Sequence[int]],
+        as_bgr: bool = False,
+    ):
+        """Enqueue an async V x F decode (parity: ``Decode``; at most one in
+        flight)."""
+        key = self._request_key(paths, frame_ids, as_bgr)
+        with self._lock:
+            if self._inflight is not None:
+                raise RuntimeError(
+                    "A decode request is already in flight; call GetBuffer first."
+                )
+            future = self._pool.submit(
+                self._decode_all, list(paths), [list(r) for r in frame_ids], as_bgr
+            )
+            self._inflight = (key, future)
+
+    def GetBuffer(
+        self,
+        paths: Sequence[str],
+        frame_ids: Sequence[Sequence[int]],
+        as_bgr: bool = False,
+    ) -> List[List[np.ndarray]]:
+        key = self._request_key(paths, frame_ids, as_bgr)
+        with self._lock:
+            if self._inflight is None:
+                raise RuntimeError("No decode request in flight; call Decode first.")
+            inflight_key, future = self._inflight
+        if inflight_key != key:
+            raise RuntimeError(
+                "GetBuffer request does not match the in-flight Decode request."
+            )
+        try:
+            return future.result()
+        finally:
+            with self._lock:
+                self._inflight = None
+
+    def ReleaseResources(self):
+        self._map.release()
+
+
+def CreateSampleReader(max_readers: int = 8, num_workers: int = 4, **_parity_kwargs):
+    """Factory (parity: reference ``CreateSampleReader``)."""
+    return SampleReader(max_readers=max_readers, num_workers=num_workers)
+
+
+def CreateBatchAsyncStreamReader(max_readers: int = 8, num_workers: int = 4, **_parity_kwargs):
+    """Factory (parity: reference ``PyNvBatchAsyncStreamReader`` creation)."""
+    return BatchAsyncStreamReader(max_readers=max_readers, num_workers=num_workers)

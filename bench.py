@@ -85,7 +85,7 @@ def build_dataset(num_samples=256, num_unique=16, hw=(372, 1024), num_cams=6, ma
     return Provider()
 
 
-def build_pipeline(batch_size=8, num_threads=8, out_hw=(256, 704), heatmap_hw=(64, 176)):
+def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw=(64, 176)):
     from accvlab_tpu.pipeline import PipelineDefinition
     from accvlab_tpu.pipeline.inputs import ShuffledShardedInputCallable
     from accvlab_tpu.pipeline.processing_steps import (
@@ -97,6 +97,11 @@ def build_pipeline(batch_size=8, num_threads=8, out_hw=(256, 704), heatmap_hw=(6
         TensorSizeAdder,
     )
 
+    import os
+
+    if num_threads is None:
+        # single-core CI hosts: avoid GIL thrash; real hosts: scale with cores
+        num_threads = max(2, (os.cpu_count() or 4))
     provider = build_dataset()
     inp = ShuffledShardedInputCallable(provider, batch_size=batch_size, shuffle=True)
     steps = [
