@@ -334,14 +334,25 @@ def draw_heatmap_batched(
 
     if impl == "xla":
         def per_sample(hm, xs, ys, rr, lab, n):
-            valid = jnp.arange(rr.shape[0]) < n
-
-            def per_class(hm_c, c):
-                return _draw_dense(
-                    hm_c, xs, ys, rr, valid & (lab == c), diameter_to_sigma_factor, k_scale
-                )
-
-            return jax.vmap(per_class)(hm, jnp.arange(num_classes))
+            # (T, H, W) contributions once, then a deterministic scatter-max
+            # into class channels (O(T*H*W), not O(T*C*H*W))
+            t = rr.shape[0]
+            h, w = hm.shape[1], hm.shape[2]
+            valid = jnp.arange(t) < n
+            rows = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+            cols = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+            dy = rows - ys[:, None, None]
+            dx = cols - xs[:, None, None]
+            r = rr[:, None, None]
+            inbox = (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r) & valid[:, None, None]
+            var = _gauss_params(rr.astype(jnp.float32), diameter_to_sigma_factor)[
+                :, None, None
+            ]
+            g = jnp.exp(-(dy * dy + dx * dx).astype(jnp.float32) / var) * k_scale
+            contrib = jnp.where(inbox, g, -jnp.inf)
+            safe_lab = jnp.clip(lab, 0, num_classes - 1)
+            drawn = jax.ops.segment_max(contrib, safe_lab, num_segments=num_classes)
+            return jnp.maximum(hm, drawn)
 
         return jax.vmap(per_sample)(
             heatmap, centers_t[:, :, 0], centers_t[:, :, 1], radii_t, labels_t, nums

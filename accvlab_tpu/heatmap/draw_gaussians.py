@@ -73,9 +73,18 @@ def draw_gaussians(
         -(dy * dy + dx * dx).astype(np.float32) * inv[:, None, None]
     )
     contrib = xp.where(inbox, val, -np.inf)  # (T, H, W)
-    # per-channel max over the targets belonging to that channel
-    chan_match = safe_ids[:, None] == xp.arange(c, dtype=np.int32)[None, :]  # (T, C)
-    contrib_c = xp.where(chan_match[:, :, None, None], contrib[:, None], -np.inf)
-    drawn = xp.max(contrib_c, axis=0, initial=-np.inf)  # (C, H, W)
+    if xp is np:
+        chan_match = safe_ids[:, None] == np.arange(c, dtype=np.int32)[None, :]
+        contrib_c = np.where(chan_match[:, :, None, None], contrib[:, None], -np.inf)
+        drawn = np.max(contrib_c, axis=0, initial=-np.inf)
+    else:
+        # scatter-max per channel: O(T*H*W) instead of O(T*C*H*W), and XLA
+        # scatter-max is deterministic on TPU (same guarantee the reference
+        # gets from atomicMax being order-independent)
+        import jax
+
+        drawn = jax.ops.segment_max(
+            contrib, safe_ids, num_segments=c, indices_are_sorted=False
+        )  # (C, H, W); empty channels -> -inf
     out = xp.maximum(heatmap, drawn)
     return out[0] if squeeze else out

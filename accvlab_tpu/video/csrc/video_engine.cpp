@@ -65,6 +65,10 @@ thread_local std::string g_error;
 
 void set_error(const std::string& msg) { g_error = msg; }
 
+struct QuietLogs {
+    QuietLogs() { av_log_set_level(AV_LOG_ERROR); }
+} g_quiet_logs;  // codec chatter off by default (AV_LOG_ERROR)
+
 // ------------------------------------------------------------------ //
 // Demuxer + frame index                                              //
 // ------------------------------------------------------------------ //
