@@ -21,6 +21,7 @@ hardware decoder; SURVEY §7.5 / BASELINE.json north star). Same API surface:
 
 from .decoder import CachedGopDecoder, CreateGopDecoder, GopDecoder
 from .encode import write_video
+from .gop_storage import GOPStorageManager
 from .gop_store import SharedGopStore
 from .readers import (
     BatchAsyncStreamReader,
@@ -41,6 +42,7 @@ __all__ = [
     "CreateSampleReader",
     "DropCacheStatus",
     "FixedSizeReaderMap",
+    "GOPStorageManager",
     "GopDecoder",
     "GopRef",
     "SampleReader",
