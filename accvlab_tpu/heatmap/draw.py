@@ -185,6 +185,66 @@ def _pallas_draw(heatmap, params, counts, select_grid: bool, factor, k_scale, in
 
 
 # ---------------------------------------------------------------------- #
+# Optimized batched kernel (one grid step, in-kernel sample loop)        #
+# ---------------------------------------------------------------------- #
+#
+# Loop iterations are far cheaper than grid steps on TPU; processing all
+# samples inside one grid step with (T, P) 2-D vector math measured 0.185 ms
+# for the reference's 48x20x50/T=50 benchmark vs 0.30 ms for the per-sample
+# grid kernel and 0.24 ms for the fused-XLA path (docs/performance.md).
+# Invalid targets are pre-masked with radius -1 (inbox never true), and the
+# inverse variance is precomputed on the host side of the trace.
+
+
+def _batched_kernel(xs_ref, ys_ref, rr_ref, iv_ref, hm_ref, out_ref, *, width, k_scale):
+    num_samples = out_ref.shape[0]
+    p = out_ref.shape[2]
+    pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    py = (pid // width).astype(jnp.float32)
+    px = (pid % width).astype(jnp.float32)
+
+    def body(s, _):
+        xs = xs_ref[s]
+        ys = ys_ref[s]
+        rr = rr_ref[s]
+        iv = iv_ref[s]
+        dy = py - ys
+        dx = px - xs
+        inbox = (jnp.abs(dy) <= rr) & (jnp.abs(dx) <= rr)
+        g = jnp.exp(-(dy * dy + dx * dx) * iv) * k_scale
+        contrib = jnp.where(inbox, g, -jnp.inf)
+        drawn = jnp.max(contrib, axis=0, keepdims=True)
+        out_ref[s] = jnp.maximum(hm_ref[s], drawn)
+        return 0
+
+    jax.lax.fori_loop(0, num_samples, body, 0)
+
+
+def _pallas_draw_batched(heatmap, centers_t, radii_t, nums, factor, k_scale, interpret):
+    b, h, w = heatmap.shape
+    t = radii_t.shape[1]
+    valid = jnp.arange(t, dtype=jnp.int32)[None, :] < nums[:, None]
+    radii_f = radii_t.astype(jnp.float32)
+    rr_masked = jnp.where(valid, radii_f, -1.0)[:, :, None]
+    sigma = (2.0 * radii_f + 1.0) / factor
+    inv_var = (1.0 / (2.0 * sigma * sigma))[:, :, None]
+    xs = centers_t[:, :, 0].astype(jnp.float32)[:, :, None]
+    ys = centers_t[:, :, 1].astype(jnp.float32)[:, :, None]
+    hm_flat = heatmap.reshape(b, 1, h * w)
+    kernel = functools.partial(_batched_kernel, width=w, k_scale=k_scale)
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((b, t, 1), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec((b, 1, h * w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((b, 1, h * w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, h * w), heatmap.dtype),
+        interpret=interpret,
+    )(xs, ys, rr_masked, inv_var, hm_flat)
+    return out.reshape(b, h, w)
+
+
+# ---------------------------------------------------------------------- #
 # Public API                                                             #
 # ---------------------------------------------------------------------- #
 
@@ -310,14 +370,11 @@ def draw_heatmap_batched(
                     k_scale,
                 )
             )(heatmap, centers_t[:, :, 0], centers_t[:, :, 1], radii_t, nums)
-        params = _pack_params(
-            centers_t[:, :, 0], centers_t[:, :, 1], radii_t, jnp.zeros_like(radii_t)
-        )
-        return _pallas_draw(
+        return _pallas_draw_batched(
             heatmap,
-            params,
-            nums[:, None, None],
-            False,
+            centers_t,
+            radii_t,
+            nums,
             diameter_to_sigma_factor,
             k_scale,
             interpret=not _on_tpu(),
