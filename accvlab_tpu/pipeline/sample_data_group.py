@@ -442,6 +442,15 @@ class SampleDataGroup:
     # Alias for call sites written against the reference name.
     set_data_from_dali_generic_iterator_output = set_data_from_iterator_output
 
+    def get_like_self_filled_from_iterator_output(
+        self, data: List[Dict[str, Any]], index: int
+    ) -> "SampleDataGroup":
+        """Blueprint copy filled from a name-keyed iterator batch (parity:
+        reference ``get_like_self_filled_from_iterator_output``)."""
+        res = self.get_empty_like_self()
+        res.set_data_from_iterator_output(data, index)
+        return res
+
     # ------------------------------------------------------------------ #
     # Format editing                                                     #
     # ------------------------------------------------------------------ #

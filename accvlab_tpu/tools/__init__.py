@@ -3,6 +3,13 @@
 TPU-native equivalent of ACCV-Lab's ``accvlab.optim_test_tools``:
 Stopwatch (iteration profiler), TraceRangeWrapper (profiler ranges; NVTX
 equivalent), TensorDumper (dump & compare harness).
+
+Note on the reference's ``numba_nvtx`` component (NVTX ranges callable from
+inside ``@njit`` DALI operators via llvmlite symbol registration): the
+TPU-native pipeline has no numba layer — the numba operators became jnp
+functions that trace into the fused device program, where
+``jax.profiler``/``jax.named_scope`` annotations cover them. Host-side
+per-sample code is ordinary Python, covered by :class:`TraceRangeWrapper`.
 """
 
 from .singleton_base import SingletonBase

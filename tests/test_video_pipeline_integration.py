@@ -1,0 +1,89 @@
+"""Video -> pipeline integration: a DataProvider backed by the GOP decoder
+feeding the full preprocessing pipeline (the reference's video-training
+workflow, SURVEY §3.3, wired through our framework)."""
+
+import numpy as np
+import pytest
+
+from accvlab_tpu.pipeline import DType, PipelineDefinition, SampleDataGroup
+from accvlab_tpu.pipeline.inputs import DataProvider, SamplerInputCallable, SequenceSampler
+from accvlab_tpu.pipeline.processing_steps import ImageRange01Normalizer
+from accvlab_tpu.video import CreateSampleReader, write_video
+from accvlab_tpu.video.encode import make_moving_shape_frames
+
+
+@pytest.fixture(scope="module")
+def clips(tmp_path_factory):
+    base = tmp_path_factory.mktemp("vclips")
+    paths, frames = [], []
+    for i in range(3):
+        f = make_moving_shape_frames(40, hw=(64, 96), seed=i)
+        p = str(base / f"c{i}.mp4")
+        write_video(p, f, gop_size=10)
+        paths.append(p)
+        frames.append(f)
+    return paths, frames
+
+
+class VideoFrameProvider(DataProvider):
+    """Random-access dataset over video frames: index -> decoded RGB frame.
+
+    Lazy per-process reader init (the reference's lazy per-worker decoder
+    pattern, examples/dataloader_stream_decode/main.py:136-268)."""
+
+    def __init__(self, paths, frames_per_clip):
+        self._paths = paths
+        self._fpc = frames_per_clip
+        self._reader = None
+
+    @property
+    def sample_data_structure(self):
+        sdg = SampleDataGroup()
+        sdg.add_data_field("image", DType.UINT8)
+        sdg.add_data_field("frame_id", DType.INT32)
+        return sdg
+
+    def get_number_of_samples(self):
+        return len(self._paths) * self._fpc
+
+    def get_data(self, sample_index):
+        if self._reader is None:
+            self._reader = CreateSampleReader(max_readers=4)
+        clip, frame = divmod(sample_index, self._fpc)
+        rgb = self._reader.run_rgb_out([self._paths[clip]], [frame])[0]
+        sdg = self.sample_data_structure
+        sdg["image"] = rgb
+        sdg["frame_id"] = sample_index
+        return sdg
+
+
+def test_video_frames_through_pipeline(clips):
+    paths, frames = clips
+    provider = VideoFrameProvider(paths, 40)
+    sampler = SequenceSampler(total_batch_size=2, sequence_lengths=[40] * 3, seed=0)
+    inp = SamplerInputCallable(
+        provider, sampler, max_num_iterations=4, pre_fetch_queue_length=2
+    )
+    definition = PipelineDefinition(
+        inp,
+        [ImageRange01Normalizer("image")],
+        check_data_format=False,
+        copy_external_source_passthrough_outputs=False,
+    )
+    pipe = definition.get_pipeline(batch_size=2, num_threads=2, seed=0)
+    batches = [pipe.run() for _ in range(3)]
+    pipe.stop()
+
+    for batch in batches:
+        img = np.asarray(batch["image"])
+        assert img.shape == (2, 64, 96, 3)
+        assert img.dtype == np.float32
+        assert img.max() <= 1.0
+    # sequence sampler: each slot advances temporally within one clip
+    ids0 = [int(np.asarray(b["frame_id"])[0]) for b in batches]
+    assert ids0[1] == ids0[0] + 1 and ids0[2] == ids0[1] + 1
+    # content sanity: decoded frame matches the encoded source frame
+    b0 = np.asarray(batches[0]["image"])[0] * 255
+    sid = ids0[0]
+    clip, frame = divmod(sid, 40)
+    assert np.abs(b0.astype(np.int32) - frames[clip][frame].astype(np.int32)).mean() < 24
