@@ -1,0 +1,102 @@
+"""Video robustness tests (model: reference pixel-format variants,
+resource-free lifecycle, context-safety-across-threads tests)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from accvlab_tpu.video import CreateSampleReader, GopDecoder, write_video
+from accvlab_tpu.video.encode import make_moving_shape_frames
+
+
+@pytest.fixture(scope="module")
+def h264_clip(tmp_path_factory):
+    base = tmp_path_factory.mktemp("rb")
+    frames = make_moving_shape_frames(45, hw=(64, 96), seed=3)
+    path = str(base / "clip264.mp4")
+    write_video(path, frames, gop_size=15, codec="libx264")
+    return path, frames
+
+
+def test_hevc_roundtrip(tmp_path):
+    frames = make_moving_shape_frames(30, hw=(64, 96), seed=1)
+    path = str(tmp_path / "clip265.mp4")
+    try:
+        write_video(path, frames, gop_size=10, codec="libx265")
+    except RuntimeError as e:
+        pytest.skip(f"libx265 encoder unavailable: {e}")
+    dec = GopDecoder()
+    out = dec.Decode([path], [17])
+    diff = np.abs(out[0].astype(np.int32) - frames[17].astype(np.int32)).mean()
+    assert diff < 24
+
+
+def test_concurrent_decode_threads(h264_clip):
+    """Parity intent: reference test_cuda_context_safty.py — concurrent use
+    from multiple threads must be safe."""
+    path, frames = h264_clip
+    dec = GopDecoder(num_workers=4)
+    errors = []
+
+    def worker(fid):
+        try:
+            out = dec.Decode([path], [fid])
+            diff = np.abs(out[0].astype(np.int32) - frames[fid].astype(np.int32)).mean()
+            assert diff < 24
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(fid,)) for fid in [3, 17, 31, 40] * 2]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+
+
+def test_resource_free_and_realloc(h264_clip):
+    """Parity intent: reference test_stream_resource_free.py — release all
+    resources, then continue using the object."""
+    path, frames = h264_clip
+    reader = CreateSampleReader(max_readers=2)
+    out1 = reader.run_rgb_out([path], [5])
+    reader.ReleaseResources()
+    out2 = reader.run_rgb_out([path], [6])  # re-allocates readers transparently
+    assert np.abs(out2[0].astype(np.int32) - frames[6].astype(np.int32)).mean() < 24
+    reader.ReleaseResources()
+
+
+def test_reader_map_round_robin_eviction(tmp_path):
+    from accvlab_tpu.video.readers import FixedSizeReaderMap
+
+    paths = []
+    for i in range(3):
+        frames = make_moving_shape_frames(10, hw=(48, 64), seed=i)
+        p = str(tmp_path / f"e{i}.mp4")
+        write_video(p, frames, gop_size=5)
+        paths.append(p)
+    m = FixedSizeReaderMap(capacity=2)
+    r0 = m.get(paths[0])
+    r1 = m.get(paths[1])
+    r2 = m.get(paths[2])  # evicts paths[0]
+    assert m.get(paths[1]) is r1
+    assert m.get(paths[2]) is r2
+    r0b = m.get(paths[0])  # re-opened
+    assert r0b is not r0
+    m.release()
+
+
+def test_nonexistent_file_raises():
+    dec = GopDecoder()
+    with pytest.raises(RuntimeError):
+        dec.Decode(["/nonexistent/clip.mp4"], [0])
+
+
+def test_corrupt_file_raises(tmp_path):
+    """Parity intent: reference test_corrupt_gop_demux.py."""
+    bad = tmp_path / "garbage.mp4"
+    bad.write_bytes(b"\x00\x01\x02definitely-not-a-video" * 100)
+    dec = GopDecoder()
+    with pytest.raises(RuntimeError):
+        dec.Decode([str(bad)], [0])
