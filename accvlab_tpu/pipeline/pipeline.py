@@ -118,9 +118,15 @@ class PipelineDefinition:
         device=None,
         seed: int = 0,
         prefetch_queue_depth: Optional[int] = None,
+        worker_mode: str = "thread",
     ) -> "TPUPipeline":
         """Build the executable pipeline (parity: ``get_dali_pipeline``,
-        ``pipeline.py:180``)."""
+        ``pipeline.py:180``).
+
+        ``worker_mode``: "thread" (default; host steps that release the GIL)
+        or "process" (spawned workers, DALI parallel-external-source
+        equivalent — requires the input callable and host steps to pickle).
+        """
         return TPUPipeline(
             self,
             batch_size=batch_size,
@@ -134,6 +140,7 @@ class PipelineDefinition:
             ),
             parallel=self._use_parallel,
             check_data_format=self._check_data_format,
+            worker_mode=worker_mode,
         )
 
     # API-compat alias for call sites written against the reference name.
@@ -158,7 +165,12 @@ class TPUPipeline:
         prefetch_queue_depth: int,
         parallel: bool,
         check_data_format: bool,
+        worker_mode: str = "thread",
     ):
+        assert worker_mode in ("thread", "process")
+        self._worker_mode = worker_mode
+        self._num_threads = num_threads
+        self._workers = None  # lazy ProcessSampleWorkers
         self._definition = definition
         self._batch_size = batch_size
         self._device = device
@@ -239,7 +251,27 @@ class TPUPipeline:
         """Run input + host steps for one batch. Returns per-field stacked
         numpy arrays (or raises StopIteration at epoch end)."""
         is_callable = isinstance(self._definition._input, CallableBase)
-        if is_callable:
+        if is_callable and self._worker_mode == "process":
+            from .worker_pool import ProcessSampleWorkers
+
+            if self._workers is None:
+                self._workers = ProcessSampleWorkers(
+                    self._num_threads,
+                    self._definition._input,
+                    self._host_steps,
+                    self._input_blueprint,
+                    self._check,
+                    self._seed,
+                )
+            flats = self._workers.produce_batch(
+                self._batch_size, self._iteration, self._epoch
+            )  # raises StopIteration at epoch end
+            samples = []
+            for flat in flats:
+                sdg = self._host_out_blueprint.get_empty_like_self()
+                sdg.set_data(flat)
+                samples.append(sdg)
+        elif is_callable:
             if self._parallel and self._pool is not None:
                 # load + run host steps per sample fully inside the workers
                 # (JPEG decode etc. release the GIL)
@@ -427,6 +459,9 @@ class TPUPipeline:
             self._producer.join(timeout=5.0)
         if self._pool is not None:
             self._pool.shutdown(wait=False)
+        if self._workers is not None:
+            self._workers.shutdown()
+            self._workers = None
 
     @property
     def output_blueprint(self) -> SampleDataGroup:

@@ -1,0 +1,90 @@
+"""Process-based sample workers for the pipeline executor.
+
+Equivalent of DALI's parallel external source worker processes
+(``pipeline.py:246-254`` in the reference: ``parallel=True`` +
+``prefetch_queue_depth``): the input callable and the host-placed steps run
+in spawned worker processes, sidestepping the GIL for host stages that are
+pure-Python-bound. Thread workers (the default) are cheaper and sufficient
+when the host stage releases the GIL (JPEG/video decode via C libraries).
+
+The callable and host steps are pickled once at pool start (spawn), mirroring
+DALI's requirement that external-source callables be picklable.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+from typing import Any, List, Optional
+
+import numpy as np
+
+# worker-process globals (set by the initializer)
+_W_INPUT = None
+_W_STEPS = None
+_W_INPUT_BLUEPRINT = None
+_W_CHECK = False
+_W_SEED = 0
+
+
+def _init_worker(input_callable, host_steps, input_blueprint, check, seed):
+    global _W_INPUT, _W_STEPS, _W_INPUT_BLUEPRINT, _W_CHECK, _W_SEED
+    _W_INPUT = input_callable
+    _W_STEPS = host_steps
+    _W_INPUT_BLUEPRINT = input_blueprint
+    _W_CHECK = check
+    _W_SEED = seed
+
+
+def _worker_process_sample(args):
+    """Load one sample and run the per-sample host steps; returns the flat
+    numpy leaf list (or the string 'EPOCH_END')."""
+    from .inputs.base import SampleInfo
+    from .random_context import HostRandomContext
+
+    idx_in_batch, iteration, epoch, batch_size = args
+    info = SampleInfo(
+        idx_in_epoch=iteration * batch_size + idx_in_batch,
+        idx_in_batch=idx_in_batch,
+        iteration=iteration,
+        epoch_idx=epoch,
+    )
+    try:
+        flat = _W_INPUT(info)
+    except StopIteration:
+        return "EPOCH_END"
+    sdg = _W_INPUT_BLUEPRINT.get_empty_like_self()
+    sdg.set_data(list(flat))
+    if _W_STEPS:
+        rng = HostRandomContext(
+            np.random.default_rng((_W_SEED, epoch, iteration, idx_in_batch))
+        )
+        for step in _W_STEPS:
+            if step.is_batch_level:
+                continue
+            step.set_random_context(rng)
+            sdg = step(sdg) if _W_CHECK else step._process(sdg)
+    return [np.asarray(v) for v in sdg.get_data()]
+
+
+class ProcessSampleWorkers:
+    """Spawned worker pool running input-callable + host steps per sample."""
+
+    def __init__(self, num_workers, input_callable, host_steps, input_blueprint, check, seed):
+        ctx = mp.get_context("spawn")
+        self._pool = ctx.Pool(
+            processes=num_workers,
+            initializer=_init_worker,
+            initargs=(input_callable, host_steps, input_blueprint, check, seed),
+        )
+
+    def produce_batch(self, batch_size: int, iteration: int, epoch: int):
+        """Returns a list of flat-leaf lists, or raises StopIteration."""
+        args = [(i, iteration, epoch, batch_size) for i in range(batch_size)]
+        results = self._pool.map(_worker_process_sample, args)
+        if any(isinstance(r, str) and r == "EPOCH_END" for r in results):
+            raise StopIteration
+        return results
+
+    def shutdown(self):
+        self._pool.terminate()
+        self._pool.join()
