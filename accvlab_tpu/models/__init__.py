@@ -8,5 +8,13 @@ loss (ragged masked reductions) exercise every accvlab_tpu layer.
 """
 
 from .centernet import CenterNetDetector, centernet_loss, make_train_step
+from .petr import PETRDetector, make_petr_train_step, petr_loss
 
-__all__ = ["CenterNetDetector", "centernet_loss", "make_train_step"]
+__all__ = [
+    "CenterNetDetector",
+    "PETRDetector",
+    "centernet_loss",
+    "make_petr_train_step",
+    "make_train_step",
+    "petr_loss",
+]

@@ -88,3 +88,23 @@ def test_centernet_loss_masks_padded_objects():
     }
     losses = centernet_loss(outputs, targets)
     assert float(losses["offset_loss"]) == pytest.approx(0.0, abs=1e-5)
+
+
+def test_petr_forward_and_train_step():
+    from accvlab_tpu.models.petr import (
+        PETRDetector,
+        make_petr_example_batch,
+        make_petr_train_step,
+    )
+
+    model = PETRDetector(num_queries=32, num_classes=6, dim=32, num_layers=2)
+    batch = make_petr_example_batch(batch_size=2, num_classes=6)
+    init_fn, train_step = make_petr_train_step(model)
+    params, opt_state = init_fn(jax.random.PRNGKey(0), batch["images"])
+    out = model.apply(params, batch["images"])
+    assert out["boxes3d"].shape == (2, 32, 7)
+    step = jax.jit(train_step)
+    p1, o1, m1 = step(params, opt_state, batch)
+    assert np.isfinite(float(m1["loss"]))
+    p2, o2, m2 = step(p1, o1, batch)
+    assert np.isfinite(float(m2["loss"]))
