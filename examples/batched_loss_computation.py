@@ -186,7 +186,9 @@ def per_sample_loss_loop(data, matches_gt, matches_pred):
 
 def make_data(batch_size=8, max_gt=48, num_pred=300, num_classes=10, seed=0):
     rng = np.random.default_rng(seed)
-    sizes = rng.integers(8, max_gt + 1, (batch_size,)).astype(np.int32)
+    # sizes quantized to a few buckets: the per-sample baseline jit-compiles
+    # one program per distinct size (the cost SURVEY §5.7 warns about)
+    sizes = rng.choice([16, 32, 48], size=(batch_size,)).astype(np.int32)
     mk = lambda x: RaggedBatch(jnp.asarray(x), sample_sizes=jnp.asarray(sizes))
     xy = rng.uniform(0, 500, (batch_size, max_gt, 2))
     wh = rng.uniform(20, 120, (batch_size, max_gt, 2))

@@ -108,3 +108,33 @@ def test_petr_forward_and_train_step():
     assert np.isfinite(float(m1["loss"]))
     p2, o2, m2 = step(p1, o1, batch)
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_checkpoint_save_restore(tmp_path):
+    from accvlab_tpu.models.centernet import (
+        CenterNetDetector,
+        make_example_batch,
+        make_train_step,
+    )
+    from accvlab_tpu.models.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model = CenterNetDetector(num_classes=4, width=8)
+    batch = make_example_batch(batch_size=2, hw=(32, 32), num_classes=4)
+    init_fn, train_step = make_train_step(model)
+    params, opt_state = init_fn(jax.random.PRNGKey(0), batch["images"])
+    p1, o1, _ = jax.jit(train_step)(params, opt_state, batch)
+
+    path = save_checkpoint(
+        str(tmp_path), 1, p1, o1, {"seed": 0, "epoch": 0, "iteration": 1}
+    )
+    assert latest_checkpoint(str(tmp_path)) == path
+    rp, ro, meta = restore_checkpoint(path, {"params": p1, "opt_state": o1,
+                                             "meta": {"step": 0, "pipeline": {}}})
+    assert meta["step"] == 1
+    l0 = jax.tree_util.tree_leaves(p1)[0]
+    r0 = jax.tree_util.tree_leaves(rp)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(r0))
