@@ -34,10 +34,19 @@ class ImageDecoder(PipelineStepBase):
         use_device_mixed: bool = False,
         hw_decoder_load: float = 0.65,
         as_bgr: bool = False,
+        decode_scale_hint_hw=None,
     ):
+        """``decode_scale_hint_hw``: optional (height, width) target. When the
+        pipeline immediately resizes below the source resolution, libjpeg's
+        DCT-domain scaling decodes directly at the nearest >= scale (2-4x
+        faster on the host) — the same decode-resize fusion DALI's decoder
+        offers on GPU. Downstream geometry must use the ORIGINAL image size
+        (e.g. an `image_hw` metadata field), since the decoded array's pixel
+        dimensions shrink."""
         super().__init__()
         self._image_name = image_name
         self._as_bgr = as_bgr
+        self._scale_hint = tuple(decode_scale_hint_hw) if decode_scale_hint_hw else None
         del use_device_mixed, hw_decoder_load  # no NVJPEG on TPU hosts
 
     def _process(self, data: SampleDataGroup) -> SampleDataGroup:
@@ -46,6 +55,8 @@ class ImageDecoder(PipelineStepBase):
         for ip in data.find_all_occurrences(self._image_name):
             encoded = np.asarray(data.get_item_in_path(ip), dtype=np.uint8)
             img = Image.open(io.BytesIO(encoded.tobytes()))
+            if self._scale_hint is not None:
+                img.draft("RGB", (self._scale_hint[1], self._scale_hint[0]))
             decoded = np.asarray(img.convert("RGB"), dtype=np.uint8)
             if self._as_bgr:
                 decoded = decoded[..., ::-1]

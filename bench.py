@@ -52,6 +52,7 @@ def build_dataset(num_samples=256, num_unique=16, hw=(372, 1024), num_cams=6, ma
         def sample_data_structure(self):
             cam = SampleDataGroup()
             cam.add_data_field("image", DType.UINT8)
+            cam.add_data_field("image_hw", DType.INT32)  # original size (metadata)
             ann = SampleDataGroup()
             ann.add_data_field("bboxes", DType.FLOAT)
             ann.add_data_field("categories", DType.INT32)
@@ -67,6 +68,7 @@ def build_dataset(num_samples=256, num_unique=16, hw=(372, 1024), num_cams=6, ma
             for c in range(num_cams):
                 cam = sdg["cameras"][c]
                 cam["image"] = jpegs[(sample_index * num_cams + c) % len(jpegs)]
+                cam["image_hw"] = np.asarray(hw, np.int32)
                 x1 = srng.uniform(0, hw[1] - 40, (n_obj,))
                 y1 = srng.uniform(0, hw[0] - 40, (n_obj,))
                 bw = srng.uniform(10, 200, (n_obj,))
@@ -94,7 +96,6 @@ def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw
         ImageDecoder,
         ImageMeanStdDevNormalizer,
         PhotoMetricDistorter,
-        TensorSizeAdder,
     )
 
     import os
@@ -105,8 +106,10 @@ def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw
     provider = build_dataset()
     inp = ShuffledShardedInputCallable(provider, batch_size=batch_size, shuffle=True)
     steps = [
-        ImageDecoder("image"),
-        TensorSizeAdder("image", "_hw"),
+        # decode-resize fusion: libjpeg DCT scaling decodes directly near the
+        # output size (the host-side analog of DALI's fused GPU decode+resize);
+        # geometry (bboxes -> heatmap) keys off the original-size metadata field
+        ImageDecoder("image", decode_scale_hint_hw=out_hw),
         AffineTransformer(
             output_hw=out_hw,
             resizing_mode=AffineTransformer.ResizingMode.STRETCH,
