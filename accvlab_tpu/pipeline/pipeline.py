@@ -119,6 +119,7 @@ class PipelineDefinition:
         seed: int = 0,
         prefetch_queue_depth: Optional[int] = None,
         worker_mode: str = "thread",
+        mesh=None,
     ) -> "TPUPipeline":
         """Build the executable pipeline (parity: ``get_dali_pipeline``,
         ``pipeline.py:180``).
@@ -141,6 +142,7 @@ class PipelineDefinition:
             parallel=self._use_parallel,
             check_data_format=self._check_data_format,
             worker_mode=worker_mode,
+            mesh=mesh,
         )
 
     # API-compat alias for call sites written against the reference name.
@@ -166,8 +168,10 @@ class TPUPipeline:
         parallel: bool,
         check_data_format: bool,
         worker_mode: str = "thread",
+        mesh=None,
     ):
         assert worker_mode in ("thread", "process")
+        self._mesh = mesh  # optional jax.sharding.Mesh: shard batches over 'data'
         self._worker_mode = worker_mode
         self._num_threads = num_threads
         self._workers = None  # lazy ProcessSampleWorkers
@@ -367,18 +371,35 @@ class TPUPipeline:
 
         return jax.jit(device_fn)
 
+    def _transfer(self, host_batch: tuple):
+        """Host->device placement: packed multi-tensor transfer (hostcopy
+        engine) on a single device, or data-axis sharded placement when a
+        mesh is configured."""
+        import jax
+
+        if self._mesh is not None:
+            from ..parallel import shard_batch
+
+            return tuple(shard_batch(list(host_batch), self._mesh))
+        from ..hostcopy import start_copy
+
+        handle = start_copy(
+            list(host_batch), device=self._device, use_background_thread=False
+        )
+        return tuple(handle.get())
+
     def _run_device_stage(self, host_batch: tuple):
         import jax
 
-        if self._device is not None:
-            host_batch = jax.device_put(host_batch, self._device)
+        host_batch = self._transfer(host_batch)
         if not self._device_steps:
-            return jax.device_put(host_batch, self._device) if self._device else tuple(
-                map(jax.numpy.asarray, host_batch)
-            )
+            return host_batch
         if self._device_fn is None:
             self._device_fn = self._build_device_fn()
         key = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._global_batch)
+        if self._mesh is not None:
+            with self._mesh:
+                return self._device_fn(host_batch, key)
         return self._device_fn(host_batch, key)
 
     # ------------------------------------------------------------------ #

@@ -231,3 +231,28 @@ def test_format_check_catches_bad_step():
     with pytest.raises(AssertionError):
         pipe.run()
     pipe.stop()
+
+
+def test_pipeline_with_mesh_shards_batches():
+    from jax.sharding import PartitionSpec as P
+
+    from accvlab_tpu.parallel import make_mesh
+
+    provider = SyntheticProvider()
+    inp = ShuffledShardedInputCallable(provider, batch_size=8)
+    definition = PipelineDefinition(
+        inp,
+        [ImageDecoder("image"), ImageToTileSizePadder("image", 8),
+         ImageRange01Normalizer("image")],
+        check_data_format=False,
+        copy_external_source_passthrough_outputs=False,
+    )
+    mesh = make_mesh()
+    pipe = definition.get_pipeline(batch_size=8, num_threads=2, mesh=mesh)
+    try:
+        batch = pipe.run()
+        img = batch["image"]
+        assert img.shape[0] == 8
+        assert img.sharding.spec == P("data", None, None, None)
+    finally:
+        pipe.stop()
