@@ -80,10 +80,24 @@ class PaddingToUniform(BatchLevelStepBase):
         self,
         field_names: Optional[Union[Name, List[Name], Tuple[Name, ...]]] = None,
         fill_value: Union[int, float] = 0.0,
+        size_buckets: Optional[Sequence[int]] = None,
     ):
+        """``size_buckets``: optional ascending sizes; the per-batch maximum
+        of each padded dimension is rounded UP to the next bucket. This bounds
+        XLA recompilation (SURVEY §7 "static shapes vs raggedness"): without
+        buckets every new batch maximum is a new device-program shape."""
         super().__init__()
         self._field_names = as_name_list(field_names)
         self._fill_value = fill_value
+        self._size_buckets = sorted(size_buckets) if size_buckets else None
+
+    def _bucketed(self, size: int) -> int:
+        if self._size_buckets is None:
+            return size
+        for b in self._size_buckets:
+            if size <= b:
+                return b
+        return size  # beyond the largest bucket: exact (rare, recompiles)
 
     def _target_paths(self, sample: SampleDataGroup):
         if self._field_names is None:
@@ -119,7 +133,9 @@ class PaddingToUniform(BatchLevelStepBase):
             arrs = [np.atleast_1d(np.asarray(s.get_item_in_path(list(path)))) for s in samples]
             ndim = max(a.ndim for a in arrs)
             arrs = [a.reshape(a.shape + (1,) * (ndim - a.ndim)) for a in arrs]
-            target = tuple(max(a.shape[d] for a in arrs) for d in range(ndim))
+            target = tuple(
+                self._bucketed(max(a.shape[d] for a in arrs)) for d in range(ndim)
+            )
             for s, a in zip(samples, arrs):
                 pad = [(0, target[d] - a.shape[d]) for d in range(ndim)]
                 if any(p[1] for p in pad):

@@ -365,3 +365,23 @@ def test_wrapper_blueprint_inference():
     wrapper = DataGroupsWithNameAppliedStep(inner, "cam_a")
     bp = wrapper.check_input_data_format_and_set_output_data_format(root)
     assert bp["cam_a"].has_child("inside")
+
+
+def test_padding_to_uniform_with_size_buckets():
+    from accvlab_tpu.pipeline.processing_steps import PaddingToUniform
+
+    def mk(n):
+        s = SampleDataGroup()
+        s.add_data_field("boxes", DType.FLOAT)
+        s["boxes"] = np.ones((n, 4), np.float32)
+        return s
+
+    step = PaddingToUniform("boxes", fill_value=-1.0, size_buckets=[8, 16, 32])
+    out = step.process_batch_checked([mk(3), mk(5)], check=False)
+    # max 5 -> bucket 8 (second dim 4 -> bucket 8 as well: buckets apply per dim)
+    assert np.asarray(out[0]["boxes"]).shape == (8, 8)
+    assert np.asarray(out[0]["boxes"])[4, 0] == -1.0
+
+    step2 = PaddingToUniform("boxes", size_buckets=[64])
+    out2 = step2.process_batch_checked([mk(3)], check=False)
+    assert np.asarray(out2[0]["boxes"]).shape == (64, 64)
