@@ -292,10 +292,21 @@ def draw_heatmap(
 
         return jax.vmap(per_map)(jnp.arange(num_maps))
 
+    if _on_tpu():
+        # the per-heatmap tile kernel's (H, W) ref views need lane-aligned
+        # widths on real TPUs; the fused-XLA path is equally fast at flat
+        # sizes, so it is the TPU implementation of record
+        def per_map(n):
+            return _draw_dense(
+                heatmaps[n], centers[:, 0], centers[:, 1], radii,
+                heatmap_idxes == n, diameter_to_sigma_factor, k_scale,
+            )
+
+        return jax.vmap(per_map)(jnp.arange(num_maps))
     params = _pack_params(centers[:, 0], centers[:, 1], radii, heatmap_idxes).reshape(1, 1, t * 4)
     counts = jnp.full((1, 1, 1), t, dtype=jnp.int32)
     return _pallas_draw_flat(
-        heatmaps, params, counts, diameter_to_sigma_factor, k_scale, interpret=not _on_tpu()
+        heatmaps, params, counts, diameter_to_sigma_factor, k_scale, interpret=True
     )
 
 
@@ -415,6 +426,32 @@ def draw_heatmap_batched(
             heatmap, centers_t[:, :, 0], centers_t[:, :, 1], radii_t, labels_t, nums
         )
 
+    if _on_tpu():
+        # the per-(sample, class) tile kernel's (H, W) ref views need
+        # lane-aligned widths on real TPUs; the segment-max XLA path is the
+        # TPU classwise implementation of record
+        def per_sample(hm, xs, ys, rr, lab, n):
+            t = rr.shape[0]
+            h, w = hm.shape[1], hm.shape[2]
+            valid = jnp.arange(t) < n
+            rows = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+            cols = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+            dy = rows - ys[:, None, None]
+            dx = cols - xs[:, None, None]
+            r = rr[:, None, None]
+            inbox = (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r) & valid[:, None, None]
+            var = _gauss_params(rr.astype(jnp.float32), diameter_to_sigma_factor)[
+                :, None, None
+            ]
+            g = jnp.exp(-(dy * dy + dx * dx).astype(jnp.float32) / var) * k_scale
+            contrib = jnp.where(inbox, g, -jnp.inf)
+            safe_lab = jnp.clip(lab, 0, num_classes - 1)
+            drawn = jax.ops.segment_max(contrib, safe_lab, num_segments=num_classes)
+            return jnp.maximum(hm, drawn)
+
+        return jax.vmap(per_sample)(
+            heatmap, centers_t[:, :, 0], centers_t[:, :, 1], radii_t, labels_t, nums
+        )
     params = _pack_params(centers_t[:, :, 0], centers_t[:, :, 1], radii_t, labels_t)
     return _pallas_draw(
         heatmap,
@@ -423,5 +460,5 @@ def draw_heatmap_batched(
         True,
         diameter_to_sigma_factor,
         k_scale,
-        interpret=not _on_tpu(),
+        interpret=True,
     )
