@@ -51,6 +51,7 @@ class SyntheticNuScenesProvider(DataProvider):
         from PIL import Image
 
         self._n = num_samples
+
         rng = np.random.default_rng(0)
         self._jpegs = []
         for _ in range(8):
@@ -90,6 +91,9 @@ class SyntheticNuScenesProvider(DataProvider):
             ).astype(np.int32)
         sdg["token"] = f"sample-{sample_index:06d}"
         return sdg
+
+    def get_number_of_samples(self) -> int:
+        return self._n
 
 
 def build_pipeline(batch_size=4):

@@ -1,0 +1,92 @@
+"""The full end-to-end slice: pipeline -> sharded batches -> pjit training.
+
+This is SURVEY §7's "minimum end-to-end slice" assembled from every layer:
+ShuffledShardedInputCallable -> SampleDataGroup blueprint -> host JPEG decode
+-> jit-fused augment + CenterNet heatmap targets -> ragged GT batching ->
+packed transfer -> mesh-sharded batch -> CenterNet train step under pjit.
+
+Run (single chip or CPU mesh):
+    python examples/train_centernet_e2e.py
+    JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= \
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python examples/train_centernet_e2e.py     # 8-device data-parallel
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from accvlab_tpu.models.centernet import CenterNetDetector, make_train_step
+from accvlab_tpu.parallel import make_mesh, shard_batch
+from accvlab_tpu.ragged import RaggedBatch
+from object_detection_2d_pipeline import HEATMAP_HW, NUM_CLASSES, OUT_HW, build_pipeline
+
+
+def batch_to_train_inputs(batch, max_targets=16):
+    """Adapt the pipeline's flat outputs to the model's batch contract."""
+    cam = 0  # train on camera 0 for the demo
+    images = batch[f"cameras.[{cam}].image"]
+    heatmap = jnp.transpose(
+        batch[f"cameras.[{cam}].annotations.heatmap"], (0, 2, 3, 1)
+    )  # (B, C, H, W) -> (B, H, W, C)
+    centers = batch[f"cameras.[{cam}].annotations.center"]
+    offsets = batch[f"cameras.[{cam}].annotations.offset"]
+    active = batch[f"cameras.[{cam}].annotations.active"]
+    hw = batch[f"cameras.[{cam}].annotations.hw"]
+    sizes = jnp.sum(active, axis=1).astype(jnp.int32)
+    mk = lambda x: RaggedBatch(x, sample_sizes=sizes)
+    # NOTE: active objects are not necessarily compacted to the front; for the
+    # demo we treat the first `sizes` entries as the training targets.
+    return {
+        "images": images,
+        "targets": {
+            "heatmap": heatmap,
+            "centers": mk(centers.astype(jnp.int32)),
+            "offsets": mk(offsets),
+            "sizes": mk(hw),
+        },
+    }
+
+
+def main():
+    devices = jax.devices()
+    print(f"devices: {devices}")
+    mesh = make_mesh()
+    batch_size = max(4, mesh.devices.shape[0])
+
+    loader, pipe = build_pipeline(batch_size=batch_size)
+    model = CenterNetDetector(num_classes=NUM_CLASSES, width=32)
+    init_fn, train_step = make_train_step(model)
+
+    first = pipe.run()
+    train_batch = batch_to_train_inputs(first)
+    params, opt_state = init_fn(jax.random.PRNGKey(0), train_batch["images"])
+    step = jax.jit(train_step)
+
+    t0 = time.perf_counter()
+    for i in range(4):
+        with mesh:
+            sharded = shard_batch(train_batch, mesh)
+            params, opt_state, metrics = step(params, opt_state, sharded)
+        loss = float(metrics["loss"])
+        print(f"step {i}: loss {loss:.4f}")
+        try:
+            nxt = pipe.run()
+        except StopIteration:
+            pipe.reset()
+            nxt = pipe.run()
+        train_batch = batch_to_train_inputs(nxt)
+    jax.block_until_ready(params)
+    print(f"4 steps in {time.perf_counter() - t0:.2f}s over {len(devices)} device(s)")
+    pipe.stop()
+
+
+if __name__ == "__main__":
+    main()
