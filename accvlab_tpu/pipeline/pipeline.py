@@ -369,7 +369,9 @@ class TPUPipeline:
             keys = jax.random.split(batch_key, batch_leaves[0].shape[0])
             return jax.vmap(sample_fn)(batch_leaves, keys)
 
-        return jax.jit(device_fn)
+        # the freshly transferred batch buffers are never reused -> donate
+        # them so in-place-capable ops skip the copy
+        return jax.jit(device_fn, donate_argnums=(0,))
 
     def _transfer(self, host_batch: tuple):
         """Host->device placement: packed multi-tensor transfer (hostcopy

@@ -191,6 +191,7 @@ class GopDecoder:
         fastStreamInfos: Sequence[Any] = (),
     ) -> Tuple[np.ndarray, List[int], List[int]]:
         """Merged GOP bundles for a batch of files (parity: ``GetGOP``)."""
+        assert len(filepaths) > 0, "GetGOP requires at least one filepath"
         results = self.GetGOPList(filepaths, frame_ids, fastStreamInfos)
         bundles = [r[0] for r in results]
         firsts = [r[1][0] for r in results]
