@@ -7,7 +7,7 @@ import os
 import subprocess
 import threading
 import warnings
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -14,8 +14,7 @@ head channels over ``model`` (see ``make_train_step``).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

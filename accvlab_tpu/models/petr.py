@@ -15,7 +15,7 @@ axis, attention heads/MLP over ``model``.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

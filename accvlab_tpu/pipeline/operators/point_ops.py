@@ -4,7 +4,7 @@ line refs per function). numpy/jnp dual-dispatch like :mod:`.ops`."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -14,8 +14,6 @@ DALI's requirement that external-source callables be picklable.
 from __future__ import annotations
 
 import multiprocessing as mp
-from typing import Any, List, Optional
-
 import numpy as np
 
 # worker-process globals (set by the initializer)

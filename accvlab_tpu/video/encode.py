@@ -3,8 +3,6 @@
 from __future__ import annotations
 
 import ctypes
-from typing import Sequence
-
 import numpy as np
 
 from .native import get_lib, last_error

@@ -220,3 +220,21 @@ def test_pytree_grad():
         np.asarray(g[:, :, 0]),
         np.array([[1, 1, 0], [1, 1, 1], [1, 0, 0]], dtype=np.float32),
     )
+
+
+def test_unsqueeze_data_dim():
+    rb = make_rb()
+    u = rb.unsqueeze_data_dim(1)  # insert before the non-uniform dim
+    assert u.shape == (3, 1, 3, 2)
+    assert u.non_uniform_dim == 2
+    u2 = rb.unsqueeze_data_dim(-1)
+    assert u2.shape == (3, 3, 2, 1)
+    assert u2.non_uniform_dim == 1
+
+
+def test_create_with_sample_sizes_like_self_validates():
+    rb = make_rb()
+    with pytest.raises(AssertionError):
+        rb.create_with_sample_sizes_like_self(jnp.zeros((4, 3, 2)))  # wrong batch
+    with pytest.raises(AssertionError):
+        rb.create_with_sample_sizes_like_self(jnp.zeros((3, 5, 2)))  # wrong max size

@@ -191,3 +191,16 @@ def test_blueprint_copy_independent():
     assert bp.type_matches(sdg)
     bp["cameras"][0].remove_field("image")
     assert sdg["cameras"][0].has_child("image")
+
+
+def test_get_like_self_filled_from_iterator_output():
+    sdg = make_blueprint()
+    sdg["cameras"][0]["image"] = np.ones((2, 2, 3))
+    sdg["token"] = "xy"
+    flat = sdg.get_data()
+    keyed = [dict(zip(sdg.field_names_flat, flat))]
+    filled = sdg.get_like_self_filled_from_iterator_output(keyed, 0)
+    np.testing.assert_array_equal(
+        filled["cameras"][0]["image"], sdg["cameras"][0]["image"]
+    )
+    assert filled["token"] == "xy"
