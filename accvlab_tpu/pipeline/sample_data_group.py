@@ -610,6 +610,10 @@ class SampleDataGroup:
     def get_numpy_type_for_dtype(dtype: DType):
         return numpy_dtype_for(dtype)
 
+    # API-compat alias for call sites written against the reference name
+    # (``get_numpy_type_for_dali_type``, sample_data_group.py:1339).
+    get_numpy_type_for_dali_type = get_numpy_type_for_dtype
+
     def check_has_children(self, names: Sequence[Name], types: Optional[Sequence] = None):
         """Assert the given children (and optionally their types) exist
         (parity: ``:1353``)."""

@@ -112,3 +112,26 @@ def test_stopwatch_cpu_usage_accumulator():
     acc = sw._accumulators["cpu_section"]
     assert isinstance(acc, Stopwatch._TimeAndCPUUsageAccumulator)
     assert acc.get_num_meas() == 1
+
+
+def test_trace_ranges_under_real_profiler(tmp_path):
+    """Ranges integrate with the actual jax.profiler trace (the NVTX/Nsight
+    analog: annotations appear in the XLA trace)."""
+    import jax
+
+    from accvlab_tpu.tools import TraceRangeWrapper
+
+    TraceRangeWrapper._reset_singleton()
+    tr = TraceRangeWrapper()
+    tr.enable()
+    jax.profiler.start_trace(str(tmp_path))
+    tr.range_push("annotated_section")
+    jax.block_until_ready(jax.numpy.ones(8) * 2)
+    tr.range_pop("annotated_section")
+    jax.profiler.stop_trace()
+    # a trace was written
+    import glob
+
+    assert glob.glob(str(tmp_path / "**" / "*.pb"), recursive=True) or glob.glob(
+        str(tmp_path / "**" / "*.json.gz"), recursive=True
+    )
