@@ -414,13 +414,14 @@ class TPUPipeline:
         while not self._producer_stop.is_set():
             try:
                 host_batch = self._produce_host_batch()
+                out = self._run_device_stage(host_batch)
             except StopIteration:
                 self._queue.put(self._END)
                 return
-            except Exception as e:  # propagate to the consumer
+            except Exception as e:  # propagate to the consumer (host OR device
+                # stage failure — the consumer must never block forever)
                 self._queue.put(e)
                 return
-            out = self._run_device_stage(host_batch)
             self._queue.put(out)
 
     def _ensure_producer(self):
@@ -439,7 +440,20 @@ class TPUPipeline:
         if self._exhausted:
             raise StopIteration
         self._ensure_producer()
-        item = self._queue.get()
+        while True:
+            try:
+                item = self._queue.get(timeout=5.0)
+                break
+            except queue.Empty:
+                # defense in depth: if the producer thread died without
+                # delivering (it shouldn't — all failure paths enqueue), fail
+                # loudly instead of blocking forever
+                if self._producer is None or not self._producer.is_alive():
+                    self._exhausted = True
+                    raise RuntimeError(
+                        "pipeline producer thread died without delivering a "
+                        "batch or an error"
+                    )
         if item is self._END:
             self._exhausted = True
             raise StopIteration

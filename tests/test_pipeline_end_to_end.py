@@ -256,3 +256,28 @@ def test_pipeline_with_mesh_shards_batches():
         assert img.sharding.spec == P("data", None, None, None)
     finally:
         pipe.stop()
+
+
+def test_device_stage_error_propagates_no_hang():
+    """A failure in the fused device program must surface in __next__ as the
+    original exception — never a producer-thread death + consumer hang."""
+    from accvlab_tpu.pipeline.processing_steps import PipelineStepBase
+
+    class ExplodingDeviceStep(PipelineStepBase):
+        placement = "device"
+
+        def _check_and_adjust_data_format_input_to_output(self, fmt):
+            return fmt
+
+        def _process(self, sdg):
+            raise ValueError("boom in device trace")
+
+    _, pipe = build_pipeline(
+        steps=[ImageDecoder("image"), ExplodingDeviceStep()]
+    )
+    with pytest.raises(ValueError, match="boom in device trace"):
+        next(pipe)
+    # the pipeline is cleanly exhausted afterwards, not wedged
+    with pytest.raises(StopIteration):
+        next(pipe)
+    pipe.stop()
