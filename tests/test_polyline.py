@@ -166,3 +166,15 @@ def test_jit_and_grad():
     # sample 1:1; moving the far endpoint (while it stays beyond the sample
     # distance) does not move the sample at all
     np.testing.assert_allclose(np.asarray(g[0, :, 0]), [1.0, 0.0], atol=1e-5)
+
+
+def test_lane_regression_example_converges():
+    """The polyline subsystem supports end-to-end training (differentiable
+    resampling inside the loss) — short smoke run of the example."""
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "examples"))
+    import lane_regression_training as ex
+
+    first, last = ex.run(num_steps=40, batch_size=16, verbose=False)
+    assert last < first * 0.5
