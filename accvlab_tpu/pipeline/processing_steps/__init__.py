@@ -18,6 +18,7 @@ from .selection_steps import (
     PointsInRangeCheck,
     VisibleBboxSelector,
 )
+from .bev_bboxes_transformer_3d import BEVBBoxesTransformer3D
 from .bounding_box_to_heatmap_converter import BoundingBoxToHeatmapConverter
 from .annotation_element_condition_eval import AnnotationElementConditionEval
 from .applied_steps import (
@@ -29,6 +30,7 @@ from .applied_steps import (
 )
 
 __all__ = [
+    "BEVBBoxesTransformer3D",
     "AffineTransformer",
     "AnnotationElementConditionEval",
     "AxesLayoutSetter",
