@@ -255,3 +255,9 @@ def get_radii_from_bboxes(bboxes, scaling_factor: float = 0.8, centers=None):
         [c[:, 0] - left, c[:, 1] - top, right - c[:, 0], bottom - c[:, 1]], axis=1
     )
     return xp.maximum(0.0, xp.min(dists, axis=1)) * np.float32(scaling_factor)
+
+
+# The reference exports this function under a misspelled name
+# (``numba_operators/__init__.py``: ``check_bbox_visibiity``); keep the alias
+# so reference call sites resolve unchanged.
+check_bbox_visibiity = check_bbox_visibility

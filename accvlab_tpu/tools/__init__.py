@@ -15,7 +15,13 @@ per-sample code is ordinary Python, covered by :class:`TraceRangeWrapper`.
 from .singleton_base import SingletonBase
 from .stopwatch import Stopwatch
 from .tensor_dumper import TensorDumper
-from .trace_range import NVTXRangeWrapper, TraceRangeWrapper
+from .trace_range import (
+    NVTXRangeWrapper,
+    TraceRangeWrapper,
+    range_pop,
+    range_push,
+    register_string,
+)
 
 __all__ = [
     "NVTXRangeWrapper",
@@ -23,4 +29,7 @@ __all__ = [
     "Stopwatch",
     "TensorDumper",
     "TraceRangeWrapper",
+    "range_pop",
+    "range_push",
+    "register_string",
 ]

@@ -103,3 +103,50 @@ class TraceRangeWrapper(SingletonBase):
 
 # API-compat alias for code written against the reference naming.
 NVTXRangeWrapper = TraceRangeWrapper
+
+
+# ---------------------------------------------------------------------- #
+# numba_nvtx-style free functions                                        #
+# ---------------------------------------------------------------------- #
+#
+# The reference ships handle-based free functions callable from numba @njit
+# host loops (``optim_test_tools/numba_nvtx/nvtx.py:46-71``): register a
+# string once, push by integer handle, pop. accvlab_tpu has no numba layer
+# (host steps are ordinary Python; device code is traced), so these are plain
+# Python bindings onto jax.profiler ranges with the same contract: handle 0
+# is a safe no-op, pushes/pops nest LIFO.
+
+_handle_names: dict = {}
+_free_stack: List = []
+
+
+def register_string(name: str) -> int:
+    """Register a range name once and return an integer handle (never 0)."""
+    for h, n in _handle_names.items():
+        if n == name:
+            return h
+    handle = len(_handle_names) + 1
+    _handle_names[handle] = name
+    return handle
+
+
+def range_push(handle: int) -> None:
+    """Open a profiler range by handle. Handle 0 (or unknown) is a no-op."""
+    name = _handle_names.get(int(handle))
+    if name is None:
+        _free_stack.append(None)
+        return
+    from jax.profiler import TraceAnnotation
+
+    ann = TraceAnnotation(name)
+    ann.__enter__()
+    _free_stack.append(ann)
+
+
+def range_pop() -> None:
+    """Close the innermost range opened with :func:`range_push`."""
+    if not _free_stack:
+        return
+    ann = _free_stack.pop()
+    if ann is not None:
+        ann.__exit__(None, None, None)
