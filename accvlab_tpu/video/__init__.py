@@ -30,10 +30,20 @@ from .readers import (
     FixedSizeReaderMap,
     SampleReader,
 )
-from .types import Codec, GopRef
-from .utils import DropCacheStatus, drop_videos_cache
+from .types import Codec, DecodedFrameExt, FastStreamInfo, GopRef, RGBFrame
+from .utils import (
+    DropCacheStatus,
+    GetFastInitInfo,
+    SavePacketsToFile,
+    drop_videos_cache,
+)
 
 __all__ = [
+    "DecodedFrameExt",
+    "FastStreamInfo",
+    "GetFastInitInfo",
+    "RGBFrame",
+    "SavePacketsToFile",
     "BatchAsyncStreamReader",
     "CachedGopDecoder",
     "Codec",

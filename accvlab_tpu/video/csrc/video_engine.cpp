@@ -380,6 +380,30 @@ int avx_height(void* h) { return static_cast<Indexer*>(h)->height; }
 int avx_codec_id(void* h) {
     return static_cast<int>(static_cast<Indexer*>(h)->codec_id);
 }
+// Full stream-init probe (the reference's FastStreamInfo,
+// FFmpegDemuxer.h:70-87): 13 int64 slots — codec_type, codec_id, width,
+// height, pix format, time_base num/den, avg_frame_rate num/den,
+// r_frame_rate num/den, start_time, duration.
+int avx_stream_info(void* h, int64_t* out) {
+    auto* idx = static_cast<Indexer*>(h);
+    AVStream* st = idx->fmt->streams[idx->stream_index];
+    AVCodecParameters* par = st->codecpar;
+    out[0] = par->codec_type;
+    out[1] = par->codec_id;
+    out[2] = par->width;
+    out[3] = par->height;
+    out[4] = par->format;
+    out[5] = st->time_base.num;
+    out[6] = st->time_base.den;
+    out[7] = st->avg_frame_rate.num;
+    out[8] = st->avg_frame_rate.den;
+    out[9] = st->r_frame_rate.num;
+    out[10] = st->r_frame_rate.den;
+    out[11] = st->start_time;
+    out[12] = st->duration;
+    return 0;
+}
+
 int avx_keyframe_of(void* h, int frame_id) {
     auto idx = static_cast<Indexer*>(h);
     if (frame_id < 0 || frame_id >= static_cast<int>(idx->keyframe_of_frame.size()))

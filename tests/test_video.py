@@ -238,3 +238,41 @@ def test_corrupt_bundle_rejected():
     dec = GopDecoder()
     with pytest.raises((ValueError, RuntimeError)):
         dec.DecodeFromGOPRGB(np.zeros(64, np.uint8), [], [0])
+
+
+def test_fast_init_info_and_frame_types(clips):
+    """GetFastInitInfo probe + RGBFrame/DecodedFrameExt compat types
+    (reference: PyNvGopDecoder_constructors.cpp:37, PyRGBFrame.hpp:31)."""
+    import numpy as np
+
+    from accvlab_tpu.video import (
+        DecodedFrameExt,
+        FastStreamInfo,
+        GetFastInitInfo,
+        RGBFrame,
+        SavePacketsToFile,
+    )
+
+    paths, frames = clips
+    infos = GetFastInitInfo(paths)
+    assert len(infos) == len(paths)
+    assert isinstance(infos[0], FastStreamInfo)
+    assert infos[0].width == 128 and infos[0].height == 96
+    assert infos[0].codec_type == 0 and infos[0].time_base_den > 0
+
+    dec = GopDecoder()
+    merged, firsts, lens = dec.GetGOP([paths[0]], [20], fastStreamInfos=[infos[0]])
+    assert firsts[0] == 15
+
+    # free-function save matches the method's on-disk format
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    SavePacketsToFile(merged, os.path.join(d, "g.bin"))
+    loaded, f2, l2 = dec.LoadGOPFromFiles([os.path.join(d, "g.bin")])
+    assert f2 == firsts and l2 == lens
+
+    f = RGBFrame(frames[0][0])
+    assert f.is_of_size(96, 128) and f.typestr == "|u1"
+    np.testing.assert_array_equal(np.asarray(f), frames[0][0])
+    assert DecodedFrameExt.ColorRange.LIMITED == 1
