@@ -7,7 +7,12 @@ CenterNet-style multi-camera detector whose target generation (heatmaps) and
 loss (ragged masked reductions) exercise every accvlab_tpu layer.
 """
 
-from .centernet import CenterNetDetector, centernet_loss, make_train_step
+from .centernet import (
+    CenterNetDetector,
+    centernet_loss,
+    decode_detections,
+    make_train_step,
+)
 from .petr import PETRDetector, make_petr_train_step, petr_loss
 
 __all__ = [

@@ -116,6 +116,68 @@ def centernet_loss(outputs: Dict[str, Any], targets: Dict[str, Any]) -> Dict[str
     }
 
 
+def decode_detections(
+    outputs: Dict[str, Any],
+    max_detections: int = 100,
+    score_threshold: float = 0.1,
+    stride: int = 4,
+) -> Dict[str, Any]:
+    """NMS-free CenterNet inference decode (serving path).
+
+    TPU-native: peaks are local maxima of the sigmoid heatmap (3x3 max-pool
+    equality — the standard CenterNet trick that replaces NMS, which would be
+    a dynamic-shape op), followed by a static per-sample ``top_k`` over all
+    (pixel, class) scores. Everything is fixed-shape and jit-compatible; the
+    variable number of detections per image is expressed as RaggedBatch
+    sample sizes (scores are sorted, so valid detections form a prefix).
+
+    Args:
+        outputs: the model's ``{"heatmap", "offset", "size"}`` (logits).
+        max_detections: static per-image detection bound (top-K).
+        score_threshold: detections below this score pad the batch.
+        stride: feature-to-input coordinate scale.
+
+    Returns:
+        dict with RaggedBatch ``boxes (B, K, 4)`` as x1,y1,x2,y2 in input
+        coords, ``scores (B, K)``, ``classes (B, K)`` int32.
+    """
+    heat = jax.nn.sigmoid(outputs["heatmap"])  # (B, Hf, Wf, C)
+    b, hf, wf, c = heat.shape
+    k = min(max_detections, hf * wf * c)
+
+    # peak mask: score equals its 3x3 neighborhood max
+    pooled = jax.lax.reduce_window(
+        heat, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1), "SAME"
+    )
+    peaks = jnp.where(heat == pooled, heat, 0.0)
+
+    flat = peaks.reshape(b, hf * wf * c)
+    scores, flat_idx = jax.lax.top_k(flat, k)  # (B, K) sorted desc
+    classes = (flat_idx % c).astype(jnp.int32)
+    pix = flat_idx // c
+    ys = (pix // wf).astype(jnp.float32)
+    xs = (pix % wf).astype(jnp.float32)
+
+    pix_i = pix.astype(jnp.int32)
+    off = outputs["offset"].reshape(b, hf * wf, 2)
+    sz = outputs["size"].reshape(b, hf * wf, 2)
+    off_k = jnp.take_along_axis(off, pix_i[:, :, None], axis=1)  # (B, K, 2)
+    sz_k = jnp.take_along_axis(sz, pix_i[:, :, None], axis=1)
+
+    cx = (xs + off_k[:, :, 0]) * stride
+    cy = (ys + off_k[:, :, 1]) * stride
+    w = sz_k[:, :, 0] * stride
+    h = sz_k[:, :, 1] * stride
+    boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+
+    num_valid = jnp.sum(scores > score_threshold, axis=1).astype(jnp.int32)
+    return {
+        "boxes": RaggedBatch(boxes, sample_sizes=num_valid),
+        "scores": RaggedBatch(scores, sample_sizes=num_valid),
+        "classes": RaggedBatch(classes, sample_sizes=num_valid),
+    }
+
+
 def make_train_step(
     model: CenterNetDetector,
     optimizer: Optional[optax.GradientTransformation] = None,

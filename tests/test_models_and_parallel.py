@@ -138,3 +138,40 @@ def test_checkpoint_save_restore(tmp_path):
     l0 = jax.tree_util.tree_leaves(p1)[0]
     r0 = jax.tree_util.tree_leaves(rp)[0]
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(r0))
+
+
+def test_centernet_decode_detections():
+    """Serving decode: planted peaks come back as exact ragged detections;
+    fixed shapes under jit; empty images yield size-0 samples."""
+    import jax
+
+    from accvlab_tpu.models import decode_detections
+
+    B, Hf, Wf, C = 2, 16, 24, 5
+    heat = np.full((B, Hf, Wf, C), -8.0, np.float32)
+    for b, y, x, c, l in [(0, 4, 6, 2, 6.0), (0, 10, 20, 0, 4.0), (1, 8, 12, 3, 5.0)]:
+        heat[b, y, x, c] = l
+    off = np.zeros((B, Hf, Wf, 2), np.float32)
+    off[0, 4, 6] = [0.5, 0.25]
+    sz = np.full((B, Hf, Wf, 2), 2.0, np.float32)
+
+    dec = jax.jit(lambda o: decode_detections(o, max_detections=10, score_threshold=0.5))
+    out = dec(
+        {"heatmap": jnp.asarray(heat), "offset": jnp.asarray(off), "size": jnp.asarray(sz)}
+    )
+    assert list(np.asarray(out["boxes"].sample_sizes)) == [2, 1]
+    np.testing.assert_allclose(
+        np.asarray(out["boxes"].tensor)[0, 0], [22.0, 13.0, 30.0, 21.0], atol=1e-4
+    )
+    assert int(np.asarray(out["classes"].tensor)[0, 0]) == 2
+    assert float(np.asarray(out["scores"].tensor)[0, 0]) > 0.99
+
+    empty = dec(
+        {
+            "heatmap": jnp.full((B, Hf, Wf, C), -8.0, jnp.float32),
+            "offset": jnp.asarray(off),
+            "size": jnp.asarray(sz),
+        }
+    )
+    assert list(np.asarray(empty["boxes"].sample_sizes)) == [0, 0]
+    assert empty["boxes"].tensor.shape == (B, 10, 4)
