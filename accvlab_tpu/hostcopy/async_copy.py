@@ -40,6 +40,33 @@ _DEFAULT_MAX_CHUNK = 32 * 1024 * 1024  # reference: max_packed_chunk_bytes
 
 _background_pool: Optional[ThreadPoolExecutor] = None
 _pool_lock = threading.Lock()
+_slicer_cache: dict = {}
+_slicer_lock = threading.Lock()
+
+
+def _get_chunk_slicer(specs):
+    """One jitted program that carves ALL tensor views out of a device chunk.
+
+    Doing the slicing in a single compiled program means one device dispatch
+    per chunk instead of one per tensor — with hundreds of packed tensors the
+    per-dispatch overhead would otherwise dominate exactly like the
+    per-``cudaMemcpyAsync`` overhead the reference's packing eliminates.
+    ``specs`` is a hashable tuple of ``(start_elem, num_elems, shape)``.
+    """
+    with _slicer_lock:
+        fn = _slicer_cache.get(specs)
+        if fn is None:
+            import jax
+
+            def slicer(chunk):
+                return tuple(
+                    jax.lax.slice_in_dim(chunk, s, s + n).reshape(shape)
+                    for s, n, shape in specs
+                )
+
+            fn = jax.jit(slicer)
+            _slicer_cache[specs] = fn
+    return fn
 
 
 def _get_background_pool() -> ThreadPoolExecutor:
@@ -165,10 +192,13 @@ def _plan_and_copy(
             staging = parallel_pack(arrays, offsets_bytes, total_bytes)
             dev_chunk = jax.device_put(staging.view(dtype), device)
             device_arrays.append(dev_chunk)
-            for (leaf_i, arr), off in zip(chunk, offsets_bytes):
-                start = off // itemsize
-                view = jax.lax.slice_in_dim(dev_chunk, start, start + arr.size)
-                out[leaf_i] = view.reshape(arr.shape)
+            specs = tuple(
+                (off // itemsize, arr.size, arr.shape)
+                for (_, arr), off in zip(chunk, offsets_bytes)
+            )
+            views = _get_chunk_slicer(specs)(dev_chunk)
+            for (leaf_i, _), view in zip(chunk, views):
+                out[leaf_i] = view
 
         for leaf_i, arr in items:
             n_aligned = -(-arr.size // align_items) * align_items
