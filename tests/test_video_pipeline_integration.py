@@ -87,3 +87,18 @@ def test_video_frames_through_pipeline(clips):
     sid = ids0[0]
     clip, frame = divmod(sid, 40)
     assert np.abs(b0.astype(np.int32) - frames[clip][frame].astype(np.int32)).mean() < 24
+
+
+def test_video_vs_image_benchmark_runs():
+    """The video-vs-image comparison (reference evaluation.rst:73-107):
+    stream-read video input must not fall behind JPEG-still input."""
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "examples"))
+    import video_vs_image_benchmark as ex
+
+    # smaller run for CI: patch module constants
+    ex.NUM_FRAMES, ex.HW = 96, (120, 160)
+    fps_img, fps_vid = ex.main()
+    assert fps_img > 0 and fps_vid > 0
+    assert fps_vid >= 0.8 * fps_img  # parity bar (reference: >= ~0.97x)
