@@ -385,3 +385,88 @@ def test_padding_to_uniform_with_size_buckets():
     step2 = PaddingToUniform("boxes", size_buckets=[64])
     out2 = step2.process_batch_checked([mk(3)], check=False)
     assert np.asarray(out2[0]["boxes"]).shape == (64, 64)
+
+
+from accvlab_tpu.pipeline.processing_steps import PipelineStepBase as _StepBase
+
+
+class _AddRandomOffset(_StepBase):
+    """Test step: add ONE random draw to 'points' in its input sub-tree
+    (mirrors the reference's _ReplaceFieldsByNameWithRandom pattern,
+    data_group_array_in_path_elements_applied_step_test.py)."""
+
+    placement = "host"
+
+    def _check_and_adjust_data_format_input_to_output(self, fmt):
+        return fmt
+
+    def _process(self, sdg):
+        off = float(self.random.uniform(0.0, 1.0))
+        sdg["points"] = np.asarray(sdg["points"]) + off
+        return sdg
+
+
+def _array_root():
+    from accvlab_tpu.pipeline import SampleDataGroup as SDG
+
+    cam = SDG()
+    cam.add_data_field("points", DType.FLOAT)
+    root = SDG()
+    root.add_data_group_field_array("cams", cam, 3)
+    root.add_data_field("untouched", DType.FLOAT)
+    for i in range(3):
+        root["cams"][i]["points"] = np.zeros((2,), np.float32)
+    root["untouched"] = np.zeros((2,), np.float32)
+    return root
+
+
+def test_array_in_path_elements_applied_step_independent_random():
+    """Each array element must get an INDEPENDENT random draw (reference
+    semantics: per-child re-randomization)."""
+    from accvlab_tpu.pipeline import ScriptedRandomContext
+    from accvlab_tpu.pipeline.processing_steps import (
+        DataGroupArrayInPathElementsAppliedStep,
+    )
+
+    root = _array_root()
+    ctx = ScriptedRandomContext()
+    ctx.script_uniform(0.0, 1.0, [0.1, 0.2, 0.3])
+    wrapper = DataGroupArrayInPathElementsAppliedStep(_AddRandomOffset(), "cams")
+    wrapper.set_random_context(ctx)
+    out = wrapper(root)
+    vals = [float(np.asarray(out["cams"][i]["points"])[0]) for i in range(3)]
+    assert vals == pytest.approx([0.1, 0.2, 0.3])  # three distinct draws
+    np.testing.assert_array_equal(np.asarray(out["untouched"]), 0.0)
+
+
+def test_array_with_name_elements_applied_step():
+    from accvlab_tpu.pipeline import ScriptedRandomContext
+    from accvlab_tpu.pipeline.processing_steps import (
+        DataGroupArrayWithNameElementsAppliedStep,
+    )
+
+    root = _array_root()
+    ctx = ScriptedRandomContext()
+    ctx.script_uniform(0.0, 1.0, [0.5, 0.6, 0.7])
+    wrapper = DataGroupArrayWithNameElementsAppliedStep(_AddRandomOffset(), "cams")
+    wrapper.set_random_context(ctx)
+    out = wrapper(root)
+    vals = [float(np.asarray(out["cams"][i]["points"])[0]) for i in range(3)]
+    assert vals == pytest.approx([0.5, 0.6, 0.7])
+
+
+def test_in_path_applied_step_scopes_to_subtree():
+    """DataGroupInPathAppliedStep applies ONCE to the given sub-tree; one
+    draw, fields outside the path untouched."""
+    from accvlab_tpu.pipeline import ScriptedRandomContext
+    from accvlab_tpu.pipeline.processing_steps import DataGroupInPathAppliedStep
+
+    root = _array_root()
+    ctx = ScriptedRandomContext()
+    ctx.script_uniform(0.0, 1.0, [0.9, 0.8])
+    wrapper = DataGroupInPathAppliedStep(_AddRandomOffset(), ("cams", 1))
+    wrapper.set_random_context(ctx)
+    out = wrapper(root)
+    assert float(np.asarray(out["cams"][1]["points"])[0]) == pytest.approx(0.9)
+    np.testing.assert_array_equal(np.asarray(out["cams"][0]["points"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out["cams"][2]["points"]), 0.0)
