@@ -20,6 +20,8 @@
 #include <cstdint>
 #include <cstring>
 #include <mutex>
+#include <set>
+#include <unordered_map>
 #include <string>
 #include <vector>
 
@@ -181,11 +183,19 @@ bool extract_gop(Indexer* idx, int target_frame, int /*unused*/,
         return false;
     }
 
+    // Collect packets until every display frame of the GOP has its packet.
+    // This self-adapts to B-frame reordering AND open-GOP content: leading
+    // B-frames of the next GOP display inside this GOP but decode AFTER the
+    // next keyframe, so the bundle transparently includes the overlap
+    // packets (next keyframe + the Bs) — the reference's GOP-overlap
+    // handling (test_open_gop_overlap).
+    std::set<int64_t> needed(idx->pts_sorted.begin() + key,
+                             idx->pts_sorted.begin() + gop_end + 1);
     std::vector<std::vector<uint8_t>> datas;
     std::vector<PacketEntry> entries;
     AVPacket* pkt = av_packet_alloc();
     bool started = false;
-    while (av_read_frame(idx->fmt, pkt) >= 0) {
+    while (!needed.empty() && av_read_frame(idx->fmt, pkt) >= 0) {
         if (pkt->stream_index != idx->stream_index) {
             av_packet_unref(pkt);
             continue;
@@ -194,17 +204,10 @@ bool extract_gop(Indexer* idx, int target_frame, int /*unused*/,
         if (!started) {
             if (pts == key_pts) {
                 started = true;
-            } else if (pts > end_pts) {
-                av_packet_unref(pkt);
-                break;
             } else {
                 av_packet_unref(pkt);
                 continue;
             }
-        }
-        if (started && pts > end_pts && (pkt->flags & AV_PKT_FLAG_KEY)) {
-            av_packet_unref(pkt);
-            break;
         }
         PacketEntry e;
         e.size = static_cast<uint64_t>(pkt->size);
@@ -214,13 +217,11 @@ bool extract_gop(Indexer* idx, int target_frame, int /*unused*/,
         e.flags = pkt->flags;
         entries.push_back(e);
         datas.emplace_back(pkt->data, pkt->data + pkt->size);
+        needed.erase(pts);
         av_packet_unref(pkt);
-        if (pts == end_pts) {
-            break;  // full GOP collected (closed-GOP content)
-        }
     }
     av_packet_free(&pkt);
-    if (!started || entries.empty()) {
+    if (!started || entries.empty() || !needed.empty()) {
         set_error("no packets extracted");
         return false;
     }
@@ -489,9 +490,21 @@ int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_i
     int remaining = n_targets;
     int rc = 0;
 
+    // pts -> display_rel from the packet table (robust when the bundle
+    // carries overlap packets for open-GOP content: frames beyond the GOP
+    // simply have no wanted slot)
+    std::unordered_map<int64_t, int> rel_of_pts;
+    for (auto& e : entries) {
+        if (e.display_rel >= 0) rel_of_pts.emplace(e.pts, e.display_rel);
+    }
+
     auto handle_frame = [&]() {
-        int rel = decoded;  // frames arrive in display order within the GOP
-        if (rel < hdr.num_frames && want[rel] >= 0) {
+        int64_t fpts = frame->best_effort_timestamp != AV_NOPTS_VALUE
+                           ? frame->best_effort_timestamp
+                           : frame->pts;
+        auto it = rel_of_pts.find(fpts);
+        int rel = it != rel_of_pts.end() ? it->second : -1;
+        if (rel >= 0 && rel < hdr.num_frames && want[rel] >= 0) {
             dec.to_rgb(frame, out_rgb + static_cast<size_t>(want[rel]) * frame_bytes,
                        as_bgr);
             --remaining;
@@ -603,8 +616,12 @@ int avx_reader_read(void* h, int frame_id, uint8_t* out_rgb, int as_bgr) {
 
 // Encode raw RGB frames into a video file (for tests; the reference commits
 // pre-generated clips instead). codec_name: "libx264", "libx265", "mpeg4".
-int avx_encode_video(const char* path, const uint8_t* rgb, int n_frames, int width,
-                     int height, int fps, int gop_size, const char* codec_name) {
+// options: comma-separated key=value pairs; "pix_fmt" and "max_b_frames" are
+// applied to the codec context, everything else to the encoder's private
+// options (e.g. "x264-params=open-gop=1:bframes=2").
+int avx_encode_video2(const char* path, const uint8_t* rgb, int n_frames, int width,
+                      int height, int fps, int gop_size, const char* codec_name,
+                      const char* options) {
     AVFormatContext* fmt = nullptr;
     avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
     if (!fmt) {
@@ -631,6 +648,27 @@ int avx_encode_video(const char* path, const uint8_t* rgb, int n_frames, int wid
     if (std::string(codec_name) == "libx264") {
         av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
     }
+    if (options && options[0]) {
+        std::string s(options);
+        size_t pos = 0;
+        while (pos < s.size()) {
+            size_t comma = s.find(',', pos);
+            std::string kv =
+                s.substr(pos, comma == std::string::npos ? std::string::npos : comma - pos);
+            pos = comma == std::string::npos ? s.size() : comma + 1;
+            size_t eq = kv.find('=');
+            std::string k = kv.substr(0, eq);
+            std::string v = eq == std::string::npos ? "" : kv.substr(eq + 1);
+            if (k == "pix_fmt") {
+                AVPixelFormat pf = av_get_pix_fmt(v.c_str());
+                if (pf != AV_PIX_FMT_NONE) ctx->pix_fmt = pf;
+            } else if (k == "max_b_frames") {
+                ctx->max_b_frames = atoi(v.c_str());
+            } else {
+                av_opt_set(ctx->priv_data, k.c_str(), v.c_str(), 0);
+            }
+        }
+    }
     int rc = 0;
     SwsContext* sws = nullptr;
     AVFrame* yuv = nullptr;
@@ -655,10 +693,10 @@ int avx_encode_video(const char* path, const uint8_t* rgb, int n_frames, int wid
             break;
         }
         sws = sws_getContext(width, height, AV_PIX_FMT_RGB24, width, height,
-                             AV_PIX_FMT_YUV420P, SWS_BILINEAR, nullptr, nullptr,
+                             ctx->pix_fmt, SWS_BILINEAR, nullptr, nullptr,
                              nullptr);
         yuv = av_frame_alloc();
-        yuv->format = AV_PIX_FMT_YUV420P;
+        yuv->format = ctx->pix_fmt;
         yuv->width = width;
         yuv->height = height;
         av_frame_get_buffer(yuv, 0);
@@ -694,6 +732,12 @@ int avx_encode_video(const char* path, const uint8_t* rgb, int n_frames, int wid
     avcodec_free_context(&ctx);
     avformat_free_context(fmt);
     return rc;
+}
+
+int avx_encode_video(const char* path, const uint8_t* rgb, int n_frames, int width,
+                     int height, int fps, int gop_size, const char* codec_name) {
+    return avx_encode_video2(path, rgb, n_frames, width, height, fps, gop_size,
+                             codec_name, nullptr);
 }
 
 }  // extern "C"

@@ -14,6 +14,7 @@ def write_video(
     fps: int = 12,
     gop_size: int = 30,
     codec: str = "libx264",
+    options: str = "",
 ):
     """Encode ``(N, H, W, 3)`` uint8 RGB frames to a video file.
 
@@ -25,10 +26,10 @@ def write_video(
     assert frames.ndim == 4 and frames.shape[-1] == 3, "expected (N, H, W, 3)"
     n, h, w, _ = frames.shape
     lib = get_lib()
-    rc = lib.avx_encode_video(
+    rc = lib.avx_encode_video2(
         path.encode(),
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        n, w, h, fps, gop_size, codec.encode(),
+        n, w, h, fps, gop_size, codec.encode(), options.encode(),
     )
     if rc != 0:
         raise RuntimeError(f"encode failed (rc={rc}): {last_error()}")

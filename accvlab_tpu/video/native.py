@@ -72,6 +72,11 @@ def _build_and_load() -> ctypes.CDLL:
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
     ]
+    lib.avx_encode_video2.restype = ctypes.c_int
+    lib.avx_encode_video2.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+    ]
     return lib
 
 

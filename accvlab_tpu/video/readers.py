@@ -39,15 +39,19 @@ class _StreamReader:
         self.height = lib.avx_reader_height(self._h)
         self.width = lib.avx_reader_width(self._h)
         self.num_frames = lib.avx_reader_num_frames(self._h)
+        # the native reader mutates decoder state per call; serialize access
+        # (readers for DIFFERENT files still decode in parallel)
+        self._read_lock = threading.Lock()
 
     def read(self, frame_id: int, as_bgr: bool = False) -> np.ndarray:
         out = np.empty((self.height, self.width, 3), np.uint8)
-        rc = self._lib.avx_reader_read(
-            self._h,
-            int(frame_id),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            int(as_bgr),
-        )
+        with self._read_lock:
+            rc = self._lib.avx_reader_read(
+                self._h,
+                int(frame_id),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                int(as_bgr),
+            )
         if rc != 0:
             raise RuntimeError(
                 f"read frame {frame_id} of '{self.path}' failed: {last_error()}"

@@ -100,3 +100,56 @@ def test_corrupt_file_raises(tmp_path):
     dec = GopDecoder()
     with pytest.raises(RuntimeError):
         dec.Decode([str(bad)], [0])
+
+
+@pytest.mark.parametrize(
+    "label,opts",
+    [
+        ("closed_b", "max_b_frames=2,x264-params=bframes=2:b-adapt=0:scenecut=0"),
+        ("open_gop", "max_b_frames=2,x264-params=open-gop=1:bframes=2:b-adapt=0:scenecut=0"),
+    ],
+)
+def test_b_frame_and_open_gop_decode(tmp_path, label, opts):
+    """Every frame of B-frame and open-GOP content decodes correctly: the GOP
+    extractor includes overlap packets (next keyframe + leading B-frames)
+    when display frames of a GOP decode after the next keyframe
+    (reference: test_open_gop_overlap.py)."""
+    from accvlab_tpu.video import write_video
+    from accvlab_tpu.video.decoder import GopDecoder
+    from accvlab_tpu.video.encode import make_moving_shape_frames
+
+    frames = make_moving_shape_frames(45, hw=(96, 128))
+    path = str(tmp_path / f"{label}.mp4")
+    write_video(path, frames, fps=12, gop_size=15, options=opts)
+    dec = GopDecoder()
+    for fid in [0, 7, 13, 14, 15, 16, 28, 29, 30, 44]:
+        out = dec.Decode([path], [fid])[0]
+        err = np.abs(out.astype(int) - frames[fid].astype(int)).mean()
+        assert err < 8.0, f"frame {fid} corrupt (err {err:.1f})"
+    # cache-facing API covers GOP-boundary frames too
+    merged, firsts, lens = dec.GetGOP([path], [16])
+    multi = dec.DecodeFromGOPListRGB(merged, [[15, 22, 29]])
+    for img, fid in zip(multi[0], [15, 22, 29]):
+        assert np.abs(img.astype(int) - frames[fid].astype(int)).mean() < 8.0
+
+
+def test_yuv444_source_decodes(tmp_path):
+    """Non-420 chroma sources convert correctly (reference:
+    test_pix_fmt_detection.py)."""
+    from accvlab_tpu.video import GetFastInitInfo, write_video
+    from accvlab_tpu.video.decoder import GopDecoder
+    from accvlab_tpu.video.encode import make_moving_shape_frames
+
+    frames = make_moving_shape_frames(20, hw=(96, 128))
+    path = str(tmp_path / "yuv444.mp4")
+    write_video(path, frames, fps=12, gop_size=10,
+                options="pix_fmt=yuv444p,x264-params=scenecut=0")
+    info = GetFastInitInfo([path])[0]
+    import ctypes
+
+    # AV_PIX_FMT_YUV444P == 5 in FFmpeg's pixfmt.h
+    assert info.format == 5
+    dec = GopDecoder()
+    for fid in [0, 5, 9, 10, 19]:
+        out = dec.Decode([path], [fid])[0]
+        assert np.abs(out.astype(int) - frames[fid].astype(int)).mean() < 8.0
