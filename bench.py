@@ -18,6 +18,7 @@ Prints ONE JSON line on stdout; diagnostics go to stderr.
 
 import io
 import json
+import os
 import sys
 import time
 
@@ -164,6 +165,7 @@ def main():
 
     n_batches = 12
     lat = []
+    cpu_start = os.times()
     t_start = time.perf_counter()
     for _ in range(n_batches):
         t1 = time.perf_counter()
@@ -171,13 +173,21 @@ def main():
         jax.block_until_ready(list(out.values())[0])
         lat.append(time.perf_counter() - t1)
     total = time.perf_counter() - t_start
+    cpu_end = os.times()
     pipe.stop()
 
     frames = n_batches * batch_size * num_cams
     fps = frames / total
     p50 = sorted(lat)[len(lat) // 2] * 1e3
     baseline_fps = 48 / 0.868  # DALI-on-A100 demonstrated lower bound
-    log(f"steady state: {fps:.1f} frames/s/chip, p50 batch latency {p50:.1f} ms")
+    # process CPU time over the steady-state window (the reference's DALI
+    # evaluation reports CPU usage alongside throughput, evaluation.rst:66-75)
+    cpu_s = (cpu_end.user - cpu_start.user) + (cpu_end.system - cpu_start.system)
+    ncpu = os.cpu_count() or 1
+    log(
+        f"steady state: {fps:.1f} frames/s/chip, p50 batch latency {p50:.1f} ms, "
+        f"CPU {cpu_s / total / ncpu * 100:.1f}% of {ncpu} core(s)"
+    )
     print(
         json.dumps(
             {
