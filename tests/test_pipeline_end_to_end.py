@@ -281,3 +281,74 @@ def test_device_stage_error_propagates_no_hang():
     with pytest.raises(StopIteration):
         next(pipe)
     pipe.stop()
+
+
+class _RaggedBoxProvider(DataProvider):
+    """Per-sample variable-count boxes (forces batch-level padding)."""
+
+    def __init__(self, n=8):
+        self._n = n
+
+    @property
+    def sample_data_structure(self):
+        sdg = SampleDataGroup()
+        sdg.add_data_field("boxes", DType.FLOAT)
+        sdg.add_data_field("num_boxes", DType.INT32)
+        return sdg
+
+    def get_data(self, i):
+        sdg = self.sample_data_structure
+        k = (i % 3) + 1
+        sdg["boxes"] = np.full((k, 4), float(i), np.float32)
+        sdg["num_boxes"] = k
+        return sdg
+
+    def get_number_of_samples(self):
+        return self._n
+
+
+def test_padding_to_uniform_in_pipeline():
+    """Ragged per-sample fields cross the host->device boundary via the
+    batch-level PaddingToUniform step (reference:
+    sample_data_group_pad_to_uniform_in_pipeline_test.py)."""
+    from accvlab_tpu.pipeline.processing_steps import PaddingToUniform
+
+    inp = ShuffledShardedInputCallable(_RaggedBoxProvider(), batch_size=4, shuffle=False)
+    definition = PipelineDefinition(
+        inp, [PaddingToUniform(["boxes"], fill_value=-1.0)]
+    )
+    pipe = definition.get_pipeline(batch_size=4, num_threads=2, seed=0)
+    batch = pipe.run()
+    boxes = np.asarray(batch["boxes"])
+    nums = np.asarray(batch["num_boxes"])
+    assert boxes.shape[0] == 4 and boxes.shape[2] == 4
+    assert boxes.shape[1] == 3  # padded to the batch max (sizes cycle 1,2,3)
+    for b in range(4):
+        k = int(nums[b])
+        assert np.all(boxes[b, :k] == float(b))
+        assert np.all(boxes[b, k:] == -1.0)
+    pipe.stop()
+
+
+def test_wrong_dtype_in_pipeline_raises():
+    """A device step producing a wrong-dtype traced value fails the
+    SampleDataGroup type check at trace time and the error reaches the
+    consumer (reference: sample_data_group_wrong_type_in_pipeline_test.py)."""
+    from accvlab_tpu.pipeline.processing_steps import PipelineStepBase
+
+    class WrongDtypeStep(PipelineStepBase):
+        placement = "device"
+
+        def _check_and_adjust_data_format_input_to_output(self, fmt):
+            return fmt
+
+        def _process(self, sdg):
+            import jax.numpy as jnp
+
+            sdg["label"] = jnp.zeros((), jnp.float32)  # declared INT32
+            return sdg
+
+    _, pipe = build_pipeline(steps=[ImageDecoder("image"), WrongDtypeStep()])
+    with pytest.raises(TypeError):
+        next(pipe)
+    pipe.stop()
