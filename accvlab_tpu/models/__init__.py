@@ -13,12 +13,13 @@ from .centernet import (
     decode_detections,
     make_train_step,
 )
-from .petr import PETRDetector, make_petr_train_step, petr_loss
+from .petr import PETRDetector, decode_detections_3d, make_petr_train_step, petr_loss
 
 __all__ = [
     "CenterNetDetector",
     "PETRDetector",
     "centernet_loss",
+    "decode_detections_3d",
     "make_petr_train_step",
     "make_train_step",
     "petr_loss",

@@ -89,6 +89,42 @@ class PETRDetector(nn.Module):
         return {"boxes3d": boxes, "logits": logits, "existence": existence}
 
 
+
+def decode_detections_3d(
+    outputs,
+    max_detections: int = 64,
+    score_threshold: float = 0.3,
+):
+    """Serving decode for PETR outputs: existence-gated class scores ->
+    static per-sample ``top_k`` -> ragged 3-D detections.
+
+    Query-based detectors need no NMS (queries compete during training); the
+    decode is a pure static-shape ranking, so it jit-compiles and shards with
+    the model. Scores sort descending, so valid detections form a prefix and
+    the variable count per sample is the RaggedBatch sample size.
+
+    Returns dict with RaggedBatch ``boxes3d (B, K, 7)``, ``scores (B, K)``,
+    ``classes (B, K)`` int32.
+    """
+    logits = outputs["logits"]  # (B, Q, C)
+    b, q, c = logits.shape
+    k = min(max_detections, q)
+    cls_prob = jax.nn.softmax(logits, axis=-1)
+    exist = jax.nn.sigmoid(outputs["existence"])[:, :, None]  # (B, Q, 1)
+    score_per_query = jnp.max(cls_prob * exist, axis=-1)  # (B, Q)
+    cls_per_query = jnp.argmax(cls_prob, axis=-1).astype(jnp.int32)
+
+    scores, idx = jax.lax.top_k(score_per_query, k)  # (B, K) sorted desc
+    boxes = jnp.take_along_axis(outputs["boxes3d"], idx[:, :, None], axis=1)
+    classes = jnp.take_along_axis(cls_per_query, idx, axis=1)
+    num_valid = jnp.sum(scores > score_threshold, axis=1).astype(jnp.int32)
+    return {
+        "boxes3d": RaggedBatch(boxes, sample_sizes=num_valid),
+        "scores": RaggedBatch(scores, sample_sizes=num_valid),
+        "classes": RaggedBatch(classes, sample_sizes=num_valid),
+    }
+
+
 # --------------------------------------------------------------------- #
 # Set-based ragged loss (batched; matching indices supplied)            #
 # --------------------------------------------------------------------- #

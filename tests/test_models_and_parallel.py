@@ -175,3 +175,42 @@ def test_centernet_decode_detections():
     )
     assert list(np.asarray(empty["boxes"].sample_sizes)) == [0, 0]
     assert empty["boxes"].tensor.shape == (B, 10, 4)
+
+
+def test_petr_decode_detections_3d():
+    """3-D serving decode: existence-gated queries come back as ragged
+    detections; fixed shapes under jit."""
+    import jax
+
+    from accvlab_tpu.models import decode_detections_3d
+
+    B, Q, C = 2, 32, 6
+    rng = np.random.default_rng(0)
+    logits = np.zeros((B, Q, C), np.float32)
+    exist = np.full((B, Q), -6.0, np.float32)
+    boxes = rng.normal(size=(B, Q, 7)).astype(np.float32)
+    for b, qi, ci in [(0, 3, 2), (0, 10, 4), (1, 7, 1)]:
+        exist[b, qi] = 6.0
+        logits[b, qi, ci] = 8.0
+
+    dec = jax.jit(lambda o: decode_detections_3d(o, max_detections=8, score_threshold=0.3))
+    out = dec(
+        {
+            "boxes3d": jnp.asarray(boxes),
+            "logits": jnp.asarray(logits),
+            "existence": jnp.asarray(exist),
+        }
+    )
+    assert list(np.asarray(out["boxes3d"].sample_sizes)) == [2, 1]
+    assert set(np.asarray(out["classes"].tensor)[0][:2].tolist()) == {2, 4}
+    np.testing.assert_allclose(
+        np.asarray(out["boxes3d"].tensor)[1][0], boxes[1, 7], rtol=1e-6
+    )
+    empty = dec(
+        {
+            "boxes3d": jnp.asarray(boxes),
+            "logits": jnp.asarray(logits),
+            "existence": jnp.asarray(exist * 0 - 6.0),
+        }
+    )
+    assert list(np.asarray(empty["boxes3d"].sample_sizes)) == [0, 0]
