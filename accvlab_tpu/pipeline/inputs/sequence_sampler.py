@@ -23,13 +23,21 @@ class SequenceSampler(SamplerBase):
     def __init__(
         self,
         total_batch_size: int,
-        sequence_lengths: Sequence[int],
-        seed: int,
+        sequence_lengths: Sequence[int] = None,
+        seed: int = None,
         randomize: bool = True,
+        *,
+        sequence_lenghts: Sequence[int] = None,
     ):
         """Args mirror the reference: ``sequence_lengths[s]`` is the number of
         consecutive dataset indices belonging to sequence ``s`` (sequences are
-        laid out back to back in the dataset index space)."""
+        laid out back to back in the dataset index space). The reference
+        spells the parameter ``sequence_lenghts`` (sequence_sampler.py:60);
+        both spellings are accepted."""
+        if sequence_lengths is None:
+            sequence_lengths = sequence_lenghts
+        assert sequence_lengths is not None, "sequence_lengths is required"
+        assert seed is not None, "seed is required"
         assert len(sequence_lengths) >= total_batch_size, (
             "The number of sequences must be at least the total batch size."
         )

@@ -72,9 +72,20 @@ class UnneededFieldRemover(PipelineStepBase):
 
     placement = "any"
 
-    def __init__(self, field_names: Union[Name, Sequence[Name]]):
+    def __init__(
+        self,
+        unneeded_field_names: Union[Name, Sequence[Name], None] = None,
+        *,
+        field_names: Union[Name, Sequence[Name], None] = None,
+    ):
+        """``unneeded_field_names`` is the reference's parameter name
+        (``unneeded_fields_remover.py:41``); ``field_names`` is kept as a
+        keyword alias for earlier accvlab_tpu call sites."""
         super().__init__()
-        self._field_names = as_name_list(field_names)
+        if unneeded_field_names is None:
+            unneeded_field_names = field_names
+        assert unneeded_field_names is not None, "unneeded_field_names is required"
+        self._field_names = as_name_list(unneeded_field_names)
 
     def _process(self, data: SampleDataGroup) -> SampleDataGroup:
         for name in self._field_names:
