@@ -1,0 +1,72 @@
+"""Detection serving: checkpoint -> jitted forward+decode -> ragged results.
+
+The production inference path: restore trained CenterNet params with orbax,
+compile ONE program that runs the forward pass AND the NMS-free decode
+(`accvlab_tpu.models.decode_detections`), and serve batches with static
+shapes end to end — the variable number of detections per image is a
+RaggedBatch, so downstream code gets exact per-image results without dynamic
+shapes ever entering the compiled program.
+
+Run: ``python examples/detection_serving.py``
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import jax
+import numpy as np
+
+from accvlab_tpu.models import CenterNetDetector, decode_detections
+from accvlab_tpu.models.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def main(batch_size: int = 8, hw=(256, 320), num_classes: int = 10):
+    model = CenterNetDetector(num_classes=num_classes, width=64)
+    images = np.random.default_rng(0).uniform(0, 1, (batch_size, *hw, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), images[:1])
+
+    # --- train-side: persist a checkpoint (stand-in for a training run) --- #
+    ckpt_dir = tempfile.mkdtemp()
+    save_checkpoint(ckpt_dir, step=1000, params=params, opt_state=None,
+                    pipeline_state={"model_classes": num_classes})
+
+    # --- serving side: restore + compile the full inference program ------ #
+    path = latest_checkpoint(ckpt_dir)
+    restored_params, _, meta = restore_checkpoint(
+        path, {"params": params, "opt_state": None}
+    )
+    print(f"restored step-{meta['step']} checkpoint (pipeline meta: {meta['pipeline']})")
+
+    @jax.jit
+    def serve(params, images):
+        outputs = model.apply(params, images)
+        return decode_detections(outputs, max_detections=100, score_threshold=0.3)
+
+    # warmup / compile
+    out = serve(restored_params, images)
+    jax.block_until_ready(out["scores"].tensor)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = serve(restored_params, images)
+    jax.block_until_ready(out["scores"].tensor)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+    sizes = np.asarray(out["boxes"].sample_sizes)
+    print(
+        f"serve({batch_size}x{hw[0]}x{hw[1]}): {ms:.2f} ms/batch "
+        f"({batch_size / ms * 1e3:.0f} img/s), detections per image: {sizes.tolist()} "
+        f"(untrained params -> every peak clears the threshold; counts drop "
+        f"as training sharpens the heatmap)"
+    )
+    return ms
+
+
+if __name__ == "__main__":
+    main()

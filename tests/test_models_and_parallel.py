@@ -214,3 +214,14 @@ def test_petr_decode_detections_3d():
         }
     )
     assert list(np.asarray(empty["boxes3d"].sample_sizes)) == [0, 0]
+
+
+def test_detection_serving_example():
+    """Checkpoint save/restore -> fused forward+decode serving program."""
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "examples"))
+    import detection_serving as ex
+
+    ms = ex.main(batch_size=2, hw=(64, 96), num_classes=4)
+    assert ms > 0
