@@ -45,11 +45,16 @@ class StructuredOutputIterator:
         pipeline: TPUPipeline,
         sample_data_structure_blueprint: SampleDataGroup,
         contained_dataset: Optional[Any] = None,
+        dali_generic_iterator_class: Optional[Any] = None,
         convert_sample_data_group_to_dict: bool = True,
         post_process_func: Optional[Callable] = None,
     ):
         """Args mirror the reference (``:74-113``); ``num_batches_in_epoch``
-        is only reported via ``len()`` (DataLoader compatibility)."""
+        is only reported via ``len()`` (DataLoader compatibility).
+        ``dali_generic_iterator_class`` is accepted for source compatibility
+        and ignored — the TPU executor yields framework-neutral jax arrays
+        directly (there is no DALI generic-iterator layer to swap)."""
+        del dali_generic_iterator_class
         self._num_batches_in_epoch = num_batches_in_epoch
         self._pipeline = pipeline
         self._blueprint = sample_data_structure_blueprint.get_empty_like_self()
