@@ -352,3 +352,52 @@ def test_wrong_dtype_in_pipeline_raises():
     with pytest.raises(TypeError):
         next(pipe)
     pipe.stop()
+
+
+def test_iterable_input_with_sampler():
+    """Full pipeline driven by the ITERABLE input path (SamplerInputIterable
+    over a SequenceSampler): per-batch field lists cross the boundary and
+    device steps run (reference: sampler_input_test.py iterable usage)."""
+    from accvlab_tpu.pipeline.inputs import SamplerInputIterable, SequenceSampler
+
+    class NumProvider(DataProvider):
+        @property
+        def sample_data_structure(self):
+            sdg = SampleDataGroup()
+            sdg.add_data_field("value", DType.FLOAT)
+            sdg.add_data_field("index", DType.INT32)
+            return sdg
+
+        def get_data(self, i):
+            sdg = self.sample_data_structure
+            sdg["value"] = np.full((2, 3, 1), float(i), np.float32)
+            sdg["index"] = i
+            return sdg
+
+        def get_number_of_samples(self):
+            return 24
+
+    sampler = SequenceSampler(total_batch_size=4, sequence_lengths=[6, 6, 6, 6], seed=0,
+                              randomize=False)
+    inp = SamplerInputIterable(NumProvider(), sampler)
+    definition = PipelineDefinition(inp, [TensorSizeAdder("value", "_size")])
+    pipe = definition.get_pipeline(batch_size=4, num_threads=2, seed=0)
+    seen = []
+    batches = 0
+    try:
+        for batch in pipe:
+            b = batch[0]
+            idx = np.asarray(b["index"]).ravel().tolist()
+            seen.extend(idx)
+            vals = np.asarray(b["value"])
+            np.testing.assert_array_equal(vals[:, 0, 0, 0], np.asarray(idx, np.float32))
+            assert np.asarray(b["value_size"]).tolist() == [[2, 3]] * 4
+            batches += 1
+            if batches >= 6:
+                break
+    except StopIteration:
+        pass
+    # each batch slot walks its own sequence forward (frames 0..5 of 4 seqs)
+    assert batches == 6
+    assert sorted(seen) == sorted(range(24))
+    pipe.stop()
