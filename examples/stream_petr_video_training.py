@@ -1,0 +1,146 @@
+"""StreamPETR-style video training: multi-camera video streams -> temporal
+frame windows -> PETR 3-D detector training with a batched ragged set loss.
+
+This is the TPU-native analog of the reference's flagship use case
+(``packages/dali_pipeline_framework/docs/examples/stream_petr`` +
+``on_demand_video_decoder/examples/dataloader_stream_decode``): every
+component that exists for StreamPETR's sake composes here —
+
+* `SequenceSampler` walks each batch slot forward through one drive-log so
+  the stream decoders never seek backward,
+* `BatchAsyncStreamReader` double-buffers multi-camera decode (Decode for
+  batch N+1 overlaps training step N),
+* frames feed a jitted PETR train step whose set loss runs fully batched
+  over RaggedBatch ground truth (the x59.6 full-iteration speedup).
+
+Run: ``python examples/stream_petr_video_training.py``
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from accvlab_tpu.models.petr import (
+    PETRDetector,
+    make_petr_example_batch,
+    make_petr_train_step,
+)
+from accvlab_tpu.pipeline.inputs import SequenceSampler
+from accvlab_tpu.ragged import RaggedBatch
+from accvlab_tpu.video import CreateBatchAsyncStreamReader, write_video
+from accvlab_tpu.video.encode import make_moving_shape_frames
+
+NUM_CAMS = 2
+FRAMES_PER_CLIP = 48
+HW = (64, 96)
+
+
+def make_camera_clips(directory, num_drives=3):
+    """num_drives drive-logs x NUM_CAMS camera clips each."""
+    drives = []
+    for d in range(num_drives):
+        cams = []
+        for c in range(NUM_CAMS):
+            frames = make_moving_shape_frames(
+                FRAMES_PER_CLIP, hw=HW, seed=d * 10 + c
+            )
+            p = os.path.join(directory, f"drive{d}_cam{c}.mp4")
+            write_video(p, frames, fps=12, gop_size=12)
+            cams.append(p)
+        drives.append(cams)
+    return drives
+
+
+def synth_labels(rng, batch_size, num_classes):
+    """Stand-in 3-D ground truth per temporal window (a real dataset would
+    load these from the drive-log annotations)."""
+    max_gt = 8
+    sizes = rng.integers(1, max_gt + 1, (batch_size,)).astype(np.int32)
+    mk = lambda x: RaggedBatch(jnp.asarray(x), sample_sizes=jnp.asarray(sizes))
+    matches = np.stack([rng.permutation(max_gt) for _ in range(batch_size)]).astype(np.int32)
+    return {
+        "gt_boxes": mk(rng.normal(size=(batch_size, max_gt, 7)).astype(np.float32)),
+        "gt_classes": mk(
+            rng.integers(0, num_classes, (batch_size, max_gt)).astype(np.float32)
+        ),
+        "matches_gt": mk(matches),
+        "matches_pred": mk(rng.integers(0, 16, (batch_size, max_gt)).astype(np.int32)),
+    }
+
+
+def main(num_steps: int = 6, batch_drives: int = 2):
+    rng = np.random.default_rng(0)
+    num_classes = 6
+    model = PETRDetector(num_classes=num_classes, dim=32, num_queries=16, num_layers=2)
+    init_fn, train_step = make_petr_train_step(model)
+    train_step = jax.jit(train_step)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        drives = make_camera_clips(tmp)
+        sampler = SequenceSampler(
+            total_batch_size=batch_drives,
+            sequence_lengths=[FRAMES_PER_CLIP] * len(drives),
+            seed=0,
+        )
+        reader = CreateBatchAsyncStreamReader(max_readers=NUM_CAMS * len(drives))
+
+        def request_for(indices):
+            """Sampler indices -> (paths, frame_ids) for all cameras."""
+            paths, fids = [], []
+            for idx in indices:
+                drive, frame = idx // FRAMES_PER_CLIP, idx % FRAMES_PER_CLIP
+                for cam_path in drives[drive]:
+                    paths.append(cam_path)
+                    fids.append([frame])
+            return paths, fids
+
+        def to_batch(frame_lists):
+            # (batch*cams) x 1 frames -> (B, N_cam, H, W, 3) float in [0, 1]
+            arr = np.stack([np.stack(f) for f in frame_lists])  # (B*N, 1, H, W, 3)
+            arr = arr.reshape(batch_drives, NUM_CAMS, *HW, 3).astype(np.float32) / 255.0
+            return jnp.asarray(arr)
+
+        # prime params + double buffering: issue Decode for batch 0
+        example = make_petr_example_batch(
+            batch_size=batch_drives, num_cams=NUM_CAMS, hw=HW, num_classes=num_classes
+        )
+        params, opt_state = init_fn(jax.random.PRNGKey(0), example["images"])
+
+        indices = sampler.get_next_batch_indices()
+        reader.Decode(*request_for(indices))
+
+        losses = []
+        t0 = time.time()
+        for step in range(num_steps):
+            frames = reader.GetBuffer(*request_for(indices))
+            next_indices = sampler.get_next_batch_indices()
+            reader.Decode(*request_for(next_indices))  # overlap with training
+
+            batch = {"images": to_batch(frames), **synth_labels(rng, batch_drives, num_classes)}
+            params, opt_state, metrics = train_step(params, opt_state, batch)
+            losses.append(float(metrics["loss"]))
+            indices = next_indices
+        dt = time.time() - t0
+        print(
+            f"{num_steps} stream-PETR steps in {dt:.1f}s "
+            f"({num_steps * batch_drives * NUM_CAMS / dt:.1f} camera-frames/s); "
+            f"loss {losses[0]:.3f} -> {losses[-1]:.3f}"
+        )
+        reader.ReleaseResources()
+        return losses
+
+
+if __name__ == "__main__":
+    losses = main()
+    assert losses[-1] < losses[0], "loss should decrease over the first steps"
+    print("OK")

@@ -102,3 +102,15 @@ def test_video_vs_image_benchmark_runs():
     fps_img, fps_vid = ex.main()
     assert fps_img > 0 and fps_vid > 0
     assert fps_vid >= 0.8 * fps_img  # parity bar (reference: >= ~0.97x)
+
+
+def test_stream_petr_example_smoke():
+    """The flagship use case: video stream readers feeding jitted PETR
+    training with double buffering (reference stream_petr example)."""
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "examples"))
+    import stream_petr_video_training as ex
+
+    losses = ex.main(num_steps=3)
+    assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
