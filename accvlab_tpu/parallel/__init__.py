@@ -3,7 +3,8 @@
 The TPU-native substrate replacing what the reference gets from DALI
 per-rank ``device_id`` + ``torch.distributed`` DDP (SURVEY §2.3/§5.8):
 
-* :func:`make_mesh` — build a ``jax.sharding.Mesh`` over (data, model) axes.
+* :func:`make_mesh` / :func:`make_mesh_nd` — build a ``jax.sharding.Mesh``
+  over (data, model) axes, or any N-D layout (dp/sp/tp/...).
 * :func:`shard_batch` — place a process-local host batch onto the mesh,
   sharded over the data axis (``jax.make_array_from_process_local_data``);
   this is the ICI/DCN-aware replacement for both the reference copy engine's
@@ -12,6 +13,6 @@ per-rank ``device_id`` + ``torch.distributed`` DDP (SURVEY §2.3/§5.8):
   :class:`~accvlab_tpu.pipeline.inputs.ShuffledShardedInputCallable`.
 """
 
-from .mesh import host_shard_info, make_mesh, shard_batch, shard_like_batch
+from .mesh import host_shard_info, make_mesh, make_mesh_nd, shard_batch, shard_like_batch
 
-__all__ = ["host_shard_info", "make_mesh", "shard_batch", "shard_like_batch"]
+__all__ = ["host_shard_info", "make_mesh", "make_mesh_nd", "shard_batch", "shard_like_batch"]

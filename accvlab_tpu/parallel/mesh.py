@@ -38,6 +38,33 @@ def make_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def make_mesh_nd(
+    shape: Sequence[int],
+    axis_names: Sequence[str],
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build an N-D device mesh (e.g. ``(dp, sp, tp)`` with axis names
+    ``("data", "seq", "model")``) using ``mesh_utils.create_device_mesh`` so
+    the axis order maps onto the physical ICI topology.
+
+    Use for 3-axis and deeper sharding layouts — ``__graft_entry__``'s
+    PETR dry run shards (batch, camera-tokens, decoder kernels) over such a
+    mesh; :func:`make_mesh` stays the simple (data, model) case.
+    """
+    from jax.experimental import mesh_utils
+
+    shape = tuple(int(s) for s in shape)
+    assert len(shape) == len(axis_names), "one axis name per mesh dimension"
+    devices = list(devices if devices is not None else jax.devices())
+    n = int(np.prod(shape))
+    assert n == len(devices), f"mesh {shape} needs {n} devices, have {len(devices)}"
+    if all(d in jax.devices() for d in devices) and len(devices) == len(jax.devices()):
+        dev_array = mesh_utils.create_device_mesh(shape)
+    else:
+        dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
 def host_shard_info(mesh: Optional[Mesh] = None) -> Tuple[int, int]:
     """(shard_id, num_shards) for this host's input pipeline — feed these to
     ``ShuffledShardedInputCallable`` (the reference's rank/world_size)."""

@@ -225,3 +225,22 @@ def test_detection_serving_example():
 
     ms = ex.main(batch_size=2, hw=(64, 96), num_classes=4)
     assert ms > 0
+
+
+def test_make_mesh_nd():
+    import jax
+
+    from accvlab_tpu.parallel import make_mesh_nd
+
+    mesh = make_mesh_nd((2, 2, 2), ("data", "seq", "model"))
+    assert mesh.axis_names == ("data", "seq", "model")
+    assert mesh.devices.shape == (2, 2, 2)
+    # a sharded computation over all three axes compiles and runs
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    x = jnp.arange(2 * 4 * 8, dtype=jnp.float32).reshape(2, 4, 8)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "seq", "model")))
+    with mesh:
+        y = jax.jit(lambda a: (a * 2).sum())(xs)
+    assert float(y) == float(x.sum() * 2)
