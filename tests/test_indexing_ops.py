@@ -297,3 +297,57 @@ def test_bool_indexing_roundtrip():
     compact = batched_bool_indexing(data, mask)
     restored = batched_bool_indexing_write(compact, mask, jnp.zeros_like(data))
     np.testing.assert_array_equal(np.asarray(restored), [[1.0, 0.0, 3.0, 0.0]])
+
+
+def test_gather_adjoint_matches_numerical():
+    """AD through batched_indexing_access agrees with finite differences."""
+    rb = RaggedBatch(
+        jnp.arange(12, dtype=jnp.float32).reshape(2, 3, 2),
+        sample_sizes=jnp.array([2, 3]),
+    )
+    idx = rb.create_with_sample_sizes_like_self(
+        jnp.array([[1, 0, 0], [2, 1, 0]], dtype=jnp.int32)
+    )
+
+    def loss(t):
+        r = RaggedBatch(t, rb.mask, rb.sample_sizes)
+        out = batched_indexing_access(r, idx)
+        return jnp.sum(out.with_padded_set_to(0.0).tensor ** 2)
+
+    g = jax.grad(loss)(rb.tensor)
+    eps = 1e-3
+    t0 = np.asarray(rb.tensor)
+    for (b, s, d) in [(0, 0, 0), (0, 1, 1), (1, 2, 0), (1, 0, 1)]:
+        tp = t0.copy(); tp[b, s, d] += eps
+        tm = t0.copy(); tm[b, s, d] -= eps
+        num = (loss(jnp.asarray(tp)) - loss(jnp.asarray(tm))) / (2 * eps)
+        assert float(g[b, s, d]) == pytest.approx(float(num), abs=2e-2)
+
+
+def test_scatter_write_adjoint_matches_numerical():
+    """AD through batched_indexing_write agrees with finite differences in
+    the values argument (deterministic scatter on TPU)."""
+    target = RaggedBatch(
+        jnp.zeros((2, 4, 1), jnp.float32), sample_sizes=jnp.array([3, 4])
+    )
+    values = RaggedBatch(
+        jnp.arange(8, dtype=jnp.float32).reshape(2, 4, 1),
+        sample_sizes=jnp.array([2, 3]),
+    )
+    idx = values.create_with_sample_sizes_like_self(
+        jnp.array([[2, 0, 0, 0], [1, 3, 0, 0]], dtype=jnp.int32)
+    )
+
+    def loss(vt):
+        v = RaggedBatch(vt, values.mask, values.sample_sizes)
+        out = batched_indexing_write(target, idx, v)
+        return jnp.sum(out.with_padded_set_to(0.0).tensor ** 2)
+
+    g = jax.grad(loss)(values.tensor)
+    eps = 1e-3
+    v0 = np.asarray(values.tensor)
+    for (b, s) in [(0, 0), (0, 1), (1, 0), (1, 2)]:
+        vp = v0.copy(); vp[b, s, 0] += eps
+        vm = v0.copy(); vm[b, s, 0] -= eps
+        num = (loss(jnp.asarray(vp)) - loss(jnp.asarray(vm))) / (2 * eps)
+        assert float(g[b, s, 0]) == pytest.approx(float(num), abs=2e-2)
