@@ -433,15 +433,16 @@ class CachedGopDecoder:
 def CreateGopDecoder(
     maxfiles: int = 16,
     iGpu: int = 0,
-    gopCacheCapacity: int = 16,
-    num_workers: int = 4,
     suppressNoColorRangeWarning: bool = False,
+    gopCacheCapacity: int = None,
+    num_workers: int = 4,
 ) -> CachedGopDecoder:
-    """Factory (parity: reference ``decoder.py:369``). ``iGpu`` and
+    """Factory (parity: reference ``decoder.py:369``, including the
+    ``gopCacheCapacity=None -> maxfiles`` default). ``iGpu`` and
     ``suppressNoColorRangeWarning`` are accepted for API parity (CPU decode
     path; color range handled by libswscale)."""
     del iGpu, suppressNoColorRangeWarning
     return CachedGopDecoder(
         GopDecoder(maxfiles=maxfiles, num_workers=num_workers),
-        cache_capacity=gopCacheCapacity,
+        cache_capacity=maxfiles if gopCacheCapacity is None else gopCacheCapacity,
     )
