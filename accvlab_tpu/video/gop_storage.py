@@ -57,6 +57,54 @@ class GOPStorageManager:
             self._save_index()
         return stored
 
+    def store_single_gop(self, clip_name: str, video_path: str, packets_tuple) -> bool:
+        """Persist a pre-fetched ``GetGOP`` result without re-demuxing
+        (parity: reference ``gop_storage.py:231``). ``clip_name`` prefixes the
+        stored filename. Returns True on success."""
+        try:
+            bundle, firsts, lens = packets_tuple
+            entries = self._index.setdefault(video_path, [])
+            for first, length in zip(list(firsts), list(lens)):
+                if self._find_entry(video_path, int(first)) is not None:
+                    continue
+                fname = f"{clip_name}_{int(first):08d}.gop"
+                self._decoder.SavePacketsToFile(
+                    np.asarray(bundle), os.path.join(self._dir, fname)
+                )
+                entries.append(
+                    {"first_frame_id": int(first), "gop_len": int(length), "file": fname}
+                )
+            self._save_index()
+            return True
+        except Exception:
+            return False
+
+    def load_gops(
+        self, frame_ids: Sequence[int], video_paths: Sequence[str]
+    ) -> Optional[np.ndarray]:
+        """Load the stored bundles for the requested frames, or ``None`` if
+        any is missing (parity: reference ``gop_storage.py:326`` — note the
+        ``frame_ids``-first argument order)."""
+        try:
+            merged, _, _ = self.load_gops_fast(list(video_paths), list(frame_ids))
+            return merged
+        except KeyError:
+            return None
+
+    def get_gop_stats(self, video_path: str) -> dict:
+        """Statistics of stored GOPs for one video (parity: ``:460``)."""
+        infos = self._index.get(video_path, [])
+        total_frames = sum(e["gop_len"] for e in infos)
+        return {
+            "total_gops": len(infos),
+            "total_frames": total_frames,
+            "avg_gop_size": total_frames / len(infos) if infos else 0,
+            "frame_ranges": [
+                (e["first_frame_id"], e["first_frame_id"] + e["gop_len"] - 1)
+                for e in infos
+            ],
+        }
+
     def _find_entry(self, video_path: str, frame_id: int) -> Optional[dict]:
         for e in self._index.get(video_path, []):
             if e["first_frame_id"] <= frame_id < e["first_frame_id"] + e["gop_len"]:

@@ -246,6 +246,11 @@ class SharedGopStore:
                 pass
         os.close(self._lock_fd)
 
+    def close(self):
+        """Close shared-memory handles WITHOUT unlinking — call from worker
+        processes before exit (parity: reference ``shared_gop_store.py:496``)."""
+        self.detach()
+
     def detach(self):
         """Worker: release the mapping without destroying the store."""
         self._entries = None
