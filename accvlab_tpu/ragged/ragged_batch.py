@@ -564,6 +564,16 @@ class RaggedBatch:
         target = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         return self.create_with_sample_sizes_like_self(self._tensor.astype(target))
 
+    def cfloat(self) -> "RaggedBatch":
+        """Complex64 conversion (parity: ``ragged_batch.py:1075``)."""
+        return self.create_with_sample_sizes_like_self(self._tensor.astype(jnp.complex64))
+
+    def cdouble(self) -> "RaggedBatch":
+        """Complex conversion (parity: ``:1079``; complex128 needs
+        jax_enable_x64, otherwise canonicalizes to complex64)."""
+        target = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+        return self.create_with_sample_sizes_like_self(self._tensor.astype(target))
+
     def to(self, *, dtype=None, device=None) -> "RaggedBatch":
         res = self
         if dtype is not None:
