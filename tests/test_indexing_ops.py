@@ -340,7 +340,7 @@ def test_scatter_write_adjoint_matches_numerical():
 
     def loss(vt):
         v = RaggedBatch(vt, values.mask, values.sample_sizes)
-        out = batched_indexing_write(target, idx, v)
+        out = batched_indexing_write(v, idx, target)
         return jnp.sum(out.with_padded_set_to(0.0).tensor ** 2)
 
     g = jax.grad(loss)(values.tensor)

@@ -1,0 +1,117 @@
+"""Randomized cross-checks of the ragged core against pure-numpy oracles.
+
+Mirrors the reference's broad parametrization style (SURVEY §4) with random
+shape/size configurations: every op must agree with an obviously-correct
+per-sample numpy loop, for every drawn configuration.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from accvlab_tpu.ragged import (
+    RaggedBatch,
+    average_over_targets,
+    batched_bool_indexing,
+    batched_indexing_access,
+    batched_indexing_write,
+    sum_over_targets,
+)
+
+CONFIGS = list(range(25))
+
+
+def draw(rng):
+    b = int(rng.integers(1, 5))
+    smax = int(rng.integers(1, 7))
+    d = int(rng.integers(1, 4))
+    sizes = rng.integers(0, smax + 1, (b,)).astype(np.int32)
+    if sizes.max() == 0:
+        sizes[rng.integers(0, b)] = 1
+    smax = int(sizes.max())
+    tensor = rng.normal(size=(b, smax, d)).astype(np.float32)
+    return b, smax, d, sizes, tensor
+
+
+@pytest.mark.parametrize("seed", CONFIGS)
+def test_gather_matches_numpy_loop(seed):
+    rng = np.random.default_rng(seed)
+    b, smax, d, sizes, tensor = draw(rng)
+    rb = RaggedBatch(jnp.asarray(tensor), sample_sizes=jnp.asarray(sizes))
+    idx_sizes = rng.integers(0, smax + 1, (b,)).astype(np.int32)
+    idx_sizes = np.minimum(idx_sizes, sizes)
+    if idx_sizes.max() == 0:
+        idx_sizes[np.argmax(sizes)] = 1
+    imax = int(idx_sizes.max())
+    idx = np.zeros((b, imax), np.int32)
+    for i in range(b):
+        if idx_sizes[i] > 0:
+            idx[i, : idx_sizes[i]] = rng.integers(0, sizes[i], idx_sizes[i])
+    idx_rb = RaggedBatch(jnp.asarray(idx), sample_sizes=jnp.asarray(idx_sizes))
+
+    out = batched_indexing_access(rb, idx_rb)
+    arr = np.asarray(out.with_padded_set_to(0.0).tensor)
+    for i in range(b):
+        for j in range(int(idx_sizes[i])):
+            np.testing.assert_allclose(arr[i, j], tensor[i, idx[i, j]], rtol=1e-6)
+        assert np.all(arr[i, int(idx_sizes[i]):] == 0.0)
+
+
+@pytest.mark.parametrize("seed", CONFIGS)
+def test_write_matches_numpy_loop(seed):
+    rng = np.random.default_rng(100 + seed)
+    b, smax, d, sizes, tensor = draw(rng)
+    target = RaggedBatch(jnp.asarray(tensor), sample_sizes=jnp.asarray(sizes))
+    v_sizes = np.minimum(rng.integers(0, smax + 1, (b,)).astype(np.int32), sizes)
+    vmax = max(1, int(v_sizes.max()))
+    vals = rng.normal(size=(b, vmax, d)).astype(np.float32)
+    idx = np.zeros((b, vmax), np.int32)
+    for i in range(b):
+        if v_sizes[i] > 0:
+            # unique destinations: duplicate-write order is undefined
+            idx[i, : v_sizes[i]] = rng.choice(sizes[i], v_sizes[i], replace=False)
+    vals_rb = RaggedBatch(jnp.asarray(vals), sample_sizes=jnp.asarray(v_sizes))
+    idx_rb = vals_rb.create_with_sample_sizes_like_self(jnp.asarray(idx))
+
+    out = batched_indexing_write(vals_rb, idx_rb, target)
+    arr = np.asarray(out.with_padded_set_to(0.0).tensor)
+    expect = tensor.copy()
+    for i in range(b):
+        expect[i, sizes[i]:] = 0.0
+        for j in range(int(v_sizes[i])):
+            expect[i, idx[i, j]] = vals[i, j]
+    np.testing.assert_allclose(arr, expect, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", CONFIGS)
+def test_reductions_match_numpy_loop(seed):
+    rng = np.random.default_rng(200 + seed)
+    b, smax, d, sizes, tensor = draw(rng)
+    rb = RaggedBatch(jnp.asarray(tensor), sample_sizes=jnp.asarray(sizes))
+    s = np.asarray(sum_over_targets(rb))
+    a = np.asarray(average_over_targets(rb))
+    for i in range(b):
+        n = int(sizes[i])
+        np.testing.assert_allclose(s[i], tensor[i, :n].sum(0), rtol=2e-5, atol=1e-6)
+        if n > 0:
+            np.testing.assert_allclose(a[i], tensor[i, :n].mean(0), rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", CONFIGS)
+def test_bool_indexing_matches_numpy_loop(seed):
+    rng = np.random.default_rng(300 + seed)
+    b, smax, d, sizes, tensor = draw(rng)
+    rb = RaggedBatch(jnp.asarray(tensor), sample_sizes=jnp.asarray(sizes))
+    sel = np.zeros((b, smax), bool)
+    for i in range(b):
+        sel[i, : sizes[i]] = rng.random(sizes[i]) < 0.5
+    sel_rb = rb.create_with_sample_sizes_like_self(jnp.asarray(sel))
+
+    out = batched_bool_indexing(rb, sel_rb)
+    out_sizes = np.asarray(out.sample_sizes)
+    arr = np.asarray(out.with_padded_set_to(0.0).tensor)
+    for i in range(b):
+        kept = tensor[i][sel[i]]
+        assert out_sizes[i] == kept.shape[0]
+        if kept.shape[0]:
+            np.testing.assert_allclose(arr[i, : kept.shape[0]], kept, rtol=1e-6)
