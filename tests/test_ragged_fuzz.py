@@ -115,3 +115,39 @@ def test_bool_indexing_matches_numpy_loop(seed):
         assert out_sizes[i] == kept.shape[0]
         if kept.shape[0]:
             np.testing.assert_allclose(arr[i, : kept.shape[0]], kept, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", CONFIGS[:15])
+def test_get_compact_lists_matches_numpy_loop(seed):
+    """Compaction of hole-y masks: valid entries move to a prefix, per the
+    per-sample numpy oracle ``tensor[i][mask[i]]``."""
+    from accvlab_tpu.ragged import get_compact_lists
+
+    rng = np.random.default_rng(400 + seed)
+    b, smax, d, sizes, tensor = draw(rng)
+    mask = rng.random((b, smax)) < 0.5  # arbitrary holes
+    out = get_compact_lists(jnp.asarray(mask), [jnp.asarray(tensor)])[0]
+    out_sizes = np.asarray(out.sample_sizes)
+    arr = np.asarray(out.with_padded_set_to(0.0).tensor)
+    for i in range(b):
+        kept = tensor[i][mask[i]]
+        assert out_sizes[i] == kept.shape[0]
+        if kept.shape[0]:
+            np.testing.assert_allclose(arr[i, : kept.shape[0]], kept, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", CONFIGS[:15])
+def test_combine_data_roundtrip(seed):
+    """split -> combine_data reproduces the original RaggedBatch."""
+    from accvlab_tpu.ragged import combine_data
+
+    rng = np.random.default_rng(500 + seed)
+    b, smax, d, sizes, tensor = draw(rng)
+    rb = RaggedBatch(jnp.asarray(tensor), sample_sizes=jnp.asarray(sizes))
+    rebuilt = combine_data(rb.split())
+    np.testing.assert_array_equal(np.asarray(rebuilt.sample_sizes), sizes)
+    np.testing.assert_allclose(
+        np.asarray(rebuilt.with_padded_set_to(0.0).tensor),
+        np.asarray(rb.with_padded_set_to(0.0).tensor),
+        rtol=1e-6,
+    )
