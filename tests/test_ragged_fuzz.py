@@ -151,3 +151,57 @@ def test_combine_data_roundtrip(seed):
         np.asarray(rb.with_padded_set_to(0.0).tensor),
         rtol=1e-6,
     )
+
+
+@pytest.mark.parametrize("seed", CONFIGS[:10])
+def test_heatmap_batched_fuzz_vs_golden(seed):
+    """Random heatmap configs vs the scalar golden draw (same oracle as
+    test_heatmap, broader shapes/target counts)."""
+    from accvlab_tpu.heatmap import draw_heatmap_batched
+    from test_heatmap import golden_draw
+
+    rng = np.random.default_rng(600 + seed)
+    b = int(rng.integers(1, 4))
+    h, w = int(rng.integers(8, 24)), int(rng.integers(8, 40))
+    tmax = int(rng.integers(1, 8))
+    sizes = rng.integers(0, tmax + 1, (b,)).astype(np.int32)
+    if sizes.max() == 0:
+        sizes[0] = 1
+    tmax = int(sizes.max())
+    xs = rng.integers(0, w, (b, tmax)).astype(np.int32)
+    ys = rng.integers(0, h, (b, tmax)).astype(np.int32)
+    rad = rng.integers(0, 5, (b, tmax)).astype(np.int32)
+    hm0 = rng.uniform(0, 0.3, (b, h, w)).astype(np.float32)
+
+    centers = RaggedBatch(
+        jnp.asarray(np.stack([xs, ys], -1)), sample_sizes=jnp.asarray(sizes)
+    )
+    radii = centers.create_with_sample_sizes_like_self(jnp.asarray(rad))
+    out = np.asarray(draw_heatmap_batched(jnp.asarray(hm0), centers, radii))
+
+    expect = hm0.copy()
+    for i in range(b):
+        for t in range(int(sizes[i])):
+            expect[i] = golden_draw(expect[i], int(xs[i, t]), int(ys[i, t]), int(rad[i, t]))
+    np.testing.assert_allclose(out, expect, rtol=3e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", CONFIGS[:10])
+def test_polyline_fuzz_vs_golden(seed):
+    from accvlab_tpu.polyline import interpolate
+    from test_polyline import golden_interpolate
+
+    rng = np.random.default_rng(700 + seed)
+    b = int(rng.integers(1, 4))
+    n = int(rng.integers(2, 9))
+    nd = int(rng.integers(0, 9))
+    pts = rng.uniform(-5, 5, (b, n, 2)).astype(np.float32)
+    dists = rng.uniform(-1, 12, (b, max(1, nd))).astype(np.float32)
+    rel = bool(rng.integers(0, 2))
+    if rel:
+        dists = rng.uniform(-0.2, 1.2, dists.shape).astype(np.float32)
+
+    out = np.asarray(interpolate(jnp.asarray(pts), jnp.asarray(dists), relative=rel))
+    for i in range(b):
+        expect = golden_interpolate(pts[i], dists[i], relative=rel)
+        np.testing.assert_allclose(out[i], expect, rtol=2e-4, atol=2e-5)
