@@ -470,3 +470,51 @@ def test_in_path_applied_step_scopes_to_subtree():
     assert float(np.asarray(out["cams"][1]["points"])[0]) == pytest.approx(0.9)
     np.testing.assert_array_equal(np.asarray(out["cams"][0]["points"]), 0.0)
     np.testing.assert_array_equal(np.asarray(out["cams"][2]["points"]), 0.0)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_affine_random_composition_point_image_consistency(seed):
+    """Random rotation+scaling+translation compositions: annotation points
+    keep tracking the bright pixel through the composed warp (the invariant
+    the reference's affine_transformer_test parametrizes over)."""
+    rng = np.random.default_rng(seed)
+    angle = float(rng.uniform(-60, 60))
+    scale = float(rng.uniform(0.7, 1.4))
+    shift = [float(rng.uniform(-2, 2)), float(rng.uniform(-2, 2))]
+
+    sdg = affine_sample()
+    # a larger image with an isolated bright pixel away from the border
+    img = np.zeros((16, 20, 1), np.float32)
+    img[7, 9] = 1.0
+    sdg["image"] = img
+    sdg["points"] = np.array([[9.0, 7.0]], np.float32)
+
+    step = AffineTransformer(
+        output_hw=(16, 20),
+        resizing_mode=AffineTransformer.ResizingMode.STRETCH,
+        image_field_names="image",
+        point_field_names="points",
+        transformation_steps=[
+            AffineTransformer.Rotation(1.0, angle),
+            AffineTransformer.UniformScaling(1.0, scale),
+            AffineTransformer.Translation(1.0, shift),
+        ],
+    )
+    ctx = ScriptedRandomContext()
+    step.set_random_context(ctx)
+    out = step(sdg)
+    pts = np.asarray(out["points"])[0]
+    img_out = np.asarray(out["image"])[..., 0]
+    x, y = float(pts[0]), float(pts[1])
+    if 1 <= y < 15 and 1 <= x < 19:
+        # mass near the transformed point (bilinear spread over <=2px)
+        yi, xi = int(round(y)), int(round(x))
+        patch = img_out[max(0, yi - 2) : yi + 3, max(0, xi - 2) : xi + 3]
+        assert patch.max() > 0.05, (
+            f"seed {seed}: warped pixel not found near mapped point "
+            f"({x:.2f},{y:.2f}); angle={angle:.1f} scale={scale:.2f} shift={shift}"
+        )
+        # and almost no mass far away from the point
+        far = img_out.copy()
+        far[max(0, yi - 3) : yi + 4, max(0, xi - 3) : xi + 4] = 0.0
+        assert far.max() < 0.05
