@@ -118,3 +118,79 @@ def test_parse_not():
     ast = Parser("r = not a").parse()
     assert isinstance(ast.expression, Not)
     assert isinstance(ast.expression.condition, Variable)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_expression_roundtrip(seed):
+    """Generate random expression trees, print them fully parenthesized,
+    parse, and compare structure via repr — the parser must reproduce any
+    tree the grammar can express."""
+    import numpy as np
+
+    from accvlab_tpu.pipeline.mini_parser import (
+        And,
+        Comparison,
+        Literal,
+        Not,
+        Or,
+        Parser,
+        Variable,
+    )
+
+    rng = np.random.default_rng(seed)
+    comparisons = ["==", "!=", "<", "<=", ">", ">="]
+
+    def gen(depth):
+        roll = rng.random()
+        if depth >= 3 or roll < 0.4:
+            a = Variable(f"f{rng.integers(0, 4)}")
+            b = Literal(str(rng.integers(0, 20)))
+            return Comparison(a, comparisons[rng.integers(0, 6)], b)
+        if roll < 0.6:
+            return Not(gen(depth + 1))
+        cls = And if roll < 0.8 else Or
+        return cls(gen(depth + 1), gen(depth + 1))
+
+    # attribute names follow the reference AST: And/Or hold *conditions,
+    # Not holds .condition
+
+    def stringify(node):
+        if isinstance(node, Comparison):
+            return f"({stringify(node.val1)} {node.comparison_type} {stringify(node.val2)})"
+        if isinstance(node, Not):
+            return f"(not {stringify(node.condition)})"
+        if isinstance(node, And):
+            return "(" + " and ".join(stringify(c) for c in node.conditions) + ")"
+        if isinstance(node, Or):
+            return "(" + " or ".join(stringify(c) for c in node.conditions) + ")"
+        if isinstance(node, Variable):
+            return node.name
+        return node.value
+
+    def evaluate(node, env):
+        if isinstance(node, Comparison):
+            a, b = evaluate(node.val1, env), evaluate(node.val2, env)
+            return {
+                "==": a == b, "!=": a != b, "<": a < b,
+                "<=": a <= b, ">": a > b, ">=": a >= b,
+            }[node.comparison_type]
+        if isinstance(node, Not):
+            return not evaluate(node.condition, env)
+        if isinstance(node, And):
+            return all(evaluate(c, env) for c in node.conditions)
+        if isinstance(node, Or):
+            return any(evaluate(c, env) for c in node.conditions)
+        if isinstance(node, Variable):
+            return env[node.name]
+        return int(node.value)
+
+    tree = gen(0)
+    text = "res = " + stringify(tree)
+    parsed = Parser(text).parse()
+    # the parser flattens same-operator chains (Or(Or(a,b),c) -> Or(a,b,c)),
+    # so compare SEMANTICS: both trees must agree on random assignments
+    for _ in range(20):
+        env = {f"f{i}": int(rng.integers(0, 21)) for i in range(4)}
+        assert evaluate(parsed.expression, env) == evaluate(tree, env), (
+            f"{text} disagrees under {env}"
+        )
