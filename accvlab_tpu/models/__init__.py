@@ -13,7 +13,14 @@ from .centernet import (
     decode_detections,
     make_train_step,
 )
-from .petr import PETRDetector, decode_detections_3d, make_petr_train_step, petr_loss
+from .petr import (
+    PETRDetector,
+    decode_detections_3d,
+    make_petr_train_step,
+    make_streaming_petr_train_step,
+    petr_loss,
+    propagate_queries,
+)
 
 __all__ = [
     "CenterNetDetector",
@@ -21,6 +28,8 @@ __all__ = [
     "centernet_loss",
     "decode_detections_3d",
     "make_petr_train_step",
+    "make_streaming_petr_train_step",
+    "propagate_queries",
     "make_train_step",
     "petr_loss",
 ]

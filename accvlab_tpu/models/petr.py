@@ -63,30 +63,67 @@ class DecoderLayer(nn.Module):
 
 
 class PETRDetector(nn.Module):
-    """Multi-camera query-based 3-D detector."""
+    """Multi-camera query-based 3-D detector.
+
+    With ``num_memory > 0`` the detector is *streaming* (StreamPETR's
+    temporal propagation, the workload of the reference's batching_helpers
+    evaluation): ``num_memory`` extra query slots are filled from the
+    PREVIOUS frame's propagated top-k query features (see
+    :func:`propagate_queries`), so objects tracked in frame t-1 seed
+    detection in frame t. The memory is a fixed-size ``(B, num_memory,
+    dim)`` tensor — static shapes, jit compiles once, carries through
+    ``lax.scan``-style training loops.
+    """
 
     num_queries: int = 128
     num_classes: int = 10
     dim: int = 128
     num_layers: int = 3
+    num_memory: int = 0
 
     @nn.compact
-    def __call__(self, images):
+    def __call__(self, images, memory=None):
         tokens = CameraBackbone()(images)
         tokens = nn.Dense(self.dim, dtype=jnp.bfloat16)(tokens)
         # learned 3-D-aware query embeddings (PETR's positional queries)
         queries = self.param(
             "queries", nn.initializers.normal(0.02), (self.num_queries, self.dim)
         )
-        q = jnp.broadcast_to(queries[None], (images.shape[0], *queries.shape)).astype(
-            jnp.float32
-        )
+        b = images.shape[0]
+        q = jnp.broadcast_to(queries[None], (b, *queries.shape)).astype(jnp.float32)
+        if self.num_memory:
+            if memory is None:
+                memory = jnp.zeros((b, self.num_memory, self.dim), jnp.float32)
+            # propagated queries join through a projection (StreamPETR's
+            # motion-aware layer analog; ego-motion compensation would
+            # premultiply the reference points here)
+            mem_q = nn.Dense(self.dim, name="memory_proj")(memory)
+            q = jnp.concatenate([q, mem_q], axis=1)
         for _ in range(self.num_layers):
             q = DecoderLayer(self.dim)(q, tokens)
         boxes = nn.Dense(7, name="head_boxes")(q)  # x,y,z,w,l,h,yaw
         logits = nn.Dense(self.num_classes, name="head_classes")(q)
         existence = nn.Dense(1, name="head_existence")(q)[..., 0]
-        return {"boxes3d": boxes, "logits": logits, "existence": existence}
+        return {
+            "boxes3d": boxes,
+            "logits": logits,
+            "existence": existence,
+            "queries": q,
+        }
+
+
+def propagate_queries(outputs: Dict[str, Any], num_memory: int) -> jnp.ndarray:
+    """Select the top-``num_memory`` queries by existence score to seed the
+    next frame (StreamPETR's temporal propagation, static-shape version).
+
+    Returns ``(B, num_memory, dim)`` query features, gated by their scores so
+    empty scenes propagate ~zero state. Differentiable — streaming training
+    backpropagates through time if the carry is not stopped.
+    """
+    scores = jax.nn.sigmoid(outputs["existence"])  # (B, Q)
+    top_scores, idx = jax.lax.top_k(scores, num_memory)
+    feats = jnp.take_along_axis(outputs["queries"], idx[..., None], axis=1)
+    return feats * top_scores[..., None]
 
 
 
@@ -196,6 +233,49 @@ def make_petr_train_step(model: PETRDetector, optimizer=None):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, opt_state2 = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, metrics
+
+    return init_fn, train_step
+
+
+def make_streaming_petr_train_step(model: PETRDetector, optimizer=None):
+    """Streaming (temporal) variant: the train step carries a fixed-size
+    query-memory tensor across frames (StreamPETR training loop).
+
+    ``train_step(params, opt_state, batch, memory)`` returns
+    ``(params, opt_state, new_memory, metrics)``. The propagated memory is
+    gradient-stopped across frames (StreamPETR detaches the temporal carry),
+    so each frame trains independently while still CONDITIONING on the
+    previous frame's tracked queries. Requires ``model.num_memory > 0``.
+    """
+    assert model.num_memory > 0, "streaming training needs num_memory > 0"
+    optimizer = optimizer or optax.adamw(2e-4)
+
+    def init_fn(key, example_images):
+        b = example_images.shape[0]
+        memory0 = jnp.zeros((b, model.num_memory, model.dim), jnp.float32)
+        params = model.init(key, example_images, memory0)
+        return params, optimizer.init(params), memory0
+
+    def train_step(params, opt_state, batch, memory):
+        def loss_fn(p):
+            outputs = model.apply(p, batch["images"], memory)
+            losses = petr_loss(
+                outputs,
+                batch["gt_boxes"],
+                batch["gt_classes"],
+                batch["matches_gt"],
+                batch["matches_pred"],
+            )
+            return losses["loss"], (losses, outputs)
+
+        (_, (metrics, outputs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        new_memory = jax.lax.stop_gradient(
+            propagate_queries(outputs, model.num_memory)
+        )
+        return optax.apply_updates(params, updates), opt_state2, new_memory, metrics
 
     return init_fn, train_step
 

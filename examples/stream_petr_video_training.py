@@ -10,8 +10,10 @@ component that exists for StreamPETR's sake composes here —
   the stream decoders never seek backward,
 * `BatchAsyncStreamReader` double-buffers multi-camera decode (Decode for
   batch N+1 overlaps training step N),
-* frames feed a jitted PETR train step whose set loss runs fully batched
-  over RaggedBatch ground truth (the x59.6 full-iteration speedup).
+* frames feed a jitted STREAMING PETR train step — temporal query
+  propagation carries the top-k tracked queries from frame t-1 into frame t
+  (fixed-size memory, one compile) — with the set loss fully batched over
+  RaggedBatch ground truth (the x59.6 full-iteration speedup).
 
 Run: ``python examples/stream_petr_video_training.py``
 """
@@ -33,7 +35,7 @@ import jax.numpy as jnp
 from accvlab_tpu.models.petr import (
     PETRDetector,
     make_petr_example_batch,
-    make_petr_train_step,
+    make_streaming_petr_train_step,
 )
 from accvlab_tpu.pipeline.inputs import SequenceSampler
 from accvlab_tpu.ragged import RaggedBatch
@@ -81,8 +83,12 @@ def synth_labels(rng, batch_size, num_classes):
 def main(num_steps: int = 6, batch_drives: int = 2):
     rng = np.random.default_rng(0)
     num_classes = 6
-    model = PETRDetector(num_classes=num_classes, dim=32, num_queries=16, num_layers=2)
-    init_fn, train_step = make_petr_train_step(model)
+    # num_memory > 0: temporal query propagation (StreamPETR's defining
+    # feature) — tracked queries from frame t-1 seed detection in frame t
+    model = PETRDetector(
+        num_classes=num_classes, dim=32, num_queries=16, num_layers=2, num_memory=8
+    )
+    init_fn, train_step = make_streaming_petr_train_step(model)
     train_step = jax.jit(train_step)
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -114,7 +120,7 @@ def main(num_steps: int = 6, batch_drives: int = 2):
         example = make_petr_example_batch(
             batch_size=batch_drives, num_cams=NUM_CAMS, hw=HW, num_classes=num_classes
         )
-        params, opt_state = init_fn(jax.random.PRNGKey(0), example["images"])
+        params, opt_state, memory = init_fn(jax.random.PRNGKey(0), example["images"])
 
         indices = sampler.get_next_batch_indices()
         reader.Decode(*request_for(indices))
@@ -127,7 +133,9 @@ def main(num_steps: int = 6, batch_drives: int = 2):
             reader.Decode(*request_for(next_indices))  # overlap with training
 
             batch = {"images": to_batch(frames), **synth_labels(rng, batch_drives, num_classes)}
-            params, opt_state, metrics = train_step(params, opt_state, batch)
+            params, opt_state, memory, metrics = train_step(
+                params, opt_state, batch, memory
+            )
             losses.append(float(metrics["loss"]))
             indices = next_indices
         dt = time.time() - t0

@@ -244,3 +244,30 @@ def test_make_mesh_nd():
     with mesh:
         y = jax.jit(lambda a: (a * 2).sum())(xs)
     assert float(y) == float(x.sum() * 2)
+
+
+def test_streaming_petr_memory_propagation():
+    """StreamPETR temporal propagation: fixed-size query memory carries
+    across frames, conditions the next frame's predictions, and the jitted
+    step compiles once."""
+    import jax
+
+    from accvlab_tpu.models import PETRDetector, make_streaming_petr_train_step
+    from accvlab_tpu.models.petr import make_petr_example_batch, propagate_queries
+
+    model = PETRDetector(num_classes=6, dim=32, num_queries=16, num_layers=2, num_memory=8)
+    init_fn, step = make_streaming_petr_train_step(model)
+    step = jax.jit(step)
+    batch = make_petr_example_batch(batch_size=2, num_cams=2, hw=(16, 16), num_classes=6)
+    params, opt_state, memory = init_fn(jax.random.PRNGKey(0), batch["images"])
+    assert memory.shape == (2, 8, 32)
+
+    for _ in range(3):
+        params, opt_state, memory, metrics = step(params, opt_state, batch, memory)
+        assert np.isfinite(float(metrics["loss"]))
+    assert float(jnp.linalg.norm(memory)) > 0
+
+    out_mem = model.apply(params, batch["images"], memory)
+    out_zero = model.apply(params, batch["images"], jnp.zeros_like(memory))
+    assert float(jnp.abs(out_mem["boxes3d"] - out_zero["boxes3d"]).max()) > 1e-6
+    assert propagate_queries(out_mem, 8).shape == (2, 8, 32)
