@@ -271,3 +271,48 @@ def test_streaming_petr_memory_propagation():
     out_zero = model.apply(params, batch["images"], jnp.zeros_like(memory))
     assert float(jnp.abs(out_mem["boxes3d"] - out_zero["boxes3d"]).max()) > 1e-6
     assert propagate_queries(out_mem, 8).shape == (2, 8, 32)
+
+
+def test_checkpoint_resume_training_continuity(tmp_path):
+    """Train -> checkpoint -> restore in a fresh state -> continue: the
+    restored run must produce EXACTLY the same loss trajectory as the
+    uninterrupted one (deterministic resume, SURVEY §5.4)."""
+    import jax
+
+    from accvlab_tpu.models import CenterNetDetector, make_train_step
+    from accvlab_tpu.models.centernet import make_example_batch
+    from accvlab_tpu.models.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model = CenterNetDetector(num_classes=4, width=8)
+    init_fn, train_step = make_train_step(model)
+    train_step = jax.jit(train_step)
+    batch = make_example_batch(batch_size=2, hw=(32, 32), num_classes=4)
+    params, opt_state = init_fn(jax.random.PRNGKey(0), batch["images"])
+
+    # run 2 steps, checkpoint, then 2 more -> reference trajectory
+    for _ in range(2):
+        params, opt_state, _ = train_step(params, opt_state, batch)
+    save_checkpoint(str(tmp_path), step=2, params=params, opt_state=opt_state,
+                    pipeline_state={"seed": 0, "epoch": 0, "iteration": 2})
+    ref_losses = []
+    p, o = params, opt_state
+    for _ in range(2):
+        p, o, m = train_step(p, o, batch)
+        ref_losses.append(float(m["loss"]))
+
+    # fresh process-equivalent: re-init then restore
+    params2, opt2 = init_fn(jax.random.PRNGKey(99), batch["images"])
+    path = latest_checkpoint(str(tmp_path))
+    params2, opt2, meta = restore_checkpoint(
+        path, {"params": params2, "opt_state": opt2}
+    )
+    assert meta["pipeline"]["iteration"] == 2
+    resumed = []
+    for _ in range(2):
+        params2, opt2, m = train_step(params2, opt2, batch)
+        resumed.append(float(m["loss"]))
+    assert resumed == ref_losses  # bit-identical continuation
