@@ -101,3 +101,57 @@ def test_native_packer_builds():
         np.testing.assert_array_equal(got, arrays[i])
     # native lib should be available in this image (g++ baked in)
     assert get_lib() is not None
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_start_copy_random_trees_match_device_put(seed):
+    """Random nested structures (mixed dtypes, scalars, strings, jax arrays,
+    0-d, non-contiguous) transfer identically to a plain device_put."""
+    import jax
+
+    rng = np.random.default_rng(seed)
+
+    def leaf():
+        roll = rng.random()
+        if roll < 0.15:
+            return float(rng.normal())
+        if roll < 0.25:
+            return int(rng.integers(-100, 100))
+        if roll < 0.32:
+            return f"token_{rng.integers(0, 999)}"
+        if roll < 0.42:
+            return np.float32(rng.normal())  # 0-d
+        shape = tuple(rng.integers(1, 6, rng.integers(1, 4)))
+        dt = rng.choice([np.float32, np.int32, np.uint8, np.bool_])
+        arr = (rng.normal(size=shape) * 10).astype(dt)
+        if rng.random() < 0.3 and arr.ndim >= 2:
+            arr = arr.T  # non-contiguous
+        return arr
+
+    def tree(depth):
+        if depth >= 2 or rng.random() < 0.4:
+            return leaf()
+        kind = rng.random()
+        n = int(rng.integers(1, 4))
+        if kind < 0.5:
+            return {f"k{i}": tree(depth + 1) for i in range(n)}
+        if kind < 0.8:
+            return [tree(depth + 1) for _ in range(n)]
+        return tuple(tree(depth + 1) for _ in range(n))
+
+    data = tree(0)
+    out = start_copy(data, use_background_thread=bool(rng.integers(0, 2))).get()
+
+    flat_in, _ = jax.tree_util.tree_flatten(
+        data, is_leaf=lambda x: not isinstance(x, (dict, list, tuple))
+    )
+    flat_out, _ = jax.tree_util.tree_flatten(
+        out, is_leaf=lambda x: not isinstance(x, (dict, list, tuple))
+    )
+    assert len(flat_in) == len(flat_out)
+    for a, b in zip(flat_in, flat_out):
+        if isinstance(a, str):
+            assert b == a  # opaque pass-through
+        else:
+            expect = np.asarray(jax.device_put(np.asarray(a)))
+            np.testing.assert_array_equal(np.asarray(b), expect)
