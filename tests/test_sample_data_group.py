@@ -204,3 +204,50 @@ def test_get_like_self_filled_from_iterator_output():
         filled["cameras"][0]["image"], sdg["cameras"][0]["image"]
     )
     assert filled["token"] == "xy"
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_blueprint_roundtrip(seed):
+    """Random nested blueprints: fill every field, flatten, rebuild into a
+    fresh blueprint copy, and compare — the invariant behind every pipeline
+    boundary crossing."""
+    rng = np.random.default_rng(seed)
+    dtypes = [DType.FLOAT, DType.INT32, DType.UINT8, DType.BOOL, DType.STRING]
+
+    counter = [0]
+
+    def build(depth):
+        sdg = SampleDataGroup()
+        for i in range(int(rng.integers(1, 4))):
+            if depth < 2 and rng.random() < 0.4:
+                child = build(depth + 1)
+                if rng.random() < 0.3:
+                    sdg.add_data_group_field_array(f"arr{i}", child, int(rng.integers(1, 3)))
+                else:
+                    sdg.add_data_group_field(f"grp{i}", child)
+            else:
+                sdg.add_data_field(f"f{counter[0]}", dtypes[rng.integers(0, len(dtypes))])
+                counter[0] += 1
+        return sdg
+
+    def fill(sdg):
+        for name in sdg._value_order:
+            if sdg._types[name] == SampleDataGroup:
+                fill(sdg[name])
+            elif sdg.get_type_of_field(name) == DType.STRING:
+                sdg[name] = f"s{rng.integers(0, 100)}"
+            else:
+                shape = tuple(rng.integers(1, 4, rng.integers(1, 3)))
+                sdg[name] = rng.integers(0, 2, shape).astype(np.float64)
+
+    root = build(0)
+    fill(root)
+    flat = root.get_data()
+    names = root.field_names_flat
+    assert len(flat) == len(names) == len(set(names))
+
+    other = root.get_empty_like_self()
+    assert other.type_matches(root)
+    other.set_data(list(flat))
+    for a, b in zip(other.get_data(), flat):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
