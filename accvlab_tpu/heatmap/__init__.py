@@ -5,5 +5,6 @@ TPU-native equivalent of ACCV-Lab's ``accvlab.draw_heatmap`` package
 """
 
 from .draw import draw_heatmap, draw_heatmap_batched
+from .draw_gaussians import draw_gaussians
 
-__all__ = ["draw_heatmap", "draw_heatmap_batched"]
+__all__ = ["draw_gaussians", "draw_heatmap", "draw_heatmap_batched"]

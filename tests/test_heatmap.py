@@ -159,3 +159,40 @@ def test_jit(impl):
     out = f(heatmap)
     assert float(out[0, 3, 3]) == pytest.approx(1.0)
     assert float(out[1, 5, 5]) == pytest.approx(1.0)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_draw_gaussians_fuzz_vs_scalar(seed):
+    """Random configs of the pipeline drawing variant vs a scalar oracle
+    implementing the DALI-plugin math (sigma = r * factor, floor/ceil box,
+    per-class peak scale, max-combine)."""
+    from accvlab_tpu.heatmap import draw_gaussians
+
+    rng = np.random.default_rng(900 + seed)
+    c = int(rng.integers(1, 4))
+    h, w = int(rng.integers(6, 20)), int(rng.integers(6, 24))
+    t = int(rng.integers(1, 7))
+    active = rng.random(t) < 0.8
+    slice_ids = rng.integers(0, c, t).astype(np.int32)
+    centers = np.stack([rng.integers(0, w, t), rng.integers(0, h, t)], -1).astype(np.int32)
+    radii = rng.uniform(0.5, 4.0, t).astype(np.float32)
+    ks = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    factor = float(rng.uniform(0.3, 1.0))
+    hm0 = rng.uniform(0, 0.2, (c, h, w)).astype(np.float32)
+
+    out = np.asarray(draw_gaussians(hm0, active, slice_ids, centers, radii, ks, factor))
+
+    expect = hm0.copy()
+    for i in range(t):
+        if not active[i]:
+            continue
+        sig = radii[i] * factor
+        var = max(2.0 * sig * sig, 1e-12)
+        reach = int(np.ceil(radii[i]))
+        x0, y0 = int(centers[i, 0]), int(centers[i, 1])
+        for yy in range(max(0, y0 - reach), min(h, y0 + reach + 1)):
+            for xx in range(max(0, x0 - reach), min(w, x0 + reach + 1)):
+                v = ks[slice_ids[i]] * np.exp(-((yy - y0) ** 2 + (xx - x0) ** 2) / var)
+                ch = slice_ids[i]
+                expect[ch, yy, xx] = max(expect[ch, yy, xx], v)
+    np.testing.assert_allclose(out, expect, rtol=3e-5, atol=1e-6)
