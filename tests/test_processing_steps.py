@@ -518,3 +518,41 @@ def test_affine_random_composition_point_image_consistency(seed):
         far = img_out.copy()
         far[max(0, yi - 3) : yi + 4, max(0, xi - 3) : xi + 4] = 0.0
         assert far.max() < 0.05
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_photometric_determinism_and_validity(seed):
+    """Random device-key draws: same key -> identical output; output stays
+    finite and shape-preserving for any gate combination."""
+    import jax
+    from accvlab_tpu.pipeline.processing_steps import PhotoMetricDistorter
+    from accvlab_tpu.pipeline.random_context import DeviceRandomContext
+
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 1, (10, 12, 3)).astype(np.float32)
+    sdg = SampleDataGroup()
+    sdg.add_data_field("image", DType.FLOAT)
+
+    step = PhotoMetricDistorter(
+        "image",
+        min_max_brightness=[-0.2, 0.2],
+        min_max_hue=[-20.0, 20.0],
+        min_max_contrast=[0.7, 1.3],
+        min_max_saturation=[0.7, 1.3],
+    )
+
+    def run(key):
+        import jax.numpy as jnp
+
+        s = SampleDataGroup()
+        s.add_data_field("image", DType.FLOAT)
+        s["image"] = jnp.asarray(img)
+        step.set_random_context(DeviceRandomContext(jax.random.PRNGKey(key)))
+        return np.asarray(step(s)["image"])
+
+    a, b = run(seed), run(seed)
+    np.testing.assert_array_equal(a, b)  # same key -> bit-identical
+    c = run(seed + 1000)
+    assert a.shape == c.shape == img.shape
+    assert np.isfinite(a).all() and np.isfinite(c).all()
+    assert not np.array_equal(a, c) or np.array_equal(a, img)  # different keys differ (unless all gates failed)
