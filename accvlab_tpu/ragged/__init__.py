@@ -15,6 +15,7 @@ from .indexing_ops import (
     ragged_scatter_new,
     ragged_scatter_insert,
 )
+from .matching import auction_matching, batched_auction_matching
 from .bool_indexing import (
     batched_bool_indexing,
     batched_bool_indexing_write,
@@ -32,6 +33,8 @@ from .processing import (
 )
 
 __all__ = [
+    "auction_matching",
+    "batched_auction_matching",
     "RaggedBatch",
     "SIZE_DTYPE",
     "apply_mask_to_tensor",

@@ -1,0 +1,142 @@
+"""Device-side bipartite assignment (auction algorithm) for set-based losses.
+
+The reference's Matcher workflow computes cost matrices on the GPU but runs
+scipy's Hungarian per sample on the HOST (SURVEY §3.5), forcing a
+device->host->device round-trip every training step. This module removes
+that sync: Bertsekas' auction algorithm runs entirely inside ``jit`` with
+static shapes (``lax.while_loop`` over bid rounds), vmaps over the batch,
+and handles ragged ground-truth counts via row-validity masking.
+
+Near-optimality: with bid increment ``eps``, the assignment cost is within
+``num_rows * eps`` of optimal; ``eps`` defaults small relative to the cost
+scale. For detection training (costs in [0, ~10], tens of GT rows) the
+assignments are optimal or indistinguishable from optimal in loss terms
+(see ``tests/test_matching.py`` for the scipy cross-check).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ragged_batch import RaggedBatch
+
+Array = jax.Array
+
+
+def auction_matching(
+    cost: Array,
+    num_valid_rows: Optional[Array] = None,
+    eps: Optional[float] = None,
+    max_iters: int = 20000,
+) -> Array:
+    """Minimum-cost row->column assignment of one cost matrix on device.
+
+    Args:
+        cost: ``(R, C)`` float cost matrix, ``C >= R`` (each row gets a
+            distinct column).
+        num_valid_rows: optional scalar int — rows >= this are ignored
+            (ragged ground truth; they receive assignment ``-1``).
+        eps: bid increment. Default: ``(max-min)/ (2*C)`` — small enough for
+            near-optimality, large enough to converge fast.
+        max_iters: bid-round bound (static; the loop exits early when all
+            valid rows are assigned).
+
+    Returns:
+        ``(R,)`` int32 column index per row (-1 for invalid rows).
+    """
+    r, c = cost.shape
+    assert c >= r, "auction_matching needs at least as many columns as rows"
+    benefit = -cost.astype(jnp.float32)  # auction maximizes
+    if eps is None:
+        # r * eps bounds the gap to optimal; scale eps so the bound is
+        # ~0.5% of the cost span regardless of problem size
+        span = jnp.maximum(jnp.max(benefit) - jnp.min(benefit), 1e-6)
+        eps_v = span / (200.0 * max(r, 1))
+    else:
+        eps_v = jnp.float32(eps)
+    valid = (
+        jnp.arange(r) < num_valid_rows
+        if num_valid_rows is not None
+        else jnp.ones((r,), bool)
+    )
+
+    def cond(state):
+        owner_of_col, col_of_row, prices, it = state
+        unassigned = valid & (col_of_row < 0)
+        return (it < max_iters) & jnp.any(unassigned)
+
+    def body(state, eps_v):
+        owner_of_col, col_of_row, prices, it = state
+        unassigned = valid & (col_of_row < 0)
+        # each unassigned row bids for its best column at current prices
+        values = benefit - prices[None, :]  # (R, C)
+        best_col = jnp.argmax(values, axis=1)
+        best_val = jnp.max(values, axis=1)
+        # second-best value for the bid increment
+        masked = values.at[jnp.arange(r), best_col].set(-jnp.inf)
+        second_val = jnp.max(masked, axis=1)
+        bid = prices[best_col] + (best_val - second_val) + eps_v  # (R,)
+        bid = jnp.where(unassigned, bid, -jnp.inf)
+
+        # per column: the highest bid wins (segment-max over bidding rows)
+        col_bid = jnp.full((c,), -jnp.inf).at[best_col].max(bid, mode="drop")
+        won = unassigned & (bid == col_bid[best_col]) & jnp.isfinite(bid)
+        # tie-break: lowest row id among winners of the same column
+        row_ids = jnp.where(won, jnp.arange(r), r)
+        winner_row = jnp.full((c,), r, jnp.int32).at[best_col].min(
+            row_ids.astype(jnp.int32), mode="drop"
+        )
+        col_has_winner = winner_row < r
+        wrow = jnp.clip(winner_row, 0, r - 1)
+
+        # evict previous owners of won columns
+        prev_owner = jnp.where(col_has_winner, owner_of_col, -1)
+        col_of_row = jnp.where(
+            jnp.isin(jnp.arange(r), jnp.where(prev_owner >= 0, prev_owner, r)),
+            -1,
+            col_of_row,
+        )
+        # install winners: row i wins iff it is the recorded winner of its
+        # own bid column (gather — no duplicate-scatter ordering hazards)
+        row_won = unassigned & (winner_row[best_col] == jnp.arange(r))
+        col_of_row = jnp.where(row_won, best_col.astype(jnp.int32), col_of_row)
+        owner_of_col = jnp.where(col_has_winner, wrow, owner_of_col)
+        prices = jnp.where(col_has_winner, col_bid, prices)
+        return owner_of_col, col_of_row, prices, it + 1
+
+    prices = jnp.zeros((c,), jnp.float32)
+    owner_of_col = jnp.full((c,), -1, jnp.int32)
+    col_of_row = jnp.full((r,), -1, jnp.int32)
+    _, col_of_row, prices, _ = jax.lax.while_loop(
+        cond, lambda st: body(st, eps_v), (owner_of_col, col_of_row, prices, jnp.int32(0))
+    )
+    return jnp.where(valid, col_of_row, -1)
+
+
+def batched_auction_matching(
+    cost: Array,
+    num_valid_rows: Array,
+    eps: Optional[float] = None,
+    max_iters: int = 20000,
+) -> Tuple[RaggedBatch, RaggedBatch]:
+    """Batched device-side matching: ``(B, R, C)`` costs + per-sample valid
+    row counts -> ``(matches_gt, matches_pred)`` RaggedBatches in the layout
+    the batched loss consumes (valid matches form each sample's prefix).
+
+    Fully jittable — replaces the per-sample host Hungarian of the
+    reference workflow with zero host synchronization.
+    """
+    b, r, c = cost.shape
+    cols = jax.vmap(lambda m, n: auction_matching(m, n, eps, max_iters))(
+        cost, num_valid_rows
+    )  # (B, R) with -1 padding
+    sizes = num_valid_rows.astype(jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None], (b, r))
+    matches_gt = RaggedBatch(rows, sample_sizes=sizes)
+    matches_pred = RaggedBatch(
+        jnp.where(cols >= 0, cols, 0).astype(jnp.int32), sample_sizes=sizes
+    )
+    return matches_gt, matches_pred
