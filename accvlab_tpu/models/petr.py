@@ -80,6 +80,7 @@ class PETRDetector(nn.Module):
     dim: int = 128
     num_layers: int = 3
     num_memory: int = 0
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images, memory=None):
@@ -99,8 +100,16 @@ class PETRDetector(nn.Module):
             # premultiply the reference points here)
             mem_q = nn.Dense(self.dim, name="memory_proj")(memory)
             q = jnp.concatenate([q, mem_q], axis=1)
-        for _ in range(self.num_layers):
-            q = DecoderLayer(self.dim)(q, tokens)
+        # remat=True rematerializes each decoder layer in the backward pass
+        # (jax.checkpoint): activations are recomputed instead of stored,
+        # trading ~30% more FLOPs for O(num_layers) less activation HBM —
+        # the standard lever for deep decoders / long token sequences.
+        layer_cls = nn.remat(DecoderLayer) if self.remat else DecoderLayer
+        for i in range(self.num_layers):
+            # explicit name: the param tree is identical with/without remat,
+            # so checkpoints are interchangeable and remat is purely a
+            # memory/compute trade
+            q = layer_cls(self.dim, name=f"DecoderLayer_{i}")(q, tokens)
         boxes = nn.Dense(7, name="head_boxes")(q)  # x,y,z,w,l,h,yaw
         logits = nn.Dense(self.num_classes, name="head_classes")(q)
         existence = nn.Dense(1, name="head_existence")(q)[..., 0]

@@ -316,3 +316,28 @@ def test_checkpoint_resume_training_continuity(tmp_path):
         params2, opt2, m = train_step(params2, opt2, batch)
         resumed.append(float(m["loss"]))
     assert resumed == ref_losses  # bit-identical continuation
+
+
+def test_petr_remat_equivalence():
+    """remat=True (jax.checkpoint per decoder layer) is a pure memory/compute
+    trade: identical param tree, bit-identical forward, identical loss."""
+    import jax
+
+    from accvlab_tpu.models import PETRDetector, make_petr_train_step
+    from accvlab_tpu.models.petr import make_petr_example_batch
+
+    batch = make_petr_example_batch(batch_size=2, num_cams=2, hw=(16, 16), num_classes=6)
+    m0 = PETRDetector(num_classes=6, dim=32, num_queries=16, num_layers=2, remat=False)
+    m1 = PETRDetector(num_classes=6, dim=32, num_queries=16, num_layers=2, remat=True)
+    p0 = m0.init(jax.random.PRNGKey(0), batch["images"])
+    p1 = m1.init(jax.random.PRNGKey(0), batch["images"])
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    o0, o1 = m0.apply(p0, batch["images"]), m1.apply(p0, batch["images"])
+    assert float(jnp.abs(o0["boxes3d"] - o1["boxes3d"]).max()) == 0.0
+    losses = []
+    for m in (m0, m1):
+        init_fn, step = make_petr_train_step(m)
+        _, opt = init_fn(jax.random.PRNGKey(1), batch["images"])
+        _, _, metrics = jax.jit(step)(p0, opt, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[0] == losses[1]
