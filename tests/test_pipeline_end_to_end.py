@@ -401,3 +401,38 @@ def test_iterable_input_with_sampler():
     assert batches == 6
     assert sorted(seen) == sorted(range(24))
     pipe.stop()
+
+
+def test_pipeline_determinism_across_instances():
+    """Two independently constructed pipelines with the same seed produce
+    bit-identical batches — host RNG, shuffle order, and device-key
+    augmentation all derive from (seed, epoch, iteration, sample)."""
+    from accvlab_tpu.pipeline.processing_steps import PhotoMetricDistorter
+
+    def make():
+        provider = SyntheticProvider()
+        inp = ShuffledShardedInputCallable(provider, batch_size=4, shuffle=True, seed=123)
+        definition = PipelineDefinition(
+            inp,
+            [
+                ImageDecoder("image"),
+                ImageToTileSizePadder("image", 8),
+                ImageRange01Normalizer("image"),
+                PhotoMetricDistorter(
+                    "image",
+                    min_max_brightness=[-0.2, 0.2],
+                    min_max_hue=[-10.0, 10.0],
+                    min_max_contrast=[0.8, 1.2],
+                    min_max_saturation=[0.8, 1.2],
+                ),
+            ],
+        )
+        return definition.get_pipeline(batch_size=4, num_threads=2, seed=7)
+
+    p1, p2 = make(), make()
+    for _ in range(2):
+        b1, b2 = p1.run(), p2.run()
+        for k in b1:
+            np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
+    p1.stop()
+    p2.stop()
