@@ -104,3 +104,54 @@ def test_missing_field_raises():
     sdg.add_data_field("unrelated", DType.FLOAT)
     with pytest.raises(KeyError):
         step.check_input_data_format_and_set_output_data_format(sdg)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_world_ego_and_projection_invariants(seed):
+    """Gold invariants under random rotate+scale+translate with real random
+    draws: (a) world_to_ego @ ego_to_world stays the identity; (b) a camera
+    projection matrix updated by the step projects the TRANSFORMED points to
+    the same image coordinates as the original projection of the original
+    points (the whole point of consistent matrix updates)."""
+    import jax
+
+    from accvlab_tpu.pipeline.random_context import DeviceRandomContext
+
+    sdg = make_sample()
+    sdg.add_data_field("cam_proj", DType.FLOAT)
+    rng = np.random.default_rng(seed)
+    # a full-rank 4x4 "projection @ extrinsics" world->camera matrix
+    proj0 = np.eye(4, dtype=np.float32)
+    proj0[:3, :3] = rng.normal(size=(3, 3)).astype(np.float32) + 3 * np.eye(3, dtype=np.float32)
+    proj0[:3, 3] = rng.normal(size=3).astype(np.float32)
+    sdg["cam_proj"] = proj0
+
+    pts0 = np.asarray(sdg["annotations"]["centers3d"]).copy()
+
+    step = BEVBBoxesTransformer3D(
+        data_field_names_points="centers3d",
+        data_field_names_velocities="velocities",
+        data_field_names_sizes="sizes3d",
+        data_field_names_orientation="yaw",
+        data_field_names_proj_matrices_and_extrinsics="cam_proj",
+        data_field_names_ego_to_world="ego_to_world",
+        data_field_names_world_to_ego="world_to_ego",
+        rotation_range=(-1.0, 1.0),
+        rotation_axis=2,
+        scaling_range=(0.8, 1.2),
+        translation_max_abs=(2.0, 2.0, 0.5),
+    )
+    step.set_random_context(DeviceRandomContext(jax.random.PRNGKey(seed)))
+    out = step(sdg)
+
+    e2w = np.asarray(out["ego_to_world"])
+    w2e = np.asarray(out["world_to_ego"])
+    np.testing.assert_allclose(w2e @ e2w, np.eye(4), atol=1e-4)
+
+    pts1 = np.asarray(out["annotations"]["centers3d"])
+    proj1 = np.asarray(out["cam_proj"])
+    h0 = np.concatenate([pts0, np.ones((2, 1), np.float32)], axis=1)
+    h1 = np.concatenate([pts1, np.ones((2, 1), np.float32)], axis=1)
+    np.testing.assert_allclose(
+        (proj1 @ h1.T), (proj0 @ h0.T), rtol=1e-3, atol=1e-3
+    )
