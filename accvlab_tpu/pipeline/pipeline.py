@@ -317,7 +317,7 @@ class TPUPipeline:
 
         self._iteration += 1
         self._global_batch += 1
-        return self._stack_samples(samples)
+        return self._global_batch - 1, self._stack_samples(samples)
 
     def _stack_samples(self, samples: List[SampleDataGroup]):
         names = self._host_out_blueprint.field_names_flat
@@ -390,7 +390,7 @@ class TPUPipeline:
         )
         return tuple(handle.get())
 
-    def _run_device_stage(self, host_batch: tuple):
+    def _run_device_stage(self, host_batch: tuple, batch_idx: int):
         import jax
 
         host_batch = self._transfer(host_batch)
@@ -398,7 +398,10 @@ class TPUPipeline:
             return host_batch
         if self._device_fn is None:
             self._device_fn = self._build_device_fn()
-        key = jax.random.fold_in(jax.random.PRNGKey(self._seed), self._global_batch)
+        # the key derives from the batch's own index (carried through the
+        # prefetch queue), NOT the producer's live counter — deterministic
+        # regardless of prefetch timing
+        key = jax.random.fold_in(jax.random.PRNGKey(self._seed), batch_idx)
         if self._mesh is not None:
             with self._mesh:
                 return self._device_fn(host_batch, key)
@@ -411,18 +414,24 @@ class TPUPipeline:
     _END = object()
 
     def _producer_loop(self):
+        # The producer performs ONLY host-stage work; transfer + device
+        # dispatch happen on the consumer thread (__next__). Device dispatch
+        # is asynchronous (~1 ms), so host production of batch N+1 still
+        # overlaps device compute of batch N — but all runtime-client calls
+        # stay on one thread, avoiding GIL/client lock convoys between the
+        # producer, the decode pool, and the main thread (measured: the
+        # convoy collapses throughput ~8x when service RPC latency rises).
         while not self._producer_stop.is_set():
             try:
-                host_batch = self._produce_host_batch()
-                out = self._run_device_stage(host_batch)
+                batch_idx, host_batch = self._produce_host_batch()
             except StopIteration:
                 self._queue.put(self._END)
                 return
-            except Exception as e:  # propagate to the consumer (host OR device
-                # stage failure — the consumer must never block forever)
+            except Exception as e:  # propagate to the consumer — the
+                # consumer must never block forever
                 self._queue.put(e)
                 return
-            self._queue.put(out)
+            self._queue.put((batch_idx, host_batch))
 
     def _ensure_producer(self):
         if self._producer is None or not self._producer.is_alive():
@@ -460,7 +469,13 @@ class TPUPipeline:
         if isinstance(item, Exception):
             self._exhausted = True
             raise item
-        return [dict(zip(self._output_names, item))]
+        batch_idx, host_batch = item
+        try:
+            out = self._run_device_stage(host_batch, batch_idx)
+        except Exception:
+            self._exhausted = True
+            raise
+        return [dict(zip(self._output_names, out))]
 
     def run(self):
         """Fetch one batch as a name-keyed dict (convenience around __next__)."""
