@@ -1,0 +1,44 @@
+"""Shared lazy g++ build for the C++ runtime pieces.
+
+Output libraries are keyed on a hash of the source file (not mtime): a fresh
+checkout gives every file the same mtime, so an mtime check could load a
+stale or wrong-arch binary. A content-hashed filename can never be stale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import subprocess
+import tempfile
+from typing import List, Optional
+
+
+def build_shared_lib(
+    src: str,
+    stem: str,
+    link_args: Optional[List[str]] = None,
+) -> str:
+    """Compile ``src`` to ``<srcdir>/<stem>-<srchash>.so`` (if not already
+    built) and return the library path. Raises RuntimeError on compile error.
+    """
+    src_dir = os.path.dirname(os.path.abspath(src))
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    lib_path = os.path.join(src_dir, f"{stem}-{digest}.so")
+    if os.path.exists(lib_path):
+        return lib_path
+    out_dir = src_dir if os.access(src_dir, os.W_OK) else tempfile.gettempdir()
+    lib_path = os.path.join(out_dir, f"{stem}-{digest}.so")
+    if os.path.exists(lib_path):
+        return lib_path
+    tmp_path = lib_path + f".tmp{os.getpid()}"
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-o", tmp_path, src,
+    ] + list(link_args or [])
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        raise RuntimeError(f"{stem} build failed:\n{res.stderr[-2000:]}")
+    os.replace(tmp_path, lib_path)  # atomic: concurrent builders race safely
+    return lib_path

@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 import warnings
 from typing import List, Optional
@@ -17,15 +16,11 @@ _LIB_FAILED = False
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
+    from accvlab_tpu._native_build import build_shared_lib
+
     src_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
     src = os.path.join(src_dir, "pack.cpp")
-    lib_path = os.path.join(src_dir, "libaccvlab_pack.so")
-    if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(src):
-        cmd = [
-            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            "-o", lib_path, src, "-lpthread",
-        ]
-        subprocess.run(cmd, check=True, capture_output=True)
+    lib_path = build_shared_lib(src, "libaccvlab_pack", ["-lpthread"])
     lib = ctypes.CDLL(lib_path)
     lib.accvlab_pack_init.argtypes = [ctypes.c_int]
     lib.accvlab_pack.argtypes = [

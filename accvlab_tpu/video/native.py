@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Optional
 
@@ -14,18 +13,14 @@ _LIB_ERROR: Optional[str] = None
 
 
 def _build_and_load() -> ctypes.CDLL:
+    from accvlab_tpu._native_build import build_shared_lib
+
     src_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
     src = os.path.join(src_dir, "video_engine.cpp")
-    lib_path = os.path.join(src_dir, "libaccvlab_video.so")
-    if not os.path.exists(lib_path) or os.path.getmtime(lib_path) < os.path.getmtime(src):
-        cmd = [
-            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-            "-o", lib_path, src,
-            "-lavformat", "-lavcodec", "-lavutil", "-lswscale",
-        ]
-        res = subprocess.run(cmd, capture_output=True, text=True)
-        if res.returncode != 0:
-            raise RuntimeError(f"video engine build failed:\n{res.stderr[-2000:]}")
+    lib_path = build_shared_lib(
+        src, "libaccvlab_video",
+        ["-lavformat", "-lavcodec", "-lavutil", "-lswscale"],
+    )
     lib = ctypes.CDLL(lib_path)
 
     lib.avx_last_error.restype = ctypes.c_char_p

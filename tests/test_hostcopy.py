@@ -155,3 +155,63 @@ def test_start_copy_random_trees_match_device_put(seed):
         else:
             expect = np.asarray(jax.device_put(np.asarray(a)))
             np.testing.assert_array_equal(np.asarray(b), expect)
+
+
+def test_concurrent_parallel_pack_threads():
+    """Regression for the PackPool race: concurrent accvlab_pack calls used to
+    trample each other's task lists (Run() mutated shared state unlocked).
+    Many threads pack simultaneously; every staging buffer must be bit-exact."""
+    import threading
+
+    from accvlab_tpu.hostcopy.native import parallel_pack
+
+    rng = np.random.default_rng(7)
+    n_threads, n_iters = 8, 30
+    payloads = []
+    for t in range(n_threads):
+        arrays = [
+            rng.integers(0, 255, size=(int(rng.integers(1, 4000)),)).astype(np.uint8)
+            for _ in range(40)
+        ]
+        offsets, total = [], 0
+        for a in arrays:
+            offsets.append(total)
+            total += (a.nbytes + 15) // 16 * 16
+        payloads.append((arrays, offsets, total))
+
+    errors = []
+
+    def worker(t):
+        arrays, offsets, total = payloads[t]
+        try:
+            for _ in range(n_iters):
+                staging = parallel_pack(arrays, offsets, total)
+                for a, off in zip(arrays, offsets):
+                    if not np.array_equal(staging[off : off + a.nbytes], a):
+                        raise AssertionError(f"thread {t}: corrupted staging buffer")
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+
+def test_concurrent_start_copy_background():
+    """Two+ in-flight background copies (the armed production scenario)."""
+    rng = np.random.default_rng(8)
+    datasets = [
+        [rng.normal(size=(int(rng.integers(10, 500)),)).astype(np.float32) for _ in range(60)]
+        for _ in range(6)
+    ]
+    handles = [
+        start_copy(d, pack_cpu_tensors=True, use_background_thread=True)
+        for d in datasets
+    ]
+    for h, d in zip(handles, datasets):
+        out = h.get()
+        for a, b in zip(out, d):
+            np.testing.assert_array_equal(np.asarray(a), b)
