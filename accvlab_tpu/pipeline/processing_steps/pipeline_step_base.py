@@ -35,11 +35,20 @@ Execution-model differences (DALI graph -> XLA):
 
 from __future__ import annotations
 
+import threading
 from abc import ABC, abstractmethod
 from typing import List, Optional
 
 from ..random_context import RandomContext
 from ..sample_data_group import SampleDataGroup
+
+# RandomContext injection is per-thread: the executor runs samples of one
+# batch concurrently on a thread pool over SHARED step instances, so storing
+# the context as plain instance state would let thread A read thread B's
+# generator (non-deterministic, and np.random.Generator is not thread-safe).
+# A module-level threading.local keyed by step id keeps steps picklable for
+# process workers (threading.local as instance state would not pickle).
+_TLS = threading.local()
 
 
 class PipelineStepBase(ABC):
@@ -51,21 +60,30 @@ class PipelineStepBase(ABC):
     is_batch_level: bool = False
 
     def __init__(self):
-        self._random: Optional[RandomContext] = None
+        pass
 
     # -- randomness ------------------------------------------------------ #
 
     @property
     def random(self) -> RandomContext:
-        """The injected randomness source (set by the executor)."""
-        assert self._random is not None, (
+        """The injected randomness source (set by the executor; thread-local)."""
+        ctx_by_step = getattr(_TLS, "ctx_by_step", None)
+        ctx = None if ctx_by_step is None else ctx_by_step.get(id(self))
+        assert ctx is not None, (
             f"{type(self).__name__} requested randomness but no RandomContext "
-            "was injected (set_random_context)"
+            "was injected (set_random_context) in this thread"
         )
-        return self._random
+        return ctx
 
     def set_random_context(self, ctx: Optional[RandomContext]):
-        self._random = ctx
+        ctx_by_step = getattr(_TLS, "ctx_by_step", None)
+        if ctx_by_step is None:
+            ctx_by_step = {}
+            _TLS.ctx_by_step = ctx_by_step
+        if ctx is None:
+            ctx_by_step.pop(id(self), None)
+        else:
+            ctx_by_step[id(self)] = ctx
 
     # -- format contract (parity with the reference) --------------------- #
 

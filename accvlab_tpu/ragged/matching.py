@@ -128,15 +128,33 @@ def batched_auction_matching(
 
     Fully jittable — replaces the per-sample host Hungarian of the
     reference workflow with zero host synchronization.
+
+    Non-convergence handling: a row still unassigned after ``max_iters``
+    bid rounds (col ``-1``) is NOT silently aliased to column 0 — that would
+    let multiple rows share one prediction and corrupt the set loss. Instead
+    assigned (row, col) pairs are compacted to each sample's prefix and
+    ``sample_sizes`` counts only them, so unconverged rows simply drop out of
+    the loss for that step while the one-to-one contract holds.
     """
     b, r, c = cost.shape
     cols = jax.vmap(lambda m, n: auction_matching(m, n, eps, max_iters))(
         cost, num_valid_rows
-    )  # (B, R) with -1 padding
-    sizes = num_valid_rows.astype(jnp.int32)
-    rows = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None], (b, r))
+    )  # (B, R) with -1 for invalid AND unconverged rows
+
+    def compact(cols_s, n_valid):
+        assigned = (cols_s >= 0) & (jnp.arange(r) < n_valid)
+        order = jnp.argsort(~assigned, stable=True)  # assigned rows first
+        rows_c = jnp.arange(r, dtype=jnp.int32)[order]
+        cols_c = cols_s[order].astype(jnp.int32)
+        n_assigned = jnp.sum(assigned).astype(jnp.int32)
+        in_prefix = jnp.arange(r) < n_assigned
+        return (
+            jnp.where(in_prefix, rows_c, 0),
+            jnp.where(in_prefix, cols_c, 0),
+            n_assigned,
+        )
+
+    rows, cols_compact, sizes = jax.vmap(compact)(cols, num_valid_rows)
     matches_gt = RaggedBatch(rows, sample_sizes=sizes)
-    matches_pred = RaggedBatch(
-        jnp.where(cols >= 0, cols, 0).astype(jnp.int32), sample_sizes=sizes
-    )
+    matches_pred = RaggedBatch(cols_compact, sample_sizes=sizes)
     return matches_gt, matches_pred

@@ -28,11 +28,33 @@ reference's int64.
 
 from __future__ import annotations
 
+import inspect
 from typing import Callable, List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _callable_positional_arity(fn: Callable) -> int:
+    """Positional arity of any callable — plain functions, lambdas,
+    ``functools.partial``, bound methods, and ``__call__`` objects.
+
+    ``inspect.signature`` already accounts for ``self`` binding and
+    partial-applied arguments; callables it cannot introspect (C functions)
+    default to arity 1, as does ``*args``.
+    """
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return 1
+    n = 0
+    for p in sig.parameters.values():
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            n += 1
+        elif p.kind == p.VAR_POSITIONAL:
+            return 1
+    return n
 
 Array = jax.Array
 ArrayLike = Union[Array, np.ndarray]
@@ -594,13 +616,7 @@ class RaggedBatch:
         ``(tensor, mask, sample_sizes)``. Outputs must keep the non-uniform
         dimension size and valid-entries-first layout.
         """
-        code = getattr(proc_step, "__code__", None)
-        if code is not None:
-            num_args = code.co_argcount
-            if code.co_flags & 0x04:  # *args
-                num_args = 1
-        else:
-            num_args = 1
+        num_args = _callable_positional_arity(proc_step)
         if num_args == 1:
             args = (self._tensor,)
         elif num_args == 2:

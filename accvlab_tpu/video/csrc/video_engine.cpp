@@ -429,14 +429,67 @@ uint8_t* avx_gop_bundle(void* h, int target_frame, int last_needed_frame,
 
 void avx_free(uint8_t* buf) { std::free(buf); }
 
+namespace {
+
+// Validate a serialized bundle end to end BEFORE trusting any field: a
+// truncated or corrupted file read back from GopStore must produce an error
+// code, never an out-of-bounds read. Checks header fields for sanity and the
+// cumulative layout (extradata + packet table + sum of packet payloads)
+// against the buffer size, with overflow-safe arithmetic.
+bool validate_bundle(const uint8_t* buf, uint64_t size, BundleHeader* hdr) {
+    if (buf == nullptr || size < sizeof(BundleHeader)) {
+        set_error("bundle too small");
+        return false;
+    }
+    std::memcpy(hdr, buf, sizeof(*hdr));
+    if (hdr->magic != kBundleMagic) {
+        set_error("bad bundle magic");
+        return false;
+    }
+    if (hdr->version != kBundleVersion) {
+        set_error("unsupported bundle version");
+        return false;
+    }
+    if (hdr->extradata_size < 0 || hdr->num_packets < 0 || hdr->num_frames < 0 ||
+        hdr->width <= 0 || hdr->height <= 0) {
+        set_error("corrupt bundle header (negative/zero sizes)");
+        return false;
+    }
+    uint64_t offset = sizeof(BundleHeader);
+    offset += static_cast<uint64_t>(hdr->extradata_size);
+    uint64_t table_bytes =
+        static_cast<uint64_t>(hdr->num_packets) * sizeof(PacketEntry);
+    offset += table_bytes;
+    if (offset < table_bytes || offset > size) {  // overflow or truncation
+        set_error("bundle truncated (packet table out of bounds)");
+        return false;
+    }
+    const uint8_t* table = buf + sizeof(BundleHeader) + hdr->extradata_size;
+    for (int32_t i = 0; i < hdr->num_packets; ++i) {
+        PacketEntry e;
+        std::memcpy(&e, table + static_cast<uint64_t>(i) * sizeof(PacketEntry),
+                    sizeof(e));
+        if (e.size > size || offset + e.size < offset || offset + e.size > size) {
+            set_error("bundle truncated (packet payload out of bounds)");
+            return false;
+        }
+        if (e.size > static_cast<uint64_t>(INT32_MAX)) {
+            set_error("corrupt bundle (packet larger than INT32_MAX)");
+            return false;
+        }
+        offset += e.size;
+    }
+    return true;
+}
+
+}  // namespace
+
 // Parse bundle metadata. Returns 0 on success.
 int avx_bundle_info(const uint8_t* buf, uint64_t size, int32_t* first_frame_id,
                     int32_t* num_frames, int32_t* width, int32_t* height,
                     int32_t* codec_id) {
-    if (size < sizeof(BundleHeader)) return -1;
     BundleHeader hdr;
-    std::memcpy(&hdr, buf, sizeof(hdr));
-    if (hdr.magic != kBundleMagic) return -2;
+    if (!validate_bundle(buf, size, &hdr)) return -1;
     *first_frame_id = hdr.first_frame_id;
     *num_frames = hdr.num_frames;
     *width = hdr.width;
@@ -449,16 +502,8 @@ int avx_bundle_info(const uint8_t* buf, uint64_t size, int32_t* first_frame_id,
 // into out_rgb (n_targets * H * W * 3, row-major). Returns 0 on success.
 int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_ids,
                       int32_t n_targets, uint8_t* out_rgb, int as_bgr) {
-    if (size < sizeof(BundleHeader)) {
-        set_error("bundle too small");
-        return -1;
-    }
     BundleHeader hdr;
-    std::memcpy(&hdr, buf, sizeof(hdr));
-    if (hdr.magic != kBundleMagic) {
-        set_error("bad bundle magic");
-        return -2;
-    }
+    if (!validate_bundle(buf, size, &hdr)) return -1;
     const uint8_t* p = buf + sizeof(BundleHeader);
     const uint8_t* extradata = p;
     p += hdr.extradata_size;

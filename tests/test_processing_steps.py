@@ -556,3 +556,55 @@ def test_photometric_determinism_and_validity(seed):
     assert a.shape == c.shape == img.shape
     assert np.isfinite(a).all() and np.isfinite(c).all()
     assert not np.array_equal(a, c) or np.array_equal(a, img)  # different keys differ (unless all gates failed)
+
+
+def test_random_context_is_thread_local():
+    """Regression: RandomContext was plain instance state on SHARED step
+    instances while the executor runs samples concurrently — thread A could
+    read thread B's generator. Contexts must be isolated per thread."""
+    import threading
+
+    import numpy as np
+
+    from accvlab_tpu.pipeline import HostRandomContext
+    from accvlab_tpu.pipeline.processing_steps.pipeline_step_base import PipelineStepBase
+
+    class Probe(PipelineStepBase):
+        placement = "host"
+
+        def _check_and_adjust_data_format_input_to_output(self, data_empty):
+            return data_empty
+
+        def _process(self, data):
+            return data
+
+    step = Probe()
+    barrier = threading.Barrier(4)
+    results = {}
+
+    def worker(tid):
+        ctx = HostRandomContext(np.random.default_rng(tid))
+        step.set_random_context(ctx)
+        barrier.wait()  # everyone has injected their own context
+        got = step.random
+        results[tid] = got is ctx
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert all(results.values()), results
+    # a thread that never injected must not see someone else's context
+    seen = {}
+
+    def never_injected():
+        try:
+            step.random
+            seen["leaked"] = True
+        except AssertionError:
+            seen["leaked"] = False
+
+    th = threading.Thread(target=never_injected)
+    th.start(); th.join()
+    assert seen["leaked"] is False

@@ -153,3 +153,32 @@ def test_yuv444_source_decodes(tmp_path):
     for fid in [0, 5, 9, 10, 19]:
         out = dec.Decode([path], [fid])[0]
         assert np.abs(out.astype(int) - frames[fid].astype(int)).mean() < 8.0
+
+
+def test_truncated_and_corrupted_bundles_error_not_crash(h264_clip):
+    """Regression (ADVICE r1): bundle parsing trusted header sizes unchecked —
+    a truncated/corrupted GOP bundle from GopStore caused out-of-bounds reads.
+    Every truncation point and fuzzed header must yield a Python error."""
+    path, frames = h264_clip
+    dec = GopDecoder()
+    merged, firsts, lens = dec.GetGOP([path], [17])
+    bundle = np.asarray(merged, np.uint8).copy()
+    assert dec.DecodeFromGOPRGB(merged, [path], [17])  # sanity: valid decodes
+
+    rng = np.random.default_rng(0)
+    # truncations at every interesting boundary + random points
+    cut_points = [0, 1, 8, 20, 39, 40, len(bundle) // 2, len(bundle) - 1]
+    cut_points += [int(rng.integers(1, len(bundle))) for _ in range(20)]
+    for cut in cut_points:
+        with pytest.raises((ValueError, RuntimeError)):
+            GopDecoder._decode_bundle(bundle[:cut].tobytes(), [17], False)
+
+    # fuzz header int fields (codec/width/height/frames/packets/extradata)
+    for _ in range(40):
+        fuzzed = bundle.copy()
+        field = int(rng.integers(2, 10))  # skip magic/version words
+        fuzzed[field * 4 : field * 4 + 4] = rng.integers(0, 256, 4, np.uint8)
+        try:
+            GopDecoder._decode_bundle(fuzzed.tobytes(), [17], False)
+        except (ValueError, RuntimeError):
+            pass  # error is the contract; a crash would kill the process
