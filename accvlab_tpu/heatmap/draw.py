@@ -16,14 +16,18 @@ Math parity (``draw_heatmap_cuda_kernel.cuh:36-48``):
   reference's CAS-based float ``atomicMax`` is order-independent, so a
   deterministic masked max-reduce is bit-identical.
 
-Two implementations, same results:
+Two implementations, same results (``implementation=`` is honored exactly:
+"pallas" runs a Pallas kernel on every path, "xla" the fused-XLA path,
+"auto" the measured record for the backend):
 
-* ``xla``: dense ``(T, H, W)`` contributions + max-reduce. XLA fuses it; used
-  as the golden model and on CPU.
-* ``pallas``: one grid step per (sample[, class]); target parameters are read
-  from SMEM, the (H, W) tile lives in VMEM, and a ``fori_loop`` over targets
-  folds each Gaussian into the tile with ``maximum``. No (T, H, W)
-  materialization — this is the TPU speed-of-light path for large T.
+* ``xla``: dense ``(T, H, W)`` contributions + max-reduce. XLA fuses it; the
+  golden model, the CPU path, and the TPU classwise record (segment-max is
+  O(T*H*W) while any dense per-class kernel is O(T*C*H*W)).
+* ``pallas``: vectorized (T, P) Gaussian math against a VMEM-resident pixel
+  strip. Small batches use a single grid step with an in-kernel sample loop
+  (grid steps cost ~2.4us; loop iterations are cheaper); anything larger is
+  tiled — grid over (sample [x class] x row-tile) jobs so arbitrary H x W
+  works (>= 1024x1024 verified on v5e, VMEM-bounded per step).
 
 All functions are functional (return the new heatmap) — the reference draws
 in place; under ``jit``, XLA buffer donation removes the copy.
@@ -81,110 +85,6 @@ def _draw_dense(heatmap, xs, ys, radii, valid, diameter_to_sigma_factor, k_scale
 
 
 # ---------------------------------------------------------------------- #
-# Pallas kernel                                                          #
-# ---------------------------------------------------------------------- #
-
-
-def _heatmap_kernel(
-    params_ref,  # SMEM (1, 1, T*4): x, y, radius, select (label or heatmap idx)
-    count_ref,  # SMEM (1, 1, 1): number of valid targets (or T)
-    hm_ref,  # VMEM (1, H, W) input tile
-    out_ref,  # VMEM (1, H, W) output tile
-    *,
-    num_targets: int,
-    diameter_to_sigma_factor: float,
-    k_scale: float,
-    select_grid_dim: Optional[int],
-):
-    h, w = out_ref.shape[1], out_ref.shape[2]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    out_ref[0] = hm_ref[0]
-    n = count_ref[0, 0, 0]
-    sel = pl.program_id(select_grid_dim) if select_grid_dim is not None else None
-
-    def body(t, _):
-        tgt_sel = params_ref[0, 0, 4 * t + 3]
-        cond = t < n
-        if sel is not None:
-            cond = jnp.logical_and(cond, tgt_sel == sel)
-
-        @pl.when(cond)
-        def _():
-            x = params_ref[0, 0, 4 * t]
-            y = params_ref[0, 0, 4 * t + 1]
-            r = params_ref[0, 0, 4 * t + 2]
-            dy = rows - y
-            dx = cols - x
-            inbox = (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r)
-            sigma = (2.0 * r.astype(jnp.float32) + 1.0) / diameter_to_sigma_factor
-            var = 2.0 * sigma * sigma
-            g = jnp.exp(-(dy * dy + dx * dx).astype(jnp.float32) / var) * k_scale
-            out_ref[0] = jnp.maximum(out_ref[0], jnp.where(inbox, g, -jnp.inf))
-
-        return 0
-
-    jax.lax.fori_loop(0, num_targets, body, 0)
-
-
-def _pack_params(xs, ys, radii, select):
-    """Interleave per-target scalars into an SMEM-friendly (B, T*4) i32 array."""
-    stacked = jnp.stack(
-        [xs.astype(jnp.int32), ys.astype(jnp.int32), radii.astype(jnp.int32), select.astype(jnp.int32)],
-        axis=-1,
-    )
-    # rank-3 (B, 1, T*4): TPU SMEM block shapes need the last two dims to
-    # match the array dims when not tile-aligned
-    return stacked.reshape(stacked.shape[0], 1, -1)
-
-
-def _pallas_draw(heatmap, params, counts, select_grid: bool, factor, k_scale, interpret):
-    """heatmap (G0[, G1], H, W); params (G0, T*4); counts (G0, 1)."""
-    has_sel = select_grid
-    if has_sel:
-        g0, g1, h, w = heatmap.shape
-        grid = (g0, g1)
-        hm_spec = pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
-        p_spec = pl.BlockSpec((1, 1, params.shape[2]), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM)
-        c_spec = pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM)
-        sel_dim = 1
-    else:
-        g0, h, w = heatmap.shape
-        grid = (g0,)
-        hm_spec = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-        p_spec = pl.BlockSpec((1, 1, params.shape[2]), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
-        c_spec = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
-        sel_dim = None
-
-    num_targets = params.shape[2] // 4
-    kernel = functools.partial(
-        _heatmap_kernel,
-        num_targets=num_targets,
-        diameter_to_sigma_factor=factor,
-        k_scale=k_scale,
-        select_grid_dim=sel_dim,
-    )
-
-    if has_sel:
-        # Fold the class dim into the kernel via a 4-D block reshaped to 3-D.
-        def kernel4(params_ref, count_ref, hm_ref, out_ref):
-            kernel(params_ref, count_ref, hm_ref.at[0], out_ref.at[0])
-
-        body, hspec = kernel4, hm_spec
-    else:
-        body, hspec = kernel, hm_spec
-
-    return pl.pallas_call(
-        body,
-        grid=grid,
-        in_specs=[p_spec, c_spec, hspec],
-        out_specs=hspec,
-        out_shape=jax.ShapeDtypeStruct(heatmap.shape, heatmap.dtype),
-        interpret=interpret,
-    )(params, counts, heatmap)
-
-
-# ---------------------------------------------------------------------- #
 # Optimized batched kernel (one grid step, in-kernel sample loop)        #
 # ---------------------------------------------------------------------- #
 #
@@ -193,10 +93,10 @@ def _pallas_draw(heatmap, params, counts, select_grid: bool, factor, k_scale, in
 # for the reference's 48x20x50/T=50 benchmark vs 0.30 ms for the per-sample
 # grid kernel and 0.24 ms for the fused-XLA path (docs/performance.md).
 # Invalid targets are pre-masked with radius -1 (inbox never true), and the
-# inverse variance is precomputed on the host side of the trace.
+# variance is precomputed on the host side of the trace.
 
 
-def _batched_kernel(xs_ref, ys_ref, rr_ref, iv_ref, hm_ref, out_ref, *, width, k_scale):
+def _batched_kernel(xs_ref, ys_ref, rr_ref, var_ref, hm_ref, out_ref, *, width, k_scale):
     num_samples = out_ref.shape[0]
     p = out_ref.shape[2]
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
@@ -207,11 +107,11 @@ def _batched_kernel(xs_ref, ys_ref, rr_ref, iv_ref, hm_ref, out_ref, *, width, k
         xs = xs_ref[s]
         ys = ys_ref[s]
         rr = rr_ref[s]
-        iv = iv_ref[s]
+        var = var_ref[s]
         dy = py - ys
         dx = px - xs
         inbox = (jnp.abs(dy) <= rr) & (jnp.abs(dx) <= rr)
-        g = jnp.exp(-(dy * dy + dx * dx) * iv) * k_scale
+        g = jnp.exp(-(dy * dy + dx * dx) / var) * k_scale
         contrib = jnp.where(inbox, g, -jnp.inf)
         drawn = jnp.max(contrib, axis=0, keepdims=True)
         out_ref[s] = jnp.maximum(hm_ref[s], drawn)
@@ -227,7 +127,7 @@ def _pallas_draw_batched(heatmap, centers_t, radii_t, nums, factor, k_scale, int
     radii_f = radii_t.astype(jnp.float32)
     rr_masked = jnp.where(valid, radii_f, -1.0)[:, :, None]
     sigma = (2.0 * radii_f + 1.0) / factor
-    inv_var = (1.0 / (2.0 * sigma * sigma))[:, :, None]
+    var = (2.0 * sigma * sigma)[:, :, None]
     xs = centers_t[:, :, 0].astype(jnp.float32)[:, :, None]
     ys = centers_t[:, :, 1].astype(jnp.float32)[:, :, None]
     hm_flat = heatmap.reshape(b, 1, h * w)
@@ -240,8 +140,166 @@ def _pallas_draw_batched(heatmap, centers_t, radii_t, nums, factor, k_scale, int
         out_specs=pl.BlockSpec((b, 1, h * w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, h * w), heatmap.dtype),
         interpret=interpret,
-    )(xs, ys, rr_masked, inv_var, hm_flat)
+    )(xs, ys, rr_masked, var, hm_flat)
     return out.reshape(b, h, w)
+
+
+# ---------------------------------------------------------------------- #
+# Tiled kernel — scales past VMEM (grid over sample x class x row-tile)  #
+# ---------------------------------------------------------------------- #
+#
+# The single-step batched kernel above loads the whole (B, 1, H*W) batch
+# into VMEM — fastest for small heatmaps (grid steps cost ~2.4us each; an
+# in-kernel sample loop is cheaper), but it dies past ~16MB VMEM. This
+# kernel tiles the heatmap over row blocks: each grid step draws one
+# (tile_rows x W) strip of one (sample[, class]) map, with that sample's
+# target parameters as (1, T, 1) VMEM blocks. Arbitrary H x W (>= 1024x1024
+# verified on a real v5e chip; see docs/performance.md for measurements).
+# Optional class/map selection masks targets by `sel == class_of_job`,
+# which also serves the flat draw_heatmap format (maps = classes of one
+# mega-sample).
+
+# per-buffer tile budget (floats). 128K floats = 512 KB; with input+output
+# blocks double-buffered by the pipeline this stays well under VMEM.
+_TILE_BUDGET = 128 * 1024
+# single-step kernel ceiling: B*H*W floats for hm in + out (x2 buffers)
+_SMALL_BATCH_BUDGET = 1024 * 1024
+# targets processed per grid step (bounds the (TC, P) vectorized arrays)
+_TARGET_CHUNK = 256
+
+
+def _tiled_kernel(
+    xs_ref, ys_ref, rr_ref, var_ref, sel_ref, hm_ref, out_ref, *,
+    width, n_row_tiles, num_classes, k_scale,
+):
+    # grid: (jobs, target_chunks). The (1, 1, TC, 1) param blocks bound the
+    # vectorized (TC, P) working set regardless of total target count; the
+    # out block is revisited across the inner target-chunk axis and folds
+    # each chunk in with `maximum` (deterministic — max is order-free).
+    k = pl.program_id(0)
+    tc = pl.program_id(1)
+    tile_i = k % n_row_tiles
+    p = out_ref.shape[2]
+    lid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    gid = tile_i * p + lid  # flat pixel id within the (padded) H x W map
+    py = (gid // width).astype(jnp.float32)
+    px = (gid % width).astype(jnp.float32)
+    xs = xs_ref[0, 0]  # (TC, 1)
+    ys = ys_ref[0, 0]
+    rr = rr_ref[0, 0]
+    var = var_ref[0, 0]
+    dy = py - ys  # (TC, P)
+    dx = px - xs
+    inbox = (jnp.abs(dy) <= rr) & (jnp.abs(dx) <= rr)
+    if num_classes is not None:
+        c = (k // n_row_tiles) % num_classes
+        inbox = inbox & (sel_ref[0, 0] == c)
+    g = jnp.exp(-(dy * dy + dx * dx) / var) * k_scale
+    contrib = jnp.where(inbox, g, -jnp.inf)
+    drawn = jnp.max(contrib, axis=0, keepdims=True)
+
+    @pl.when(tc == 0)
+    def _():
+        out_ref[0] = jnp.maximum(hm_ref[0], drawn)
+
+    @pl.when(tc > 0)
+    def _():
+        out_ref[0] = jnp.maximum(out_ref[0], drawn)
+
+
+def _prep_target_params(centers_t, radii_t, nums, factor):
+    """(B, T, 2) centers / (B, T) radii / (B,) counts -> VMEM-ready f32
+    (B, T, 1) xs, ys, masked radii (invalid -> -1, inbox never true), 1/var."""
+    t = radii_t.shape[1]
+    valid = jnp.arange(t, dtype=jnp.int32)[None, :] < nums[:, None]
+    radii_f = radii_t.astype(jnp.float32)
+    rr_masked = jnp.where(valid, radii_f, -1.0)[:, :, None]
+    sigma = (2.0 * radii_f + 1.0) / factor
+    var = (2.0 * sigma * sigma)[:, :, None]
+    xs = centers_t[:, :, 0].astype(jnp.float32)[:, :, None]
+    ys = centers_t[:, :, 1].astype(jnp.float32)[:, :, None]
+    return xs, ys, rr_masked, var
+
+
+def _pallas_draw_tiled(
+    heatmap,  # (B, C, H, W) — C=1 for the non-classwise case
+    xs, ys, rr, iv,  # (B, T, 1) f32
+    sel,  # (B, T, 1) i32 class/map id per target (ignored if use_sel=False)
+    use_sel: bool,
+    k_scale: float,
+    interpret: bool,
+):
+    b, c, h, w = heatmap.shape
+    t = xs.shape[1]
+    # bound the vectorized (TC, P) working set: chunk targets, then pick the
+    # row-tile so TC * P stays within the work budget
+    t_chunk = min(t, _TARGET_CHUNK)
+    n_t_chunks = -(-t // t_chunk)
+    t_pad = n_t_chunks * t_chunk
+    if t_pad != t:
+        # padded targets get radius -1 (inbox never true)
+        def pad_t(a, fill):
+            return jnp.pad(a, ((0, 0), (0, t_pad - t), (0, 0)), constant_values=fill)
+
+        xs, ys, iv, sel = pad_t(xs, 0), pad_t(ys, 0), pad_t(iv, 1), pad_t(sel, -1)
+        rr = pad_t(rr, -1.0)
+    tile_rows = max(1, min(h, _TILE_BUDGET // max(t_chunk * w, 1)))
+    n_tiles = -(-h // tile_rows)
+    h_pad = n_tiles * tile_rows
+    if h_pad != h:
+        heatmap = jnp.pad(heatmap, ((0, 0), (0, 0), (0, h_pad - h), (0, 0)))
+    p = tile_rows * w
+    jobs = heatmap.reshape(b * c * n_tiles, 1, p)
+    n_jobs = jobs.shape[0]
+    jobs_per_sample = c * n_tiles
+
+    kernel = functools.partial(
+        _tiled_kernel,
+        width=w,
+        n_row_tiles=n_tiles,
+        num_classes=c if use_sel else None,
+        k_scale=k_scale,
+    )
+
+    def chunked(a):
+        return a.reshape(a.shape[0], n_t_chunks, t_chunk, 1)
+
+    param_spec = pl.BlockSpec(
+        (1, 1, t_chunk, 1),
+        lambda k, tc: (k // jobs_per_sample, tc, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    job_spec = pl.BlockSpec((1, 1, p), lambda k, tc: (k, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_jobs, n_t_chunks),
+        in_specs=[param_spec] * 4 + [param_spec, job_spec],
+        out_specs=job_spec,
+        out_shape=jax.ShapeDtypeStruct(jobs.shape, heatmap.dtype),
+        interpret=interpret,
+    )(
+        chunked(xs), chunked(ys), chunked(rr), chunked(iv),
+        chunked(sel.astype(jnp.int32)), jobs,
+    )
+    out = out.reshape(b, c, h_pad, w)
+    return out[:, :, :h, :] if h_pad != h else out
+
+
+def _pallas_batched_any_size(heatmap, centers_t, radii_t, nums, factor, k_scale):
+    """Batched non-classwise pallas: single-step kernel when the whole batch
+    fits VMEM (fastest; grid overhead dominates small maps), tiled otherwise."""
+    b, h, w = heatmap.shape
+    interpret = not _on_tpu()
+    if b * h * w <= _SMALL_BATCH_BUDGET:
+        return _pallas_draw_batched(
+            heatmap, centers_t, radii_t, nums, factor, k_scale, interpret=interpret
+        )
+    xs, ys, rr, iv = _prep_target_params(centers_t, radii_t, nums, factor)
+    out = _pallas_draw_tiled(
+        heatmap[:, None], xs, ys, rr, iv, jnp.zeros_like(rr, jnp.int32),
+        use_sel=False, k_scale=k_scale, interpret=interpret,
+    )
+    return out[:, 0]
 
 
 # ---------------------------------------------------------------------- #
@@ -292,47 +350,21 @@ def draw_heatmap(
 
         return jax.vmap(per_map)(jnp.arange(num_maps))
 
-    if _on_tpu():
-        # the per-heatmap tile kernel's (H, W) ref views need lane-aligned
-        # widths on real TPUs; the fused-XLA path is equally fast at flat
-        # sizes, so it is the TPU implementation of record
-        def per_map(n):
-            return _draw_dense(
-                heatmaps[n], centers[:, 0], centers[:, 1], radii,
-                heatmap_idxes == n, diameter_to_sigma_factor, k_scale,
-            )
-
-        return jax.vmap(per_map)(jnp.arange(num_maps))
-    params = _pack_params(centers[:, 0], centers[:, 1], radii, heatmap_idxes).reshape(1, 1, t * 4)
-    counts = jnp.full((1, 1, 1), t, dtype=jnp.int32)
-    return _pallas_draw_flat(
-        heatmaps, params, counts, diameter_to_sigma_factor, k_scale, interpret=True
+    # pallas: the flat format is the classwise kernel with one mega-sample —
+    # maps act as classes, every target selects its map via heatmap_idxes
+    nums = jnp.full((1,), t, jnp.int32)
+    xs, ys, rr, iv = _prep_target_params(
+        centers[None], radii[None], nums, diameter_to_sigma_factor
     )
-
-
-def _pallas_draw_flat(heatmaps, params, counts, factor, k_scale, interpret):
-    """Flat variant: grid over heatmaps, target selected by heatmap index."""
-    n_maps, h, w = heatmaps.shape
-    num_targets = params.shape[2] // 4
-    kernel = functools.partial(
-        _heatmap_kernel,
-        num_targets=num_targets,
-        diameter_to_sigma_factor=factor,
+    out = _pallas_draw_tiled(
+        heatmaps[None],
+        xs, ys, rr, iv,
+        heatmap_idxes[None, :, None],
+        use_sel=True,
         k_scale=k_scale,
-        select_grid_dim=0,
+        interpret=not _on_tpu(),
     )
-    return pl.pallas_call(
-        kernel,
-        grid=(n_maps,),
-        in_specs=[
-            pl.BlockSpec((1, 1, params.shape[2]), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(heatmaps.shape, heatmaps.dtype),
-        interpret=interpret,
-    )(params[0:1], counts[0:1], heatmaps)
+    return out[0]
 
 
 def draw_heatmap_batched(
@@ -369,6 +401,13 @@ def draw_heatmap_batched(
     impl = _resolve_impl(implementation)
 
     if labels is None:
+        b, h, w = heatmap.shape
+        if implementation == "auto" and _on_tpu() and b * h * w > _SMALL_BATCH_BUDGET:
+            # measured on v5e (docs/performance.md): past the single-step
+            # kernel's VMEM budget the fused dense-XLA path beats the
+            # row-tiled pallas kernel (~2x at 8x512x512/T=128); an explicit
+            # implementation="pallas" still runs the tiled kernel below.
+            impl = "xla"
         if impl == "xla":
             return jax.vmap(
                 lambda hm, xs, ys, rr, n: _draw_dense(
@@ -381,14 +420,8 @@ def draw_heatmap_batched(
                     k_scale,
                 )
             )(heatmap, centers_t[:, :, 0], centers_t[:, :, 1], radii_t, nums)
-        return _pallas_draw_batched(
-            heatmap,
-            centers_t,
-            radii_t,
-            nums,
-            diameter_to_sigma_factor,
-            k_scale,
-            interpret=not _on_tpu(),
+        return _pallas_batched_any_size(
+            heatmap, centers_t, radii_t, nums, diameter_to_sigma_factor, k_scale
         )
 
     labels_t = jnp.asarray(labels.tensor, jnp.int32)
@@ -400,36 +433,12 @@ def draw_heatmap_batched(
     )
     num_classes = heatmap.shape[1]
 
-    if impl == "xla":
-        def per_sample(hm, xs, ys, rr, lab, n):
-            # (T, H, W) contributions once, then a deterministic scatter-max
-            # into class channels (O(T*H*W), not O(T*C*H*W))
-            t = rr.shape[0]
-            h, w = hm.shape[1], hm.shape[2]
-            valid = jnp.arange(t) < n
-            rows = jnp.arange(h, dtype=jnp.int32)[None, :, None]
-            cols = jnp.arange(w, dtype=jnp.int32)[None, None, :]
-            dy = rows - ys[:, None, None]
-            dx = cols - xs[:, None, None]
-            r = rr[:, None, None]
-            inbox = (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r) & valid[:, None, None]
-            var = _gauss_params(rr.astype(jnp.float32), diameter_to_sigma_factor)[
-                :, None, None
-            ]
-            g = jnp.exp(-(dy * dy + dx * dx).astype(jnp.float32) / var) * k_scale
-            contrib = jnp.where(inbox, g, -jnp.inf)
-            safe_lab = jnp.clip(lab, 0, num_classes - 1)
-            drawn = jax.ops.segment_max(contrib, safe_lab, num_segments=num_classes)
-            return jnp.maximum(hm, drawn)
-
-        return jax.vmap(per_sample)(
-            heatmap, centers_t[:, :, 0], centers_t[:, :, 1], radii_t, labels_t, nums
-        )
-
-    if _on_tpu():
-        # the per-(sample, class) tile kernel's (H, W) ref views need
-        # lane-aligned widths on real TPUs; the segment-max XLA path is the
-        # TPU classwise implementation of record
+    if impl == "xla" or (implementation == "auto" and _on_tpu()):
+        # classwise record on TPU: (T, H, W) contributions once, then a
+        # deterministic segment-max into class channels — O(T*H*W), while any
+        # dense per-class kernel is O(T*C*H*W). Both tiled and single-step
+        # pallas shapes were measured slower (docs/performance.md); an
+        # explicit implementation="pallas" request is still honored below.
         def per_sample(hm, xs, ys, rr, lab, n):
             t = rr.shape[0]
             h, w = hm.shape[1], hm.shape[2]
@@ -452,13 +461,15 @@ def draw_heatmap_batched(
         return jax.vmap(per_sample)(
             heatmap, centers_t[:, :, 0], centers_t[:, :, 1], radii_t, labels_t, nums
         )
-    params = _pack_params(centers_t[:, :, 0], centers_t[:, :, 1], radii_t, labels_t)
-    return _pallas_draw(
+
+    xs, ys, rr, iv = _prep_target_params(
+        centers_t, radii_t, nums, diameter_to_sigma_factor
+    )
+    return _pallas_draw_tiled(
         heatmap,
-        params,
-        nums[:, None, None],
-        True,
-        diameter_to_sigma_factor,
-        k_scale,
-        interpret=True,
+        xs, ys, rr, iv,
+        labels_t[:, :, None],
+        use_sel=True,
+        k_scale=k_scale,
+        interpret=not _on_tpu(),
     )
