@@ -35,6 +35,7 @@ class ImageDecoder(PipelineStepBase):
         hw_decoder_load: float = 0.65,
         as_bgr: bool = False,
         decode_scale_hint_hw=None,
+        decode_resize_hw=None,
     ):
         """``decode_scale_hint_hw``: optional (height, width) target. When the
         pipeline immediately resizes below the source resolution, libjpeg's
@@ -42,11 +43,22 @@ class ImageDecoder(PipelineStepBase):
         faster on the host) — the same decode-resize fusion DALI's decoder
         offers on GPU. Downstream geometry must use the ORIGINAL image size
         (e.g. an `image_hw` metadata field), since the decoded array's pixel
-        dimensions shrink."""
+        dimensions shrink.
+
+        ``decode_resize_hw``: optional (height, width) — fused decode+resize
+        to EXACTLY this size (DCT scaling to the nearest >= scale, then one
+        bilinear resample on host). This is the full analog of DALI's fused
+        decoder+resize: it shrinks both the host->device transfer and the
+        device program's working set to the output resolution. Use when the
+        first device step resizes to a fixed size anyway (e.g.
+        AffineTransformer STRETCH mode — which then sees an already-at-scale
+        image and composes only the random augment on top). Geometry fields
+        must key off the original size, as with the hint."""
         super().__init__()
         self._image_name = image_name
         self._as_bgr = as_bgr
         self._scale_hint = tuple(decode_scale_hint_hw) if decode_scale_hint_hw else None
+        self._resize_hw = tuple(decode_resize_hw) if decode_resize_hw else None
         del use_device_mixed, hw_decoder_load  # no NVJPEG on TPU hosts
 
     def _process(self, data: SampleDataGroup) -> SampleDataGroup:
@@ -55,9 +67,18 @@ class ImageDecoder(PipelineStepBase):
         for ip in data.find_all_occurrences(self._image_name):
             encoded = np.asarray(data.get_item_in_path(ip), dtype=np.uint8)
             img = Image.open(io.BytesIO(encoded.tobytes()))
-            if self._scale_hint is not None:
-                img.draft("RGB", (self._scale_hint[1], self._scale_hint[0]))
-            decoded = np.asarray(img.convert("RGB"), dtype=np.uint8)
+            target = self._resize_hw or self._scale_hint
+            if target is not None:
+                img.draft("RGB", (target[1], target[0]))
+            img = img.convert("RGB")
+            if self._resize_hw is not None and img.size != (
+                self._resize_hw[1],
+                self._resize_hw[0],
+            ):
+                img = img.resize(
+                    (self._resize_hw[1], self._resize_hw[0]), Image.BILINEAR
+                )
+            decoded = np.asarray(img, dtype=np.uint8)
             if self._as_bgr:
                 decoded = decoded[..., ::-1]
             data.set_item_in_path(ip, decoded)

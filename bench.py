@@ -107,10 +107,11 @@ def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw
     provider = build_dataset()
     inp = ShuffledShardedInputCallable(provider, batch_size=batch_size, shuffle=True)
     steps = [
-        # decode-resize fusion: libjpeg DCT scaling decodes directly near the
-        # output size (the host-side analog of DALI's fused GPU decode+resize);
+        # fused decode+resize (the host analog of DALI's fused GPU
+        # decode+resize): decode directly AT the output size — 2.1x less
+        # host->device transfer and device work than decoding at source size;
         # geometry (bboxes -> heatmap) keys off the original-size metadata field
-        ImageDecoder("image", decode_scale_hint_hw=out_hw),
+        ImageDecoder("image", decode_resize_hw=out_hw),
         AffineTransformer(
             output_hw=out_hw,
             resizing_mode=AffineTransformer.ResizingMode.STRETCH,
@@ -147,6 +148,94 @@ def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw
     return definition.get_pipeline(batch_size=batch_size, num_threads=num_threads, seed=0)
 
 
+def measure_input_idle(pipe, num_cams, n_iters=6, width=64):
+    """Fraction of train-loop time the device sits idle waiting for input
+    (the BASELINE.json north star: 'zero accelerator idle gaps attributable
+    to input'; reference claim: dali evaluation.rst:66-87 'not input bound').
+
+    Method: run a realistic jitted CenterNet train step fed by the pipeline
+    (prefetch ring active) and the SAME step on a cached batch, back to back.
+    idle = (t_e2e - t_compute) / t_e2e. Conservative: the pipeline's own
+    device-side preprocess program (useful work, not idle) also lands in the
+    numerator because it shares the chip with the train step.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from accvlab_tpu.models.centernet import CenterNetDetector
+
+    model = CenterNetDetector(num_classes=10, width=width)
+    opt = optax.adam(1e-3)
+
+    def model_inputs(out):
+        images = jnp.concatenate(
+            [out[f"cameras.[{c}].image"] for c in range(num_cams)], 0
+        )
+        heat = jnp.transpose(
+            jnp.concatenate(
+                [out[f"cameras.[{c}].annotations.heatmap"] for c in range(num_cams)], 0
+            ),
+            (0, 2, 3, 1),
+        )
+        return images, heat
+
+    def train_step(params, opt_state, out):
+        images, heat = model_inputs(out)
+
+        def loss_fn(p):
+            o = model.apply(p, images)
+            # penalty-reduced focal on the dense heatmap target (the
+            # pipeline-produced target), plus offset/size activity terms
+            pred = jax.nn.sigmoid(o["heatmap"].astype(jnp.float32))
+            pos = heat >= 0.999
+            pos_loss = jnp.where(pos, ((1 - pred) ** 2) * -jnp.log(pred + 1e-6), 0.0)
+            neg_loss = jnp.where(
+                ~pos, ((1 - heat) ** 4) * (pred**2) * -jnp.log(1 - pred + 1e-6), 0.0
+            )
+            n_pos = jnp.maximum(jnp.sum(pos), 1.0)
+            focal = (jnp.sum(pos_loss) + jnp.sum(neg_loss)) / n_pos
+            reg = jnp.mean(jnp.abs(o["offset"])) + jnp.mean(jnp.abs(o["size"]))
+            return focal + 0.01 * reg
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    step = jax.jit(train_step)
+
+    out0 = pipe.run()
+    images0, _ = model_inputs(out0)
+    params = model.init(jax.random.PRNGKey(0), images0[:1])
+    opt_state = opt.init(params)
+    params, opt_state, loss = step(params, opt_state, out0)  # compile
+    float(loss)  # full device->host sync: under the remote-attach tunnel,
+    # block_until_ready resolves before remote execution completes, so only
+    # a value materialization truly synchronizes (docs/performance.md)
+
+    def loop(use_pipe):
+        # one sync at the END of the window (not per iteration): async
+        # dispatch lets the host run ahead so producer/step overlap is
+        # preserved, and the final materialization drains the device queue
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = pipe.run() if use_pipe else out0
+            params, opt_state, loss = step(params, opt_state, out)
+        float(loss)
+        return (time.perf_counter() - t0) / n_iters
+
+    loop(True)  # warm the prefetch ring to steady state
+    t_e2e = loop(True)
+    t_comp = loop(False)
+    idle = max(0.0, (t_e2e - t_comp) / t_e2e)
+    log(
+        f"input idle: e2e step avg {t_e2e * 1e3:.0f} ms, compute-only avg "
+        f"{t_comp * 1e3:.0f} ms -> input-attributable idle {idle * 100:.1f}%"
+    )
+    return idle
+
+
 def main():
     import jax
 
@@ -155,13 +244,22 @@ def main():
     num_cams = 6
     pipe = build_pipeline(batch_size=batch_size)
 
-    # warmup: first batch compiles the fused device program
+    import jax.numpy as jnp
+
+    # true device sync: materialize a scalar (block_until_ready resolves
+    # before remote execution completes under the tunnel plugin)
+    drain = jax.jit(lambda x: jnp.sum(jnp.asarray(x, jnp.float32)))
+
+    def sync(out):
+        float(drain(list(out.values())[0]))
+
+    # warmup: first batch compiles the fused device program (+ drain program)
     t0 = time.time()
     batch = pipe.run()
-    jax.block_until_ready(list(batch.values())[0])
+    sync(batch)
     log(f"first batch (compile) {time.time() - t0:.1f}s; outputs: {len(batch)} fields")
     for _ in range(2):
-        jax.block_until_ready(list(pipe.run().values())[0])
+        sync(pipe.run())
 
     n_batches = 12
 
@@ -172,8 +270,9 @@ def main():
         for _ in range(n_batches):
             t1 = time.perf_counter()
             out = pipe.run()
-            jax.block_until_ready(list(out.values())[0])
             lat.append(time.perf_counter() - t1)
+        # drain the device queue so the pass total includes all device work
+        sync(out)
         return lat, time.perf_counter() - t_start, cpu_start, os.times()
 
     # best-of-3 passes (standard benchmarking practice): the remote-attach
@@ -183,24 +282,39 @@ def main():
     lat, total, cpu_start, cpu_end = min(
         passes, key=lambda r: sorted(r[0])[len(r[0]) // 2]
     )
+    idle = measure_input_idle(pipe, num_cams)
+
+    upload_mb = batch_size * num_cams * 256 * 704 * 3 / 1e6  # decode_resize_hw
     pipe.stop()
 
     frames = n_batches * batch_size * num_cams
-    # p50-derived throughput: the standard steady-state estimator, robust to
-    # isolated host/tunnel stalls (the mean conflates service hiccups with
-    # pipeline speed; both are printed)
+    # headline = sustained rate of the best pass, with the device queue
+    # drained (a true sync) so all device work is inside the window; the
+    # p50-derived per-batch rate is also printed (it excludes the drain and
+    # can overstate when the device, not the host, is the gate)
     fps_mean = frames / total
-    fps = batch_size * num_cams / (sorted(lat)[len(lat) // 2])
+    fps_p50 = batch_size * num_cams / (sorted(lat)[len(lat) // 2])
+    fps = fps_mean
     p50 = sorted(lat)[len(lat) // 2] * 1e3
     baseline_fps = 48 / 0.868  # DALI-on-A100 demonstrated lower bound
     # process CPU time over the steady-state window (the reference's DALI
     # evaluation reports CPU usage alongside throughput, evaluation.rst:66-75)
     cpu_s = (cpu_end.user - cpu_start.user) + (cpu_end.system - cpu_start.system)
     ncpu = os.cpu_count() or 1
+    # effective wire rate: each batch must move upload_mb of decoded pixels
+    # host->device; through the remote-attach tunnel this is the binding
+    # constraint (CPU sits at ~27% of one core waiting on the wire). On a
+    # locally-attached TPU host (PCIe, GB/s) the same pipeline is host/device
+    # bound instead — see docs/performance.md for the decomposition.
+    eff_wire_mbps = upload_mb / (total / n_batches)
     log(
-        f"steady state: {fps:.1f} frames/s/chip (p50-derived; mean {fps_mean:.1f}), "
-        f"p50 batch latency {p50:.1f} ms, best {min(lat) * 1e3:.0f} ms, "
+        f"steady state: {fps:.1f} frames/s/chip (drained mean; p50-derived "
+        f"{fps_p50:.1f}), p50 batch latency {p50:.1f} ms, best {min(lat) * 1e3:.0f} ms, "
         f"CPU {cpu_s / total / ncpu * 100:.1f}% of {ncpu} core(s)"
+    )
+    log(
+        f"transport: {upload_mb:.1f} MB/batch over the tunnel -> effective "
+        f"{eff_wire_mbps:.0f} MB/s incl. all pipeline work"
     )
     print(
         json.dumps(
@@ -209,6 +323,9 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / baseline_fps, 2),
+                "input_idle_frac": round(idle, 3),
+                "upload_MB_per_batch": round(upload_mb, 1),
+                "effective_wire_MBps": round(eff_wire_mbps, 1),
             }
         )
     )
