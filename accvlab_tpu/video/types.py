@@ -15,6 +15,18 @@ class Codec(IntEnum):
     hevc = 8
     av1 = 11
 
+    @classmethod
+    def from_avcodec_id(cls, avcodec_id: int) -> "Codec":
+        """Map a libavcodec ``AVCodecID`` (as reported by the engine's stream
+        probe / bundle headers) to the reference-compatible :class:`Codec`
+        value. The reference receives cudaVideoCodec from NVDEC; on TPU hosts
+        the demuxer reports AVCodecID, so this is the bridge."""
+        mapping = {27: cls.h264, 173: cls.hevc, 226: cls.av1}
+        try:
+            return mapping[int(avcodec_id)]
+        except KeyError:
+            raise ValueError(f"unsupported AVCodecID {avcodec_id}") from None
+
 
 class GopRef(NamedTuple):
     """Tiny picklable reference to a GOP stored in a :class:`SharedGopStore`
