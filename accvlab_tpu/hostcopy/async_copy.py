@@ -128,6 +128,94 @@ class AsyncCopyHandle:
         return result
 
 
+_d2h_packer_cache: dict = {}
+
+
+def _get_d2h_packer(spec):
+    """One jitted program that concatenates same-dtype device arrays into a
+    single flat buffer — the D2H mirror of the pack planner: one transfer for
+    many small arrays instead of one ``device_get`` each. ``spec`` is a
+    hashable tuple of flattened sizes (dtype disambiguated by the arrays)."""
+    with _slicer_lock:
+        fn = _d2h_packer_cache.get(spec)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            def packer(*arrs):
+                return jnp.concatenate([a.reshape(-1) for a in arrs])
+
+            fn = jax.jit(packer)
+            _d2h_packer_cache[spec] = fn
+    return fn
+
+
+def _plan_and_copy_d2h(
+    leaves: List[Any],
+    pack_cpu_tensors: bool,
+    max_packed_chunk_bytes: int,
+):
+    """Device->host plan (parity: the reference's D2H rows of
+    ``test_multi_tensor_copier.py:35-361``; target ``torch.device("cpu")``).
+
+    jax.Array leaves come back as numpy arrays; host leaves pass through
+    unchanged (they are already on the host, like the reference's CPU
+    tensors). Small single-shard device arrays are packed per (dtype, device)
+    into one on-device concatenation + ONE ``device_get``, then returned as
+    zero-copy numpy views into the transferred chunk.
+    """
+    import jax
+
+    out: List[Any] = [None] * len(leaves)
+    pack_groups = {}  # (dtype, device) -> list of (leaf_index, jax.Array)
+
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):
+            shards = getattr(leaf, "devices", lambda: set())()
+            single = len(shards) == 1
+            if (
+                pack_cpu_tensors
+                and single
+                and 0 < leaf.nbytes <= _PACK_CANDIDATE_MAX_BYTES
+            ):
+                key = (leaf.dtype, next(iter(shards)))
+                pack_groups.setdefault(key, []).append((i, leaf))
+            else:
+                out[i] = np.asarray(jax.device_get(leaf))
+            continue
+        out[i] = leaf  # numpy/scalars/opaque: already host-resident
+
+    for (_dtype, _dev), items in pack_groups.items():
+        chunk: List = []
+        chunk_bytes = 0
+
+        def flush(chunk):
+            if not chunk:
+                return
+            if len(chunk) == 1:
+                i, arr = chunk[0]
+                out[i] = np.asarray(jax.device_get(arr))
+                return
+            arrays = [a for _, a in chunk]
+            spec = tuple(a.size for a in arrays)
+            flat = _get_d2h_packer(spec)(*arrays)
+            host = np.asarray(jax.device_get(flat))
+            pos = 0
+            for (leaf_i, arr), n in zip(chunk, spec):
+                out[leaf_i] = host[pos : pos + n].reshape(arr.shape)
+                pos += n
+
+        for leaf_i, arr in items:
+            if chunk and chunk_bytes + arr.nbytes > max_packed_chunk_bytes:
+                flush(chunk)
+                chunk, chunk_bytes = [], 0
+            chunk.append((leaf_i, arr))
+            chunk_bytes += arr.nbytes
+        flush(chunk)
+
+    return out, []
+
+
 def _plan_and_copy(
     leaves: List[Any],
     device,
@@ -137,6 +225,9 @@ def _plan_and_copy(
 ):
     import jax
     import jax.numpy as jnp
+
+    if isinstance(device, str) and device.lower() in ("cpu", "host"):
+        return _plan_and_copy_d2h(leaves, pack_cpu_tensors, max_packed_chunk_bytes)
 
     out: List[Any] = [None] * len(leaves)
     device_arrays: List[Any] = []
@@ -227,6 +318,15 @@ def start_copy(
     dict/list/tuple with numpy arrays / scalars / jax arrays as leaves;
     non-array leaves pass through unchanged. ``use_pinned_staging`` is
     accepted for API parity (JAX's transfer path manages pinning itself).
+
+    Directions (matching the reference's matrix,
+    ``test_multi_tensor_copier.py:35-361``):
+
+    * H2D (default): host leaves are packed and transferred; jax.Array
+      leaves — including mixed-source-device trees — are moved to ``device``.
+    * D2H: pass ``device="cpu"`` — jax.Array leaves come back as numpy
+      (small same-dtype arrays are packed into one on-device concat + one
+      transfer); host leaves pass through unchanged.
 
     Returns an :class:`AsyncCopyHandle` with ``ready()`` / ``get()``.
     """

@@ -215,3 +215,122 @@ def test_concurrent_start_copy_background():
         out = h.get()
         for a, b in zip(out, d):
             np.testing.assert_array_equal(np.asarray(a), b)
+
+
+# ---- D2H + mixed-source-device trees (reference rows:
+# test_multi_tensor_copier_gpu_to_cpu:234, ..._many_small_tensors:284,
+# ..._mixed_devices:307) ------------------------------------------------- #
+
+
+@pytest.mark.parametrize("pack", [True, False])
+@pytest.mark.parametrize("background", [True, False])
+def test_device_to_host(pack, background):
+    import jax
+
+    rng = np.random.default_rng(3)
+    host_np = rng.normal(size=(4,)).astype(np.float32)
+    tree = {
+        "dev": {
+            "a": jax.numpy.asarray(rng.normal(size=(5, 3)).astype(np.float32)),
+            "b": jax.numpy.asarray(rng.integers(0, 9, (6,)).astype(np.int32)),
+        },
+        "big": jax.numpy.asarray(
+            rng.normal(size=(600, 600)).astype(np.float32)
+        ),  # > pack threshold
+        "host": host_np,
+        "tag": "opaque",
+        "scalar": 7,
+    }
+    out = start_copy(
+        tree, device="cpu", pack_cpu_tensors=pack, use_background_thread=background
+    ).get()
+    assert isinstance(out["dev"]["a"], np.ndarray)
+    assert isinstance(out["dev"]["b"], np.ndarray)
+    assert isinstance(out["big"], np.ndarray)
+    np.testing.assert_array_equal(out["dev"]["a"], np.asarray(tree["dev"]["a"]))
+    np.testing.assert_array_equal(out["dev"]["b"], np.asarray(tree["dev"]["b"]))
+    np.testing.assert_array_equal(out["big"], np.asarray(tree["big"]))
+    assert out["host"] is host_np  # already host-resident: passes through
+    assert out["tag"] == "opaque" and out["scalar"] == 7
+
+
+def test_device_to_host_many_small_tensors():
+    """Many small device arrays pack into few transfers and round-trip
+    exactly (reference: gpu_to_cpu_many_small_tensors:284)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+    srcs = [rng.normal(size=(rng.integers(1, 50),)).astype(np.float32) for _ in range(64)]
+    tree = [jnp.asarray(s) for s in srcs]
+    out = start_copy(tree, device="cpu").get()
+    assert all(isinstance(o, np.ndarray) for o in out)
+    for o, s in zip(out, srcs):
+        np.testing.assert_array_equal(o, s)
+
+
+def test_device_to_host_mixed_dtypes():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    srcs = {
+        "f32": rng.normal(size=(9,)).astype(np.float32),
+        "i32": rng.integers(-5, 5, (11,)).astype(np.int32),
+        "u8": rng.integers(0, 255, (13,)).astype(np.uint8),
+        "bool": rng.integers(0, 2, (7,)).astype(bool),
+    }
+    tree = {k: jnp.asarray(v) for k, v in srcs.items()}
+    out = start_copy(tree, device="cpu").get()
+    for k, v in srcs.items():
+        assert out[k].dtype == v.dtype
+        np.testing.assert_array_equal(out[k], v)
+
+
+def test_mixed_source_devices_to_one_device():
+    """Tree whose jax leaves live on different devices, consolidated onto one
+    target device together with host leaves (reference: mixed_devices:307)."""
+    import jax
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    rng = np.random.default_rng(6)
+    a = jax.device_put(rng.normal(size=(5,)).astype(np.float32), devs[0])
+    b = jax.device_put(rng.normal(size=(6,)).astype(np.float32), devs[1])
+    host = rng.normal(size=(4,)).astype(np.float32)
+    target = devs[1]
+    out = start_copy({"a": a, "b": b, "h": host}, device=target).get()
+    for key in ("a", "b", "h"):
+        assert out[key].devices() == {target}
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.asarray(a))
+    np.testing.assert_array_equal(np.asarray(out["b"]), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(out["h"]), host)
+
+
+def test_mixed_source_devices_to_host():
+    import jax
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices")
+    rng = np.random.default_rng(7)
+    srcs = [rng.normal(size=(8,)).astype(np.float32) for _ in range(4)]
+    tree = [jax.device_put(s, devs[i % len(devs)]) for i, s in enumerate(srcs)]
+    out = start_copy(tree, device="cpu").get()
+    for o, s in zip(out, srcs):
+        assert isinstance(o, np.ndarray)
+        np.testing.assert_array_equal(o, s)
+
+
+def test_d2h_chunking_small_max_chunk():
+    """max_packed_chunk_bytes bounds the packed D2H concat size too."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(8)
+    srcs = [rng.normal(size=(100,)).astype(np.float32) for _ in range(10)]
+    tree = [jnp.asarray(s) for s in srcs]
+    out = start_copy(tree, device="cpu", max_packed_chunk_bytes=1024).get()
+    for o, s in zip(out, srcs):
+        np.testing.assert_array_equal(o, s)
