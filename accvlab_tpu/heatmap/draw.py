@@ -44,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ragged import RaggedBatch
+from . import repro_exp
 
 Array = jax.Array
 
@@ -58,10 +59,26 @@ def _resolve_impl(implementation: str) -> str:
     return implementation
 
 
-def _gauss_params(radii_f32: Array, diameter_to_sigma_factor: float):
+def _gauss_inv_var(radii_f32: Array, diameter_to_sigma_factor: float, exact: bool = True):
+    """Reference arithmetic order (cuh:62-64,40): diameter -> sigma -> var in
+    f32, then the kernel multiplies by ``var_inv = 1/var`` (NOT a division
+    per pixel — the reciprocal's rounding is part of the bit-exact contract).
+    The exact path uses correctly-rounded division (``repro_exp.div_f32``) —
+    XLA's native f32 division is a backend-specific approximation."""
     diameter = 2.0 * radii_f32 + 1.0
+    if exact:
+        sigma = repro_exp.div_f32(diameter, jnp.float32(diameter_to_sigma_factor))
+        var = 2.0 * sigma * sigma
+        return repro_exp.div_f32(jnp.float32(1.0), var)
     sigma = diameter / diameter_to_sigma_factor
-    return 2.0 * sigma * sigma
+    var = 2.0 * sigma * sigma
+    return 1.0 / var
+
+
+def _exp(x, exact: bool):
+    """exp used by every draw path: the pinned bit-reproducible definition
+    (goldens are generated against it) or the backend's fast exp."""
+    return repro_exp.exp_f32(x) if exact else jnp.exp(x)
 
 
 # ---------------------------------------------------------------------- #
@@ -69,7 +86,8 @@ def _gauss_params(radii_f32: Array, diameter_to_sigma_factor: float):
 # ---------------------------------------------------------------------- #
 
 
-def _draw_dense(heatmap, xs, ys, radii, valid, diameter_to_sigma_factor, k_scale):
+def _draw_dense(heatmap, xs, ys, radii, valid, diameter_to_sigma_factor, k_scale,
+                exact=True):
     """heatmap (H, W); xs/ys/radii/valid (T,) -> new (H, W)."""
     h, w = heatmap.shape
     rows = jnp.arange(h, dtype=jnp.int32)[None, :, None]  # (1, H, 1)
@@ -78,8 +96,8 @@ def _draw_dense(heatmap, xs, ys, radii, valid, diameter_to_sigma_factor, k_scale
     dx = cols - xs[:, None, None]
     r = radii[:, None, None]
     inbox = (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r) & valid[:, None, None]
-    var = _gauss_params(radii.astype(jnp.float32), diameter_to_sigma_factor)[:, None, None]
-    g = jnp.exp(-(dy * dy + dx * dx).astype(jnp.float32) / var) * k_scale
+    iv = _gauss_inv_var(radii.astype(jnp.float32), diameter_to_sigma_factor, exact)[:, None, None]
+    g = _exp(-(dy * dy + dx * dx).astype(jnp.float32) * iv, exact) * k_scale
     contrib = jnp.where(inbox, g, -jnp.inf)
     return jnp.maximum(heatmap, jnp.max(contrib, axis=0, initial=-jnp.inf))
 
@@ -96,7 +114,8 @@ def _draw_dense(heatmap, xs, ys, radii, valid, diameter_to_sigma_factor, k_scale
 # variance is precomputed on the host side of the trace.
 
 
-def _batched_kernel(xs_ref, ys_ref, rr_ref, var_ref, hm_ref, out_ref, *, width, k_scale):
+def _batched_kernel(xs_ref, ys_ref, rr_ref, iv_ref, hm_ref, out_ref, *, width, k_scale,
+                    exact):
     num_samples = out_ref.shape[0]
     p = out_ref.shape[2]
     pid = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
@@ -107,11 +126,11 @@ def _batched_kernel(xs_ref, ys_ref, rr_ref, var_ref, hm_ref, out_ref, *, width, 
         xs = xs_ref[s]
         ys = ys_ref[s]
         rr = rr_ref[s]
-        var = var_ref[s]
+        iv = iv_ref[s]
         dy = py - ys
         dx = px - xs
         inbox = (jnp.abs(dy) <= rr) & (jnp.abs(dx) <= rr)
-        g = jnp.exp(-(dy * dy + dx * dx) / var) * k_scale
+        g = _exp(-(dy * dy + dx * dx) * iv, exact) * k_scale
         contrib = jnp.where(inbox, g, -jnp.inf)
         drawn = jnp.max(contrib, axis=0, keepdims=True)
         out_ref[s] = jnp.maximum(hm_ref[s], drawn)
@@ -120,18 +139,18 @@ def _batched_kernel(xs_ref, ys_ref, rr_ref, var_ref, hm_ref, out_ref, *, width, 
     jax.lax.fori_loop(0, num_samples, body, 0)
 
 
-def _pallas_draw_batched(heatmap, centers_t, radii_t, nums, factor, k_scale, interpret):
+def _pallas_draw_batched(heatmap, centers_t, radii_t, nums, factor, k_scale, interpret,
+                         exact=True):
     b, h, w = heatmap.shape
     t = radii_t.shape[1]
     valid = jnp.arange(t, dtype=jnp.int32)[None, :] < nums[:, None]
     radii_f = radii_t.astype(jnp.float32)
     rr_masked = jnp.where(valid, radii_f, -1.0)[:, :, None]
-    sigma = (2.0 * radii_f + 1.0) / factor
-    var = (2.0 * sigma * sigma)[:, :, None]
+    iv = _gauss_inv_var(radii_f, factor, exact)[:, :, None]
     xs = centers_t[:, :, 0].astype(jnp.float32)[:, :, None]
     ys = centers_t[:, :, 1].astype(jnp.float32)[:, :, None]
     hm_flat = heatmap.reshape(b, 1, h * w)
-    kernel = functools.partial(_batched_kernel, width=w, k_scale=k_scale)
+    kernel = functools.partial(_batched_kernel, width=w, k_scale=k_scale, exact=exact)
     out = pl.pallas_call(
         kernel,
         grid=(1,),
@@ -140,7 +159,7 @@ def _pallas_draw_batched(heatmap, centers_t, radii_t, nums, factor, k_scale, int
         out_specs=pl.BlockSpec((b, 1, h * w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 1, h * w), heatmap.dtype),
         interpret=interpret,
-    )(xs, ys, rr_masked, var, hm_flat)
+    )(xs, ys, rr_masked, iv, hm_flat)
     return out.reshape(b, h, w)
 
 
@@ -169,8 +188,8 @@ _TARGET_CHUNK = 256
 
 
 def _tiled_kernel(
-    xs_ref, ys_ref, rr_ref, var_ref, sel_ref, hm_ref, out_ref, *,
-    width, n_row_tiles, num_classes, k_scale,
+    xs_ref, ys_ref, rr_ref, iv_ref, sel_ref, hm_ref, out_ref, *,
+    width, n_row_tiles, num_classes, k_scale, exact,
 ):
     # grid: (jobs, target_chunks). The (1, 1, TC, 1) param blocks bound the
     # vectorized (TC, P) working set regardless of total target count; the
@@ -187,14 +206,14 @@ def _tiled_kernel(
     xs = xs_ref[0, 0]  # (TC, 1)
     ys = ys_ref[0, 0]
     rr = rr_ref[0, 0]
-    var = var_ref[0, 0]
+    iv = iv_ref[0, 0]
     dy = py - ys  # (TC, P)
     dx = px - xs
     inbox = (jnp.abs(dy) <= rr) & (jnp.abs(dx) <= rr)
     if num_classes is not None:
         c = (k // n_row_tiles) % num_classes
         inbox = inbox & (sel_ref[0, 0] == c)
-    g = jnp.exp(-(dy * dy + dx * dx) / var) * k_scale
+    g = _exp(-(dy * dy + dx * dx) * iv, exact) * k_scale
     contrib = jnp.where(inbox, g, -jnp.inf)
     drawn = jnp.max(contrib, axis=0, keepdims=True)
 
@@ -207,18 +226,17 @@ def _tiled_kernel(
         out_ref[0] = jnp.maximum(out_ref[0], drawn)
 
 
-def _prep_target_params(centers_t, radii_t, nums, factor):
+def _prep_target_params(centers_t, radii_t, nums, factor, exact=True):
     """(B, T, 2) centers / (B, T) radii / (B,) counts -> VMEM-ready f32
     (B, T, 1) xs, ys, masked radii (invalid -> -1, inbox never true), 1/var."""
     t = radii_t.shape[1]
     valid = jnp.arange(t, dtype=jnp.int32)[None, :] < nums[:, None]
     radii_f = radii_t.astype(jnp.float32)
     rr_masked = jnp.where(valid, radii_f, -1.0)[:, :, None]
-    sigma = (2.0 * radii_f + 1.0) / factor
-    var = (2.0 * sigma * sigma)[:, :, None]
+    iv = _gauss_inv_var(radii_f, factor, exact)[:, :, None]
     xs = centers_t[:, :, 0].astype(jnp.float32)[:, :, None]
     ys = centers_t[:, :, 1].astype(jnp.float32)[:, :, None]
-    return xs, ys, rr_masked, var
+    return xs, ys, rr_masked, iv
 
 
 def _pallas_draw_tiled(
@@ -228,6 +246,7 @@ def _pallas_draw_tiled(
     use_sel: bool,
     k_scale: float,
     interpret: bool,
+    exact: bool = True,
 ):
     b, c, h, w = heatmap.shape
     t = xs.shape[1]
@@ -259,6 +278,7 @@ def _pallas_draw_tiled(
         n_row_tiles=n_tiles,
         num_classes=c if use_sel else None,
         k_scale=k_scale,
+        exact=exact,
     )
 
     def chunked(a):
@@ -285,19 +305,21 @@ def _pallas_draw_tiled(
     return out[:, :, :h, :] if h_pad != h else out
 
 
-def _pallas_batched_any_size(heatmap, centers_t, radii_t, nums, factor, k_scale):
+def _pallas_batched_any_size(heatmap, centers_t, radii_t, nums, factor, k_scale,
+                             exact=True):
     """Batched non-classwise pallas: single-step kernel when the whole batch
     fits VMEM (fastest; grid overhead dominates small maps), tiled otherwise."""
     b, h, w = heatmap.shape
     interpret = not _on_tpu()
     if b * h * w <= _SMALL_BATCH_BUDGET:
         return _pallas_draw_batched(
-            heatmap, centers_t, radii_t, nums, factor, k_scale, interpret=interpret
+            heatmap, centers_t, radii_t, nums, factor, k_scale, interpret=interpret,
+            exact=exact,
         )
-    xs, ys, rr, iv = _prep_target_params(centers_t, radii_t, nums, factor)
+    xs, ys, rr, iv = _prep_target_params(centers_t, radii_t, nums, factor, exact)
     out = _pallas_draw_tiled(
         heatmap[:, None], xs, ys, rr, iv, jnp.zeros_like(rr, jnp.int32),
-        use_sel=False, k_scale=k_scale, interpret=interpret,
+        use_sel=False, k_scale=k_scale, interpret=interpret, exact=exact,
     )
     return out[:, 0]
 
@@ -315,6 +337,7 @@ def draw_heatmap(
     diameter_to_sigma_factor: float = 6.0,
     k_scale: float = 1.0,
     implementation: str = "auto",
+    exact: bool = True,
 ) -> Array:
     """Flattened-format heatmap drawing (explicit per-target heatmap indices).
 
@@ -327,6 +350,9 @@ def draw_heatmap(
         centers: ``(num_targets, 2)`` int — x, y per target.
         radii: ``(num_targets,)`` int.
         heatmap_idxes: ``(num_targets,)`` int — destination heatmap per target.
+        exact: use the pinned bit-reproducible exp (identical bits on every
+            backend, matches the committed golden artifacts; ~3 ulp from
+            correctly rounded). ``False`` uses the backend's fast exp.
     """
     heatmaps = jnp.asarray(heatmaps, jnp.float32)
     centers = jnp.asarray(centers, jnp.int32)
@@ -346,6 +372,7 @@ def draw_heatmap(
                 heatmap_idxes == n,
                 diameter_to_sigma_factor,
                 k_scale,
+                exact,
             )
 
         return jax.vmap(per_map)(jnp.arange(num_maps))
@@ -354,7 +381,7 @@ def draw_heatmap(
     # maps act as classes, every target selects its map via heatmap_idxes
     nums = jnp.full((1,), t, jnp.int32)
     xs, ys, rr, iv = _prep_target_params(
-        centers[None], radii[None], nums, diameter_to_sigma_factor
+        centers[None], radii[None], nums, diameter_to_sigma_factor, exact
     )
     out = _pallas_draw_tiled(
         heatmaps[None],
@@ -363,6 +390,7 @@ def draw_heatmap(
         use_sel=True,
         k_scale=k_scale,
         interpret=not _on_tpu(),
+        exact=exact,
     )
     return out[0]
 
@@ -375,6 +403,7 @@ def draw_heatmap_batched(
     k_scale: float = 1.0,
     labels: Optional[RaggedBatch] = None,
     implementation: str = "auto",
+    exact: bool = True,
 ) -> Array:
     """Draw heatmaps for a batch of samples (optionally classwise).
 
@@ -387,6 +416,9 @@ def draw_heatmap_batched(
         centers: RaggedBatch ``(batch, max_num_targets, 2)`` (x, y).
         radii: RaggedBatch ``(batch, max_num_targets)``.
         labels: optional RaggedBatch ``(batch, max_num_targets)`` of class ids.
+        exact: use the pinned bit-reproducible exp (identical bits on every
+            backend, matches the committed golden artifacts). ``False`` uses
+            the backend's fast exp.
     """
     heatmap = jnp.asarray(heatmap, jnp.float32)
     centers_t = jnp.asarray(centers.tensor, jnp.int32)
@@ -418,10 +450,12 @@ def draw_heatmap_batched(
                     jnp.arange(rr.shape[0]) < n,
                     diameter_to_sigma_factor,
                     k_scale,
+                    exact,
                 )
             )(heatmap, centers_t[:, :, 0], centers_t[:, :, 1], radii_t, nums)
         return _pallas_batched_any_size(
-            heatmap, centers_t, radii_t, nums, diameter_to_sigma_factor, k_scale
+            heatmap, centers_t, radii_t, nums, diameter_to_sigma_factor, k_scale,
+            exact=exact,
         )
 
     labels_t = jnp.asarray(labels.tensor, jnp.int32)
@@ -449,10 +483,10 @@ def draw_heatmap_batched(
             dx = cols - xs[:, None, None]
             r = rr[:, None, None]
             inbox = (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r) & valid[:, None, None]
-            var = _gauss_params(rr.astype(jnp.float32), diameter_to_sigma_factor)[
+            iv = _gauss_inv_var(rr.astype(jnp.float32), diameter_to_sigma_factor, exact)[
                 :, None, None
             ]
-            g = jnp.exp(-(dy * dy + dx * dx).astype(jnp.float32) / var) * k_scale
+            g = _exp(-(dy * dy + dx * dx).astype(jnp.float32) * iv, exact) * k_scale
             contrib = jnp.where(inbox, g, -jnp.inf)
             safe_lab = jnp.clip(lab, 0, num_classes - 1)
             drawn = jax.ops.segment_max(contrib, safe_lab, num_segments=num_classes)
@@ -463,7 +497,7 @@ def draw_heatmap_batched(
         )
 
     xs, ys, rr, iv = _prep_target_params(
-        centers_t, radii_t, nums, diameter_to_sigma_factor
+        centers_t, radii_t, nums, diameter_to_sigma_factor, exact
     )
     return _pallas_draw_tiled(
         heatmap,
@@ -472,4 +506,5 @@ def draw_heatmap_batched(
         use_sel=True,
         k_scale=k_scale,
         interpret=not _on_tpu(),
+        exact=exact,
     )
