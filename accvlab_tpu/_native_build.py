@@ -22,9 +22,15 @@ def build_shared_lib(
     """Compile ``src`` to ``<srcdir>/<stem>-<srchash>.so`` (if not already
     built) and return the library path. Raises RuntimeError on compile error.
     """
+    from accvlab_tpu.build_config import select_cxx_flags
+
+    flags = select_cxx_flags()
     src_dir = os.path.dirname(os.path.abspath(src))
+    h = hashlib.sha256()
     with open(src, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:12]
+        h.update(f.read())
+    h.update(" ".join(flags).encode())  # flag changes rebuild too
+    digest = h.hexdigest()[:12]
     lib_path = os.path.join(src_dir, f"{stem}-{digest}.so")
     if os.path.exists(lib_path):
         return lib_path
@@ -33,10 +39,7 @@ def build_shared_lib(
     if os.path.exists(lib_path):
         return lib_path
     tmp_path = lib_path + f".tmp{os.getpid()}"
-    cmd = [
-        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", tmp_path, src,
-    ] + list(link_args or [])
+    cmd = ["g++", *flags, "-shared", "-o", tmp_path, src] + list(link_args or [])
     res = subprocess.run(cmd, capture_output=True, text=True)
     if res.returncode != 0:
         raise RuntimeError(f"{stem} build failed:\n{res.stderr[-2000:]}")

@@ -104,6 +104,15 @@ class FixedSizeReaderMap:
             self._order.clear()
 
 
+def _validate_sizing(**kwargs):
+    """Non-positive sizing arguments are rejected at construction (parity:
+    the reference factories reject num_of_set/num_of_file/
+    max_frames_per_decode_call <= 0)."""
+    for name, value in kwargs.items():
+        if int(value) <= 0:
+            raise ValueError(f"{name} must be positive, got {value}")
+
+
 class SampleReader:
     """Multi-slot stream reader: sync + async single-frame-per-file decode.
 
@@ -113,12 +122,29 @@ class SampleReader:
     """
 
     def __init__(self, max_readers: int = 8, num_workers: int = 4):
+        _validate_sizing(max_readers=max_readers, num_workers=num_workers)
+        self._max_readers = max_readers
         self._map = FixedSizeReaderMap(max_readers)
         self._pool = ThreadPoolExecutor(
             max_workers=num_workers, thread_name_prefix="accvlab-sreader"
         )
         self._inflight: Optional[Tuple[tuple, Future]] = None
         self._lock = threading.Lock()
+
+    def _validate_request(self, paths, frame_ids):
+        """Entry validation (parity: PyNvSampleReader's size checks)."""
+        if len(paths) == 0:
+            raise RuntimeError("filepaths must not be empty")
+        if len(paths) != len(frame_ids):
+            raise RuntimeError(
+                f"filepaths.size() ({len(paths)}) != frame_ids.size() "
+                f"({len(frame_ids)})"
+            )
+        if len(paths) > self._max_readers:
+            raise RuntimeError(
+                f"number of files ({len(paths)}) exceeds num_of_file "
+                f"({self._max_readers})"
+            )
 
     def _read_batch(self, paths, frame_ids, as_bgr):
         futures = [
@@ -131,7 +157,9 @@ class SampleReader:
         self, paths: Sequence[str], frame_ids: Sequence[int], as_bgr: bool = False
     ) -> List[np.ndarray]:
         """Synchronous batch read (parity: ``run_rgb_out``)."""
-        return self._read_batch(list(paths), list(frame_ids), as_bgr)
+        paths, frame_ids = list(paths), list(frame_ids)
+        self._validate_request(paths, frame_ids)
+        return self._read_batch(paths, frame_ids, as_bgr)
 
     @staticmethod
     def _request_key(paths, frame_ids, as_bgr):
@@ -142,6 +170,7 @@ class SampleReader:
     ):
         """Start an async batch read; at most one request may be in flight
         (parity: ``DecodeN12ToRGBAsync``)."""
+        self._validate_request(list(paths), list(frame_ids))
         key = self._request_key(paths, frame_ids, as_bgr)
         with self._lock:
             if self._inflight is not None:
@@ -176,6 +205,19 @@ class SampleReader:
     def ReleaseResources(self):
         self._map.release()
 
+    # maintenance parity (reference: clearAllReaders / release_device_memory /
+    # release_decoder — idempotent, safe no-ops with no task pending). The
+    # FFmpeg engine holds host-side demux+decode state only; all three relieve
+    # the same resource here.
+    def clearAllReaders(self):
+        self._map.release()
+
+    def release_device_memory(self):
+        self._map.release()
+
+    def release_decoder(self):
+        self._map.release()
+
 
 class BatchAsyncStreamReader:
     """Async V x F 2-D batch decode with the single-in-flight contract.
@@ -185,13 +227,55 @@ class BatchAsyncStreamReader:
     and returns ``List[List[frame]]`` (per video, per frame).
     """
 
-    def __init__(self, max_readers: int = 8, num_workers: int = 4):
+    def __init__(
+        self,
+        max_readers: int = 8,
+        num_workers: int = 4,
+        max_frames_per_decode_call: int = 64,
+    ):
+        _validate_sizing(
+            max_readers=max_readers,
+            num_workers=num_workers,
+            max_frames_per_decode_call=max_frames_per_decode_call,
+        )
+        self._max_readers = max_readers
+        self._max_frames = max_frames_per_decode_call
         self._map = FixedSizeReaderMap(max_readers)
         self._pool = ThreadPoolExecutor(
             max_workers=num_workers, thread_name_prefix="accvlab-breader"
         )
         self._inflight: Optional[Tuple[tuple, Future]] = None
         self._lock = threading.Lock()
+
+    def _validate_request(self, paths, frame_ids):
+        """Entry validation of the V x F request (parity:
+        ``test_batch_async_stream_decoder.py`` Section B contract)."""
+        if len(paths) == 0:
+            raise RuntimeError("filepaths must not be empty")
+        if len(paths) != len(frame_ids):
+            raise RuntimeError(
+                f"filepaths.size() ({len(paths)}) != frame_ids_2d.size() "
+                f"({len(frame_ids)})"
+            )
+        if len(paths) > self._max_readers:
+            raise RuntimeError(
+                f"number of files ({len(paths)}) exceeds num_of_file "
+                f"({self._max_readers})"
+            )
+        if len(frame_ids[0]) == 0:
+            raise RuntimeError("frame_ids_2d[0] must not be empty")
+        inner = len(frame_ids[0])
+        for v, row in enumerate(frame_ids):
+            if len(row) != inner:
+                raise RuntimeError(
+                    "jagged inner lengths are not supported: "
+                    f"frame_ids_2d[{v}] has {len(row)} entries, expected {inner}"
+                )
+        if inner > self._max_frames:
+            raise RuntimeError(
+                f"frames per call ({inner}) exceeds max_frames_per_decode_call "
+                f"({self._max_frames})"
+            )
 
     @staticmethod
     def _request_key(paths, frame_ids, as_bgr):
@@ -221,6 +305,7 @@ class BatchAsyncStreamReader:
     ):
         """Enqueue an async V x F decode (parity: ``Decode``; at most one in
         flight)."""
+        self._validate_request(list(paths), [list(r) for r in frame_ids])
         key = self._request_key(paths, frame_ids, as_bgr)
         with self._lock:
             if self._inflight is not None:
@@ -254,6 +339,16 @@ class BatchAsyncStreamReader:
                 self._inflight = None
 
     def ReleaseResources(self):
+        self._map.release()
+
+    # maintenance parity — see SampleReader
+    def clearAllReaders(self):
+        self._map.release()
+
+    def release_device_memory(self):
+        self._map.release()
+
+    def release_decoder(self):
         self._map.release()
 
 
