@@ -18,16 +18,23 @@ Math parity (``draw_heatmap_cuda_kernel.cuh:36-48``):
 
 Two implementations, same results (``implementation=`` is honored exactly:
 "pallas" runs a Pallas kernel on every path, "xla" the fused-XLA path,
-"auto" the measured record for the backend):
+"auto" the measured record — currently "xla" everywhere):
 
-* ``xla``: dense ``(T, H, W)`` contributions + max-reduce. XLA fuses it; the
-  golden model, the CPU path, and the TPU classwise record (segment-max is
-  O(T*H*W) while any dense per-class kernel is O(T*C*H*W)).
+* ``xla``: dense ``(T, P)`` contributions + max-reduce, with the pixel axis
+  flattened to P = H*W on the lane dim (W < 128 in typical detection
+  heatmaps would waste most of every (8, 128) vector tile; flattening
+  measured 3.4x faster classwise). Classwise uses a one-hot (C, T) masked
+  max (segment-max lowers to scatter, which serializes on TPU). The
+  measured record on v5e for every case — batched 0.019 ms and classwise
+  0.061 ms at the reference headline shapes vs the A100 kernel's 0.0366 /
+  0.059 ms.
 * ``pallas``: vectorized (T, P) Gaussian math against a VMEM-resident pixel
   strip. Small batches use a single grid step with an in-kernel sample loop
   (grid steps cost ~2.4us; loop iterations are cheaper); anything larger is
   tiled — grid over (sample [x class] x row-tile) jobs so arbitrary H x W
-  works (>= 1024x1024 verified on v5e, VMEM-bounded per step).
+  works (>= 1024x1024 verified on v5e, VMEM-bounded per step). Kept as the
+  kernel-form implementation; measured at or behind the fused-XLA path at
+  every size, so "auto" no longer selects it.
 
 All functions are functional (return the new heatmap) — the reference draws
 in place; under ``jit``, XLA buffer donation removes the copy.
@@ -54,8 +61,13 @@ def _on_tpu() -> bool:
 
 
 def _resolve_impl(implementation: str) -> str:
+    # "auto" = the measured record. On v5e the fused-XLA formulation with
+    # lane-packed pixels wins every case (batched 0.019 ms, classwise
+    # 0.061 ms at the reference headline shapes; large maps ~1.5x faster
+    # than the tiled pallas kernel) — see docs/performance.md. "pallas"
+    # remains available and honored on every path.
     if implementation == "auto":
-        return "pallas" if _on_tpu() else "xla"
+        return "xla"
     return implementation
 
 
@@ -88,18 +100,26 @@ def _exp(x, exact: bool):
 
 def _draw_dense(heatmap, xs, ys, radii, valid, diameter_to_sigma_factor, k_scale,
                 exact=True):
-    """heatmap (H, W); xs/ys/radii/valid (T,) -> new (H, W)."""
+    """heatmap (H, W); xs/ys/radii/valid (T,) -> new (H, W).
+
+    The pixel axis is flattened to P = H*W on the LAST (lane) dim: typical
+    detection heatmaps have W < 128, so a (..., H, W) layout wastes most of
+    every (8, 128) vector tile — flattening measured 3.4x faster on v5e for
+    the classwise case. dy/dx are the same integers either way and max is
+    order-independent, so results are bit-identical."""
     h, w = heatmap.shape
-    rows = jnp.arange(h, dtype=jnp.int32)[None, :, None]  # (1, H, 1)
-    cols = jnp.arange(w, dtype=jnp.int32)[None, None, :]  # (1, 1, W)
-    dy = rows - ys[:, None, None]
-    dx = cols - xs[:, None, None]
-    r = radii[:, None, None]
-    inbox = (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r) & valid[:, None, None]
-    iv = _gauss_inv_var(radii.astype(jnp.float32), diameter_to_sigma_factor, exact)[:, None, None]
+    pid = jnp.arange(h * w, dtype=jnp.int32)[None, :]  # (1, P)
+    py = pid // w
+    px = pid % w
+    dy = py - ys[:, None]
+    dx = px - xs[:, None]
+    r = radii[:, None]
+    inbox = (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r) & valid[:, None]
+    iv = _gauss_inv_var(radii.astype(jnp.float32), diameter_to_sigma_factor, exact)[:, None]
     g = _exp(-(dy * dy + dx * dx).astype(jnp.float32) * iv, exact) * k_scale
-    contrib = jnp.where(inbox, g, -jnp.inf)
-    return jnp.maximum(heatmap, jnp.max(contrib, axis=0, initial=-jnp.inf))
+    contrib = jnp.where(inbox, g, -jnp.inf)  # (T, P)
+    drawn = jnp.max(contrib, axis=0, initial=-jnp.inf)
+    return jnp.maximum(heatmap, drawn.reshape(h, w))
 
 
 # ---------------------------------------------------------------------- #
@@ -337,7 +357,7 @@ def draw_heatmap(
     diameter_to_sigma_factor: float = 6.0,
     k_scale: float = 1.0,
     implementation: str = "auto",
-    exact: bool = True,
+    exact: bool = False,
 ) -> Array:
     """Flattened-format heatmap drawing (explicit per-target heatmap indices).
 
@@ -350,9 +370,11 @@ def draw_heatmap(
         centers: ``(num_targets, 2)`` int — x, y per target.
         radii: ``(num_targets,)`` int.
         heatmap_idxes: ``(num_targets,)`` int — destination heatmap per target.
-        exact: use the pinned bit-reproducible exp (identical bits on every
-            backend, matches the committed golden artifacts; ~3 ulp from
-            correctly rounded). ``False`` uses the backend's fast exp.
+        exact: ``True`` pins the bit-reproducible exp/div (identical bits on
+            every backend, matches the committed golden artifacts, ~0.5 ulp)
+            at ~1.1-8x the cost depending on shape; the default uses the
+            backend's fast exp — the same accuracy contract as the
+            reference's CUDA ``expf`` path.
     """
     heatmaps = jnp.asarray(heatmaps, jnp.float32)
     centers = jnp.asarray(centers, jnp.int32)
@@ -403,7 +425,7 @@ def draw_heatmap_batched(
     k_scale: float = 1.0,
     labels: Optional[RaggedBatch] = None,
     implementation: str = "auto",
-    exact: bool = True,
+    exact: bool = False,
 ) -> Array:
     """Draw heatmaps for a batch of samples (optionally classwise).
 
@@ -416,9 +438,11 @@ def draw_heatmap_batched(
         centers: RaggedBatch ``(batch, max_num_targets, 2)`` (x, y).
         radii: RaggedBatch ``(batch, max_num_targets)``.
         labels: optional RaggedBatch ``(batch, max_num_targets)`` of class ids.
-        exact: use the pinned bit-reproducible exp (identical bits on every
-            backend, matches the committed golden artifacts). ``False`` uses
-            the backend's fast exp.
+        exact: ``True`` pins the bit-reproducible exp/div (identical bits on
+            every backend, matches the committed golden artifacts, ~0.5 ulp)
+            at ~1.1-8x the cost depending on shape; the default uses the
+            backend's fast exp — the same accuracy contract as the
+            reference's CUDA ``expf`` path.
     """
     heatmap = jnp.asarray(heatmap, jnp.float32)
     centers_t = jnp.asarray(centers.tensor, jnp.int32)
@@ -433,13 +457,6 @@ def draw_heatmap_batched(
     impl = _resolve_impl(implementation)
 
     if labels is None:
-        b, h, w = heatmap.shape
-        if implementation == "auto" and _on_tpu() and b * h * w > _SMALL_BATCH_BUDGET:
-            # measured on v5e (docs/performance.md): past the single-step
-            # kernel's VMEM budget the fused dense-XLA path beats the
-            # row-tiled pallas kernel (~2x at 8x512x512/T=128); an explicit
-            # implementation="pallas" still runs the tiled kernel below.
-            impl = "xla"
         if impl == "xla":
             return jax.vmap(
                 lambda hm, xs, ys, rr, n: _draw_dense(
@@ -467,30 +484,40 @@ def draw_heatmap_batched(
     )
     num_classes = heatmap.shape[1]
 
-    if impl == "xla" or (implementation == "auto" and _on_tpu()):
-        # classwise record on TPU: (T, H, W) contributions once, then a
-        # deterministic segment-max into class channels — O(T*H*W), while any
-        # dense per-class kernel is O(T*C*H*W). Both tiled and single-step
-        # pallas shapes were measured slower (docs/performance.md); an
-        # explicit implementation="pallas" request is still honored below.
+    if impl == "xla":
+        # classwise record on TPU: (T, P) contributions once (P = H*W
+        # flattened onto the lane dim — see _draw_dense), then a one-hot
+        # (C, T) masked max over targets per class. segment_max lowers to
+        # scatter (serializes on TPU, measured 3x slower); a segmented
+        # cummax scan was also measured (log-passes are HBM-bound, 5x
+        # slower). This shape: 0.061 ms on v5e for the reference 48x20x
+        # 20x50 headline — parity with the A100's work-proportional atomic
+        # kernel (0.059 ms). Max is order-independent, so the regrouping is
+        # bit-identical to segment-max (and to the reference's atomicMax).
         def per_sample(hm, xs, ys, rr, lab, n):
             t = rr.shape[0]
-            h, w = hm.shape[1], hm.shape[2]
+            hgt, wid = hm.shape[1], hm.shape[2]
             valid = jnp.arange(t) < n
-            rows = jnp.arange(h, dtype=jnp.int32)[None, :, None]
-            cols = jnp.arange(w, dtype=jnp.int32)[None, None, :]
-            dy = rows - ys[:, None, None]
-            dx = cols - xs[:, None, None]
-            r = rr[:, None, None]
-            inbox = (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r) & valid[:, None, None]
+            pid = jnp.arange(hgt * wid, dtype=jnp.int32)[None, :]  # (1, P)
+            py = pid // wid
+            px = pid % wid
+            dy = py - ys[:, None]
+            dx = px - xs[:, None]
+            r = rr[:, None]
+            inbox = (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r) & valid[:, None]
             iv = _gauss_inv_var(rr.astype(jnp.float32), diameter_to_sigma_factor, exact)[
-                :, None, None
+                :, None
             ]
             g = _exp(-(dy * dy + dx * dx).astype(jnp.float32) * iv, exact) * k_scale
-            contrib = jnp.where(inbox, g, -jnp.inf)
+            contrib = jnp.where(inbox, g, -jnp.inf)  # (T, P)
             safe_lab = jnp.clip(lab, 0, num_classes - 1)
-            drawn = jax.ops.segment_max(contrib, safe_lab, num_segments=num_classes)
-            return jnp.maximum(hm, drawn)
+            sel = safe_lab[None, :] == jnp.arange(num_classes)[:, None]  # (C, T)
+            drawn = jnp.max(
+                jnp.where(sel[:, :, None], contrib[None], -jnp.inf),
+                axis=1,
+                initial=-jnp.inf,
+            )  # (C, P)
+            return jnp.maximum(hm, drawn.reshape(num_classes, hgt, wid))
 
         return jax.vmap(per_sample)(
             heatmap, centers_t[:, :, 0], centers_t[:, :, 1], radii_t, labels_t, nums
