@@ -71,7 +71,7 @@ def build(worker_mode: str, workers: int):
     inp = ShuffledShardedInputCallable(provider, batch_size=BATCH, shard_id=0, num_shards=1)
     pdef = PipelineDefinition(
         inp,
-        [ImageDecoder(["image"]), ImageRange01Normalizer(["image"])],
+        [ImageDecoder("image"), ImageRange01Normalizer("image")],
         prefetch_queue_depth=2,
     )
     return pdef.get_pipeline(
