@@ -20,7 +20,7 @@ import ctypes
 import struct
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -63,6 +63,87 @@ def _split_bundles(merged: np.ndarray) -> List[np.ndarray]:
             res.append(merged[start:end])
         return res
     return [merged]
+
+
+# Bundle binary layout (must match video_engine.cpp BundleHeader/PacketEntry)
+_BUNDLE_MAGIC = 0x42474141  # "AAGB"
+_BUNDLE_VERSION = 1
+_HDR_DTYPE = np.dtype(
+    [
+        ("magic", "<u4"), ("version", "<u4"), ("codec_id", "<i4"),
+        ("width", "<i4"), ("height", "<i4"), ("first_frame_id", "<i4"),
+        ("num_frames", "<i4"), ("num_packets", "<i4"),
+        ("extradata_size", "<i4"), ("reserved", "<i4"),
+    ]
+)
+_ENTRY_DTYPE = np.dtype(
+    [("size", "<u8"), ("pts", "<i8"), ("display_rel", "<i4"), ("flags", "<i4")]
+)
+
+
+def _unpack_bundle(bundle: np.ndarray) -> dict:
+    """Parse a single bundle into header fields, extradata, per-packet
+    payload arrays and per-packet metadata (pure Python mirror of the C
+    engine's layout — the separation product of ``ExtractPacketList``)."""
+    buf = np.ascontiguousarray(bundle, np.uint8)
+    hdr = np.frombuffer(buf[: _HDR_DTYPE.itemsize].tobytes(), _HDR_DTYPE)[0]
+    if int(hdr["magic"]) != _BUNDLE_MAGIC or int(hdr["version"]) != _BUNDLE_VERSION:
+        raise ValueError("not a packet bundle (bad magic/version)")
+    pos = _HDR_DTYPE.itemsize
+    ed_size = int(hdr["extradata_size"])
+    extradata = buf[pos : pos + ed_size].copy()
+    pos += ed_size
+    n = int(hdr["num_packets"])
+    entries = np.frombuffer(
+        buf[pos : pos + n * _ENTRY_DTYPE.itemsize].tobytes(), _ENTRY_DTYPE
+    )
+    pos += n * _ENTRY_DTYPE.itemsize
+    payloads = []
+    for e in entries:
+        sz = int(e["size"])
+        payloads.append(buf[pos : pos + sz].copy())
+        pos += sz
+    return {
+        "codec_id": int(hdr["codec_id"]),
+        "width": int(hdr["width"]),
+        "height": int(hdr["height"]),
+        "first_frame_id": int(hdr["first_frame_id"]),
+        "num_frames": int(hdr["num_frames"]),
+        "extradata": extradata,
+        "packets": payloads,
+        "pts": [int(e["pts"]) for e in entries],
+        "display_rel": [int(e["display_rel"]) for e in entries],
+        "flags": [int(e["flags"]) for e in entries],
+    }
+
+
+def _pack_bundle(
+    codec_id: int,
+    width: int,
+    height: int,
+    first_frame_id: int,
+    num_frames: int,
+    extradata: np.ndarray,
+    packets: List[np.ndarray],
+    pts: Sequence[int],
+    display_rel: Sequence[int],
+    flags: Sequence[int],
+) -> np.ndarray:
+    """Inverse of :func:`_unpack_bundle` — build a decodable bundle from raw
+    packet arrays (possibly produced by a foreign demuxer)."""
+    extradata = np.ascontiguousarray(extradata, np.uint8)
+    hdr = np.zeros(1, _HDR_DTYPE)
+    hdr["magic"], hdr["version"] = _BUNDLE_MAGIC, _BUNDLE_VERSION
+    hdr["codec_id"], hdr["width"], hdr["height"] = codec_id, width, height
+    hdr["first_frame_id"], hdr["num_frames"] = first_frame_id, num_frames
+    hdr["num_packets"], hdr["extradata_size"] = len(packets), extradata.nbytes
+    entries = np.zeros(len(packets), _ENTRY_DTYPE)
+    for i, p in enumerate(packets):
+        entries[i] = (np.asarray(p, np.uint8).nbytes, pts[i], display_rel[i], flags[i])
+    chunks = [hdr.tobytes(), extradata.tobytes(), entries.tobytes()] + [
+        np.ascontiguousarray(p, np.uint8).tobytes() for p in packets
+    ]
+    return np.frombuffer(b"".join(chunks), np.uint8).copy()
 
 
 def _bundle_info(bundle: np.ndarray):
@@ -227,6 +308,106 @@ class GopDecoder:
             )
         return res
 
+    # -- packet-list separation (demux anywhere, decode here) ------------ #
+
+    @staticmethod
+    def ExtractPacketList(packets: np.ndarray) -> List[dict]:
+        """Split bundles into raw per-packet arrays + metadata (parity: the
+        separation workflow around ``DecodeFromPacketListRGB``,
+        ``PyNvGopDecoder_constructors.cpp:738`` — packets may then be stored,
+        shipped, or re-assembled by :meth:`DecodeFromPacketListRGB`)."""
+        return [_unpack_bundle(b) for b in _split_bundles(np.asarray(packets))]
+
+    def DecodeFromPacketListInitialize(self, codec_ids: Sequence[int]) -> int:
+        """Validate and pre-register codecs for packet-list decode (parity:
+        ``DecodeFromPacketListInitialize`` / ``InitializeDecoders``). The
+        FFmpeg engine opens codecs per decode call, so this validates and
+        remembers defaults rather than pooling device decoder instances."""
+        if len(codec_ids) == 0:
+            raise RuntimeError("codec_ids cannot be empty")
+        self._packet_list_codec_ids = [int(c) for c in codec_ids]
+        return 0
+
+    def DecodeFromPacketListRGB(
+        self,
+        numpy_datas: Sequence[Sequence[np.ndarray]],
+        packet_idxs: Sequence[Sequence[int]],
+        widths: Sequence[int],
+        heights: Sequence[int],
+        frame_ids: Sequence[int],
+        as_bgr: bool = False,
+        *,
+        codec_ids: Optional[Sequence[int]] = None,
+        extradatas: Optional[Sequence[np.ndarray]] = None,
+        metadatas: Optional[Sequence[dict]] = None,
+    ) -> List[np.ndarray]:
+        """Decode target frames from raw per-packet arrays (parity:
+        ``DecodeFromPacketListRGB`` — packets may come from
+        :meth:`ExtractPacketList` or a foreign demuxer).
+
+        Args:
+            numpy_datas: per sample, the packet payload arrays.
+            packet_idxs: per sample, which payloads (in decode order) to feed.
+            widths / heights: per-sample frame dimensions.
+            frame_ids: ABSOLUTE display id of the wanted frame per sample
+                (as produced by ``GetGOP``-style APIs).
+            codec_ids: per-sample codec ids; defaults to the ids registered
+                via :meth:`DecodeFromPacketListInitialize`.
+            extradatas: optional per-sample codec extradata (needed unless
+                the stream carries in-band parameter sets).
+            metadatas: optional per-sample dicts from
+                :meth:`ExtractPacketList` — restores exact pts/display
+                metadata so open-GOP/B-frame content decodes identically to
+                the direct bundle path.
+        """
+        if codec_ids is None:
+            codec_ids = getattr(self, "_packet_list_codec_ids", None)
+            if codec_ids is None:
+                raise RuntimeError(
+                    "codec_ids not given and DecodeFromPacketListInitialize "
+                    "was not called"
+                )
+            if len(codec_ids) == 1:
+                codec_ids = list(codec_ids) * len(numpy_datas)
+        if not (
+            len(numpy_datas) == len(packet_idxs) == len(widths) == len(heights)
+            == len(frame_ids) == len(codec_ids)
+        ):
+            raise RuntimeError(
+                "numpy_datas, packet_idxs, widths, heights, frame_ids and "
+                "codec_ids must have the same length"
+            )
+        futures = []
+        for i, (payloads, idxs) in enumerate(zip(numpy_datas, packet_idxs)):
+            meta = metadatas[i] if metadatas is not None else None
+            sel = [np.ascontiguousarray(payloads[j], np.uint8) for j in idxs]
+            if meta is not None:
+                pts = [meta["pts"][j] for j in idxs]
+                disp = [meta["display_rel"][j] for j in idxs]
+                flags = [meta["flags"][j] for j in idxs]
+                first = meta["first_frame_id"]
+                nframes = meta["num_frames"]
+                extradata = meta["extradata"]
+            else:
+                # packets in decode order == display order (closed GOP, no
+                # B-frames); frame ids are relative to the first packet
+                pts = [-(2**63) + 1] * len(sel)  # AV_NOPTS-like sentinel
+                disp = list(range(len(sel)))
+                flags = [1] + [0] * (len(sel) - 1)  # first is the keyframe
+                first = 0
+                nframes = len(sel)
+                extradata = np.empty(0, np.uint8)
+            if extradatas is not None:
+                extradata = extradatas[i]
+            bundle = _pack_bundle(
+                int(codec_ids[i]), int(widths[i]), int(heights[i]),
+                first, nframes, extradata, sel, pts, disp, flags,
+            )
+            futures.append(
+                self._pool.submit(self._decode_bundle, bundle, [frame_ids[i]], as_bgr)
+            )
+        return [f.result()[0] for f in futures]
+
     # -- persistence (demuxer-free decode) ------------------------------- #
 
     @staticmethod
@@ -250,6 +431,21 @@ class GopDecoder:
             lens.append(nf)
         merged = flat[0] if len(flat) == 1 else _merge_bundles(flat)
         return merged, firsts, lens
+
+    @classmethod
+    def LoadGops(cls, filepaths: Sequence[str]) -> np.ndarray:
+        """Load + merge saved bundles, data only (parity: ``LoadGops`` —
+        the merged-array variant used by ``test_separate_decoder.py:91``)."""
+        return cls.LoadGOPFromFiles(filepaths)[0]
+
+    @staticmethod
+    def LoadGopsToList(filepaths: Sequence[str]) -> List[np.ndarray]:
+        """Load saved bundles as a list of per-GOP arrays (parity:
+        ``LoadGopsToList``)."""
+        out: List[np.ndarray] = []
+        for p in filepaths:
+            out.extend(_split_bundles(np.fromfile(p, np.uint8)))
+        return out
 
     # -- decode ---------------------------------------------------------- #
 
