@@ -28,6 +28,7 @@ PACKAGES = [
     "accvlab_tpu.tools",
     "accvlab_tpu.parallel",
     "accvlab_tpu.models",
+    "accvlab_tpu.build_config",
 ]
 
 
