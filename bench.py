@@ -22,6 +22,12 @@ import os
 import sys
 import time
 
+# Persistent compilation cache: the remote-compile tunnel can take minutes
+# per program in slow phases; caching the returned executable locally makes
+# repeat runs skip it entirely. Must be set before jax initializes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import numpy as np
 
 
