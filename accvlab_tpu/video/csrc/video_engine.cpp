@@ -23,6 +23,7 @@
 #include <set>
 #include <unordered_map>
 #include <string>
+#include <memory>
 #include <vector>
 
 extern "C" {
@@ -267,6 +268,7 @@ struct Decoder {
     SwsContext* sws = nullptr;
     int sws_w = 0, sws_h = 0;
     AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
+    AVPixelFormat sws_dst = AV_PIX_FMT_NONE;
 
     ~Decoder() {
         if (sws) sws_freeContext(sws);
@@ -299,7 +301,7 @@ struct Decoder {
         AVPixelFormat dst_fmt = as_bgr ? AV_PIX_FMT_BGR24 : AV_PIX_FMT_RGB24;
         AVPixelFormat src_fmt = static_cast<AVPixelFormat>(frame->format);
         if (!sws || sws_w != frame->width || sws_h != frame->height ||
-            sws_fmt != src_fmt) {
+            sws_fmt != src_fmt || sws_dst != dst_fmt) {
             if (sws) sws_freeContext(sws);
             sws = sws_getContext(frame->width, frame->height, src_fmt, frame->width,
                                  frame->height, dst_fmt, SWS_BILINEAR, nullptr,
@@ -307,6 +309,7 @@ struct Decoder {
             sws_w = frame->width;
             sws_h = frame->height;
             sws_fmt = src_fmt;
+            sws_dst = dst_fmt;
         }
         uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
         int dst_linesize[4] = {frame->width * 3, 0, 0, 0};
@@ -315,6 +318,47 @@ struct Decoder {
         return true;
     }
 };
+
+// ------------------------------------------------------------------ //
+// Per-thread decoder cache for bundle decode (parity: the reference's //
+// InitializeDecoders NvDecoder pooling). avcodec open+teardown costs  //
+// ~0.9 ms — 83% of a single-frame random-access decode; callers run   //
+// decodes from thread pools, so a small thread_local cache reuses     //
+// contexts without locking. flush_buffers resets codec state          //
+// (including EOF/drain) between independent GOPs. Slots are freed by  //
+// the thread_local destructor at thread exit.                         //
+// ------------------------------------------------------------------ //
+
+struct DecoderCacheEntry {
+    int codec_id = -1;
+    std::vector<uint8_t> extradata;
+    std::unique_ptr<Decoder> dec;
+};
+
+constexpr int kDecoderCacheSlots = 4;
+thread_local DecoderCacheEntry g_decoder_cache[kDecoderCacheSlots];
+thread_local int g_decoder_cache_clock = 0;
+
+Decoder* acquire_decoder(AVCodecID codec_id, const uint8_t* extradata,
+                         int extradata_size) {
+    for (auto& e : g_decoder_cache) {
+        if (e.dec && e.codec_id == codec_id &&
+            e.extradata.size() == static_cast<size_t>(extradata_size) &&
+            (extradata_size == 0 ||
+             std::memcmp(e.extradata.data(), extradata, extradata_size) == 0)) {
+            avcodec_flush_buffers(e.dec->ctx);
+            return e.dec.get();
+        }
+    }
+    auto dec = std::make_unique<Decoder>();
+    if (!dec->init(codec_id, extradata, extradata_size)) return nullptr;
+    DecoderCacheEntry& slot =
+        g_decoder_cache[g_decoder_cache_clock++ % kDecoderCacheSlots];
+    slot.codec_id = codec_id;
+    slot.extradata.assign(extradata, extradata + extradata_size);
+    slot.dec = std::move(dec);
+    return slot.dec.get();
+}
 
 // ------------------------------------------------------------------ //
 // Stream reader (decoder-state continuity; parity: PyNvVideoReader)   //
@@ -511,9 +555,10 @@ int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_i
     std::memcpy(entries.data(), p, hdr.num_packets * sizeof(PacketEntry));
     p += hdr.num_packets * sizeof(PacketEntry);
 
-    Decoder dec;
-    if (!dec.init(static_cast<AVCodecID>(hdr.codec_id), extradata, hdr.extradata_size))
-        return -3;
+    Decoder* decp = acquire_decoder(static_cast<AVCodecID>(hdr.codec_id), extradata,
+                                    hdr.extradata_size);
+    if (!decp) return -3;
+    Decoder& dec = *decp;
 
     // map display_rel -> output slot(s)
     std::vector<int> want(hdr.num_frames, -1);
