@@ -46,6 +46,8 @@ class _StreamReader:
     def read(self, frame_id: int, as_bgr: bool = False) -> np.ndarray:
         out = np.empty((self.height, self.width, 3), np.uint8)
         with self._read_lock:
+            if not self._h:
+                raise RuntimeError(f"reader for '{self.path}' is closed")
             rc = self._lib.avx_reader_read(
                 self._h,
                 int(frame_id),
@@ -59,9 +61,13 @@ class _StreamReader:
         return out
 
     def close(self):
-        if self._h:
-            self._lib.avx_reader_close(self._h)
-            self._h = None
+        # take the read lock: freeing the native handle while another thread
+        # is inside avx_reader_read would hand libav freed state (release/
+        # eviction can race an in-flight async decode)
+        with self._read_lock:
+            if self._h:
+                self._lib.avx_reader_close(self._h)
+                self._h = None
 
     def __del__(self):  # pragma: no cover
         try:
@@ -128,6 +134,13 @@ class SampleReader:
         self._pool = ThreadPoolExecutor(
             max_workers=num_workers, thread_name_prefix="accvlab-sreader"
         )
+        # the in-flight batch runs on a DEDICATED orchestration thread (the
+        # reference's ThreadRunner): _read_batch fans out to self._pool and
+        # WAITS — running it on the same pool deadlocks once every worker
+        # holds a waiting batch (num_workers=1 hangs GetBuffer forever)
+        self._dispatch = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="accvlab-sreader-dispatch"
+        )
         self._inflight: Optional[Tuple[tuple, Future]] = None
         self._lock = threading.Lock()
 
@@ -177,7 +190,7 @@ class SampleReader:
                 raise RuntimeError(
                     "A decode request is already in flight; call GetBuffer first."
                 )
-            future = self._pool.submit(
+            future = self._dispatch.submit(
                 self._read_batch, list(paths), list(frame_ids), as_bgr
             )
             self._inflight = (key, future)
@@ -243,6 +256,10 @@ class BatchAsyncStreamReader:
         self._map = FixedSizeReaderMap(max_readers)
         self._pool = ThreadPoolExecutor(
             max_workers=num_workers, thread_name_prefix="accvlab-breader"
+        )
+        # dedicated orchestration thread — see SampleReader.__init__
+        self._dispatch = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="accvlab-breader-dispatch"
         )
         self._inflight: Optional[Tuple[tuple, Future]] = None
         self._lock = threading.Lock()
@@ -312,7 +329,7 @@ class BatchAsyncStreamReader:
                 raise RuntimeError(
                     "A decode request is already in flight; call GetBuffer first."
                 )
-            future = self._pool.submit(
+            future = self._dispatch.submit(
                 self._decode_all, list(paths), [list(r) for r in frame_ids], as_bgr
             )
             self._inflight = (key, future)
