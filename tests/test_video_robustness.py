@@ -1,6 +1,7 @@
 """Video robustness tests (model: reference pixel-format variants,
 resource-free lifecycle, context-safety-across-threads tests)."""
 
+import struct
 import threading
 
 import numpy as np
@@ -182,3 +183,30 @@ def test_truncated_and_corrupted_bundles_error_not_crash(h264_clip):
             GopDecoder._decode_bundle(fuzzed.tobytes(), [17], False)
         except (ValueError, RuntimeError):
             pass  # error is the contract; a crash would kill the process
+
+    # whole-bundle mutation fuzz: random byte flips anywhere, incl. the
+    # packet table (uint64 size fields — the overflow-prone inputs) and
+    # payloads (libav bitstream robustness). Contract: error or decode,
+    # never crash/OOB (a segfault kills this process = test failure).
+    for _ in range(150):
+        fuzzed = bundle.copy()
+        n_mut = int(rng.integers(1, 9))
+        idx = rng.integers(0, len(fuzzed), n_mut)
+        fuzzed[idx] = rng.integers(0, 256, n_mut, np.uint8)
+        try:
+            GopDecoder._decode_bundle(fuzzed.tobytes(), [17], False)
+        except (ValueError, RuntimeError):
+            pass
+
+    # mutation fuzz of the merge container (offset table corruption)
+    for _ in range(50):
+        merged2 = np.asarray(
+            GopDecoder.MergePacketDataToOne([bundle, bundle]), np.uint8
+        ).copy()
+        idx = rng.integers(0, min(64, len(merged2)), 4)  # hit the offset table
+        merged2[idx] = rng.integers(0, 256, 4, np.uint8)
+        try:
+            for b in GopDecoder.ParseSerializedPacketBundle(merged2):
+                pass
+        except (ValueError, RuntimeError, struct.error):
+            pass
