@@ -66,7 +66,6 @@ def drop_videos_cache(filepaths: Sequence[str]) -> List[Tuple[str, DropCacheStat
         try:
             fd = os.open(path, os.O_RDONLY)
             try:
-                os.fsync(fd) if False else None
                 os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
             finally:
                 os.close(fd)

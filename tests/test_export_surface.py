@@ -1,0 +1,160 @@
+"""Export-surface audit: every public reference name the migration guide
+maps (docs/migration.md) must import from the stated accvlab_tpu module.
+
+This is the durable form of the round-1 one-off name audit — if a refactor
+drops or renames an export, this fails before a migrating user does.
+"""
+
+import importlib
+
+import pytest
+
+SURFACE = {
+    "accvlab_tpu.ragged": [
+        "RaggedBatch",
+        "batched_indexing_access",
+        "batched_inverse_indexing_access",
+        "batched_indexing_write",
+        "batched_index_mapping",
+        "get_mask_from_indices",
+        "batched_bool_indexing",
+        "batched_bool_indexing_write",
+        "average_over_targets",
+        "sum_over_targets",
+        "apply_mask_to_tensor",
+        "squeeze_except_batch_and_sample",
+        "get_compact_lists",
+        "get_compact_from_named_tuple",
+        "combine_data",
+        "get_indices_from_mask",
+    ],
+    "accvlab_tpu.heatmap": ["draw_heatmap", "draw_heatmap_batched", "draw_gaussians"],
+    "accvlab_tpu.polyline": [
+        "interpolate",
+        "interpolate_var_size_batch",
+        "lengths",
+        "lengths_var_size_batch",
+    ],
+    "accvlab_tpu.hostcopy": ["start_copy", "AsyncCopyHandle"],
+    "accvlab_tpu.video": [
+        "CreateGopDecoder",
+        "CachedGopDecoder",
+        "GopDecoder",
+        "Codec",
+        "GopRef",
+        "drop_videos_cache",
+        "DropCacheStatus",
+        "SharedGopStore",
+        "CreateSampleReader",
+        "CreateBatchAsyncStreamReader",
+        "SampleReader",
+        "BatchAsyncStreamReader",
+        "GetFastInitInfo",
+        "FastStreamInfo",
+        "RGBFrame",
+        "DecodedFrameExt",
+        "write_video",
+    ],
+    "accvlab_tpu.tools": ["Stopwatch", "NVTXRangeWrapper", "TraceRangeWrapper", "TensorDumper"],
+    "accvlab_tpu.pipeline": [
+        "PipelineDefinition",
+        "SampleDataGroup",
+        "DType",
+        "StructuredOutputIterator",
+        "DALIStructuredOutputIterator",
+    ],
+    "accvlab_tpu.pipeline.processing_steps": [
+        "PipelineStepBase",
+        "ImageDecoder",
+        "ImageToTileSizePadder",
+        "ImageRange01Normalizer",
+        "ImageMeanStdDevNormalizer",
+        "PhotoMetricDistorter",
+        "AffineTransformer",
+        "CoordinateCropper",
+        "PaddingToUniform",
+        "AxesLayoutSetter",
+        "BoundingBoxToHeatmapConverter",
+        "AnnotationElementConditionEval",
+        "BEVBBoxesTransformer3D",
+        "VisibleBboxSelector",
+        "PointsInRangeCheck",
+        "ConditionalElementRemover",
+        "UnneededFieldRemover",
+        "TensorSizeAdder",
+    ],
+    "accvlab_tpu.pipeline.inputs": [
+        "CallableBase",
+        "IterableBase",
+        "DataProvider",
+        "SamplerBase",
+        "SequenceSampler",
+        "SamplerInputCallable",
+        "SamplerInputIterable",
+        "ShuffledShardedInputCallable",
+        "SampleInfo",
+    ],
+    "accvlab_tpu.pipeline.internal_helpers": [
+        "check_type",
+        "print_tensor_op",
+        "print_tensor_size_op",
+        "get_mapped",
+        "get_as_data_node",
+    ],
+    "accvlab_tpu.parallel": ["make_mesh", "make_mesh_nd", "shard_batch", "host_shard_info"],
+    "accvlab_tpu.build_config": [
+        "find_repo_root",
+        "select_cxx_flags",
+        "build_cmake_args",
+        "run_external_build",
+        "get_package_version",
+    ],
+}
+
+# decoder-class methods the reference API exposes (checked on the class)
+DECODER_METHODS = [
+    "GetGOP",
+    "GetGOPList",
+    "Decode",
+    "DecodeFromGOPRGB",
+    "DecodeFromGOPListRGB",
+    "DecodeFromPacketListInitialize",
+    "DecodeFromPacketListRGB",
+    "ExtractPacketList",
+    "MergePacketDataToOne",
+    "ParseSerializedPacketBundle",
+    "SavePacketsToFile",
+    "LoadGOPFromFiles",
+    "LoadGops",
+    "LoadGopsToList",
+    "GetNumFrames",
+    "GetFrameSize",
+    "ReleaseResources",
+]
+
+
+@pytest.mark.parametrize("module", sorted(SURFACE))
+def test_module_exports(module):
+    mod = importlib.import_module(module)
+    missing = [n for n in SURFACE[module] if not hasattr(mod, n)]
+    assert not missing, f"{module} missing exports: {missing}"
+
+
+def test_gop_decoder_method_surface():
+    from accvlab_tpu.video import GopDecoder
+
+    missing = [m for m in DECODER_METHODS if not hasattr(GopDecoder, m)]
+    assert not missing, f"GopDecoder missing methods: {missing}"
+
+
+def test_reader_method_surface():
+    from accvlab_tpu.video import BatchAsyncStreamReader, SampleReader
+
+    for cls, methods in [
+        (SampleReader, ["run_rgb_out", "DecodeAsync", "GetBuffer"]),
+        (BatchAsyncStreamReader, ["Decode", "GetBuffer"]),
+    ]:
+        maintenance = ["ReleaseResources", "clearAllReaders",
+                       "release_device_memory", "release_decoder"]
+        missing = [m for m in methods + maintenance if not hasattr(cls, m)]
+        assert not missing, f"{cls.__name__} missing: {missing}"
