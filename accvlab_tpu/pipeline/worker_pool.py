@@ -9,12 +9,23 @@ when the host stage releases the GIL (JPEG/video decode via C libraries).
 
 The callable and host steps are pickled once at pool start (spawn), mirroring
 DALI's requirement that external-source callables be picklable.
+
+Sample RESULTS avoid the pickle pipe for bulk data: leaves above
+``_SHM_THRESHOLD`` bytes travel through POSIX shared memory (one segment per
+sample, written once by the worker, copied once by the parent, then
+unlinked) — the pickle path costs ~0.5 ms/sample for image-sized arrays
+(measured, docs/performance.md), the shm path a ~10x cheaper mmap + memcpy.
+Small leaves keep the simple pickle path.
 """
 
 from __future__ import annotations
 
 import multiprocessing as mp
+from multiprocessing import resource_tracker, shared_memory
+
 import numpy as np
+
+_SHM_THRESHOLD = 64 * 1024  # bytes; below this, pickling is cheaper than mmap
 
 # worker-process globals (set by the initializer)
 _W_INPUT = None
@@ -61,7 +72,61 @@ def _worker_process_sample(args):
                 continue
             step.set_random_context(rng)
             sdg = step(sdg) if _W_CHECK else step._process(sdg)
-    return [np.asarray(v) for v in sdg.get_data()]
+    return _export_flat([np.asarray(v) for v in sdg.get_data()])
+
+
+def _export_flat(flat):
+    """Pack large leaves into one shared-memory segment; return a transport
+    descriptor list (small leaves ride the pickle pipe as-is)."""
+    big = [
+        (i, a) for i, a in enumerate(flat)
+        if a.nbytes >= _SHM_THRESHOLD and a.dtype != object
+    ]
+    if not big:
+        return ("pickle", flat)
+    total = sum(int(np.ascontiguousarray(a).nbytes) for _, a in big)
+    shm = shared_memory.SharedMemory(create=True, size=total)
+    try:
+        descriptors = list(flat)
+        off = 0
+        for i, a in big:
+            a = np.ascontiguousarray(a)
+            shm.buf[off : off + a.nbytes] = memoryview(a).cast("B")
+            descriptors[i] = ("__shm__", off, a.shape, a.dtype.str)
+            off += a.nbytes
+        return ("shm", shm.name, descriptors)
+    finally:
+        shm.close()
+        # the parent owns the segment's lifetime (it unlinks after copying);
+        # unregister so this worker's resource tracker doesn't also unlink it
+        try:
+            resource_tracker.unregister(shm._name, "shared_memory")  # noqa: SLF001
+        except Exception:
+            pass
+
+
+def _import_result(result):
+    """Parent-side inverse of ``_export_flat``."""
+    if isinstance(result, str):
+        return result
+    kind = result[0]
+    if kind == "pickle":
+        return result[1]
+    _, shm_name, descriptors = result
+    shm = shared_memory.SharedMemory(name=shm_name)
+    try:
+        flat = []
+        for d in descriptors:
+            if isinstance(d, tuple) and len(d) == 4 and d[0] == "__shm__":
+                _, off, shape, dtype = d
+                view = np.ndarray(shape, np.dtype(dtype), buffer=shm.buf, offset=off)
+                flat.append(view.copy())  # one memcpy; segment freed below
+            else:
+                flat.append(d)
+        return flat
+    finally:
+        shm.close()
+        shm.unlink()
 
 
 class ProcessSampleWorkers:
@@ -78,7 +143,7 @@ class ProcessSampleWorkers:
     def produce_batch(self, batch_size: int, iteration: int, epoch: int):
         """Returns a list of flat-leaf lists, or raises StopIteration."""
         args = [(i, iteration, epoch, batch_size) for i in range(batch_size)]
-        results = self._pool.map(_worker_process_sample, args)
+        results = [_import_result(r) for r in self._pool.map(_worker_process_sample, args)]
         if any(isinstance(r, str) and r == "EPOCH_END" for r in results):
             raise StopIteration
         return results

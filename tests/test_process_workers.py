@@ -52,3 +52,52 @@ def test_pipeline_worker_modes_agree(worker_mode):
         np.testing.assert_array_equal(np.asarray(b3["idx"]), [0, 1, 2, 3])
     finally:
         pipe.stop()
+
+
+class BigProvider(DataProvider):
+    """Image-sized samples: leaves above the shm threshold ride shared
+    memory, small ones the pickle pipe — outputs must be identical."""
+
+    @property
+    def sample_data_structure(self):
+        sdg = SampleDataGroup()
+        sdg.add_data_field("image", DType.UINT8)
+        sdg.add_data_field("idx", DType.INT32)
+        return sdg
+
+    def get_data(self, sample_index):
+        sdg = self.sample_data_structure
+        rng = np.random.default_rng(sample_index)
+        sdg["image"] = rng.integers(0, 255, (128, 256, 3), np.uint8)  # 96 KB
+        sdg["idx"] = sample_index
+        return sdg
+
+    def get_number_of_samples(self):
+        return 8
+
+
+def test_process_workers_shm_transport_bit_identical_and_no_leak():
+    import glob
+
+    def run(worker_mode):
+        inp = ShuffledShardedInputCallable(BigProvider(), batch_size=4, shuffle=False)
+        definition = PipelineDefinition(
+            inp, [ImageRange01Normalizer("image")],
+            check_data_format=False, copy_external_source_passthrough_outputs=False,
+        )
+        pipe = definition.get_pipeline(
+            batch_size=4, num_threads=2, seed=0, worker_mode=worker_mode
+        )
+        try:
+            out = [np.asarray(pipe.run()["image"]) for _ in range(2)]
+        finally:
+            pipe.stop()
+        return out
+
+    before = set(glob.glob("/dev/shm/psm_*"))
+    thread_out = run("thread")
+    process_out = run("process")
+    for a, b in zip(thread_out, process_out):
+        np.testing.assert_array_equal(a, b)
+    leaked = set(glob.glob("/dev/shm/psm_*")) - before
+    assert not leaked, f"leaked shm segments: {leaked}"
