@@ -10,8 +10,20 @@ from __future__ import annotations
 import hashlib
 import os
 import subprocess
-import tempfile
 from typing import List, Optional
+
+
+def user_cache_dir() -> str:
+    """Per-user 0700 build-cache dir. NEVER a world-shared /tmp path: the
+    output name is predictable (content hash of public source), so a shared
+    location lets another local user plant a library that ctypes would load."""
+    d = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "accvlab_tpu",
+        "native",
+    )
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
 
 
 def build_shared_lib(
@@ -29,12 +41,15 @@ def build_shared_lib(
     h = hashlib.sha256()
     with open(src, "rb") as f:
         h.update(f.read())
-    h.update(" ".join(flags).encode())  # flag changes rebuild too
+    # flag/link changes rebuild too (a stale .so linked without a new
+    # dependency would fail only at symbol resolution)
+    h.update(" ".join(flags).encode())
+    h.update(" ".join(link_args or []).encode())
     digest = h.hexdigest()[:12]
     lib_path = os.path.join(src_dir, f"{stem}-{digest}.so")
     if os.path.exists(lib_path):
         return lib_path
-    out_dir = src_dir if os.access(src_dir, os.W_OK) else tempfile.gettempdir()
+    out_dir = src_dir if os.access(src_dir, os.W_OK) else user_cache_dir()
     lib_path = os.path.join(out_dir, f"{stem}-{digest}.so")
     if os.path.exists(lib_path):
         return lib_path

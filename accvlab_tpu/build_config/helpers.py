@@ -91,7 +91,7 @@ def select_cxx_flags(extra: Optional[List[str]] = None) -> List[str]:
     return flags + list(extra or [])
 
 
-def build_cmake_args(build_dir: str, install_prefix: Optional[str] = None) -> List[str]:
+def build_cmake_args(install_prefix: Optional[str] = None) -> List[str]:
     """Env-var-driven cmake arguments (parity: ``build_cmake_args``,
     ``cmake_args.py:195``): build type, version forwarding, generator
     selection, free-form ``ACCVLAB_CMAKE_ARGS`` passthrough."""
@@ -161,15 +161,17 @@ def run_external_build(
             os.path.join(csrc_dir, sources[0]), target_stem, link_args
         )
 
+    from accvlab_tpu._native_build import user_cache_dir
+
     digest = _tree_digest(csrc_dir)
-    out_base = csrc_dir if os.access(csrc_dir, os.W_OK) else tempfile.gettempdir()
+    out_base = csrc_dir if os.access(csrc_dir, os.W_OK) else user_cache_dir()
     lib_path = os.path.join(out_base, f"{target_stem}-{digest}.so")
     if os.path.exists(lib_path):
         return lib_path
     build_dir = os.path.join(out_base, f".build-{target_stem}-{digest}")
     os.makedirs(build_dir, exist_ok=True)
     cfg = subprocess.run(
-        ["cmake", csrc_dir, *build_cmake_args(build_dir)],
+        ["cmake", csrc_dir, *build_cmake_args()],
         cwd=build_dir,
         capture_output=True,
         text=True,

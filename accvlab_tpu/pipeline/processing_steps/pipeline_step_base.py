@@ -36,6 +36,7 @@ Execution-model differences (DALI graph -> XLA):
 from __future__ import annotations
 
 import threading
+import weakref
 from abc import ABC, abstractmethod
 from typing import List, Optional
 
@@ -46,9 +47,21 @@ from ..sample_data_group import SampleDataGroup
 # batch concurrently on a thread pool over SHARED step instances, so storing
 # the context as plain instance state would let thread A read thread B's
 # generator (non-deterministic, and np.random.Generator is not thread-safe).
-# A module-level threading.local keyed by step id keeps steps picklable for
-# process workers (threading.local as instance state would not pickle).
+# A module-level threading.local keeps steps picklable for process workers
+# (threading.local as instance state would not pickle). The per-thread map
+# is a WeakKeyDictionary keyed by the step OBJECT: entries die with the
+# step (no unbounded growth across rebuilt pipelines), and unlike id() keys
+# a freed-then-reused address can never hand a new step a dead step's
+# generator.
 _TLS = threading.local()
+
+
+def _ctx_map():
+    m = getattr(_TLS, "ctx_by_step", None)
+    if m is None:
+        m = weakref.WeakKeyDictionary()
+        _TLS.ctx_by_step = m
+    return m
 
 
 class PipelineStepBase(ABC):
@@ -67,8 +80,7 @@ class PipelineStepBase(ABC):
     @property
     def random(self) -> RandomContext:
         """The injected randomness source (set by the executor; thread-local)."""
-        ctx_by_step = getattr(_TLS, "ctx_by_step", None)
-        ctx = None if ctx_by_step is None else ctx_by_step.get(id(self))
+        ctx = _ctx_map().get(self)
         assert ctx is not None, (
             f"{type(self).__name__} requested randomness but no RandomContext "
             "was injected (set_random_context) in this thread"
@@ -76,14 +88,10 @@ class PipelineStepBase(ABC):
         return ctx
 
     def set_random_context(self, ctx: Optional[RandomContext]):
-        ctx_by_step = getattr(_TLS, "ctx_by_step", None)
-        if ctx_by_step is None:
-            ctx_by_step = {}
-            _TLS.ctx_by_step = ctx_by_step
         if ctx is None:
-            ctx_by_step.pop(id(self), None)
+            _ctx_map().pop(self, None)
         else:
-            ctx_by_step[id(self)] = ctx
+            _ctx_map()[self] = ctx
 
     # -- format contract (parity with the reference) --------------------- #
 

@@ -57,22 +57,31 @@ def _worker_process_sample(args):
         iteration=iteration,
         epoch_idx=epoch,
     )
+    # never let an exception escape to pool.map: a raising task makes map()
+    # DISCARD the other samples' results — and with shm transport those
+    # results own /dev/shm segments only the parent can unlink. Errors ride
+    # back as values so the parent imports (and frees) every result first.
     try:
-        flat = _W_INPUT(info)
-    except StopIteration:
-        return "EPOCH_END"
-    sdg = _W_INPUT_BLUEPRINT.get_empty_like_self()
-    sdg.set_data(list(flat))
-    if _W_STEPS:
-        rng = HostRandomContext(
-            np.random.default_rng((_W_SEED, epoch, iteration, idx_in_batch))
-        )
-        for step in _W_STEPS:
-            if step.is_batch_level:
-                continue
-            step.set_random_context(rng)
-            sdg = step(sdg) if _W_CHECK else step._process(sdg)
-    return _export_flat([np.asarray(v) for v in sdg.get_data()])
+        try:
+            flat = _W_INPUT(info)
+        except StopIteration:
+            return "EPOCH_END"
+        sdg = _W_INPUT_BLUEPRINT.get_empty_like_self()
+        sdg.set_data(list(flat))
+        if _W_STEPS:
+            rng = HostRandomContext(
+                np.random.default_rng((_W_SEED, epoch, iteration, idx_in_batch))
+            )
+            for step in _W_STEPS:
+                if step.is_batch_level:
+                    continue
+                step.set_random_context(rng)
+                sdg = step(sdg) if _W_CHECK else step._process(sdg)
+        return _export_flat([np.asarray(v) for v in sdg.get_data()])
+    except BaseException as e:  # noqa: BLE001
+        import traceback
+
+        return ("error", f"{type(e).__name__}: {e}\n{traceback.format_exc()}")
 
 
 def _export_flat(flat):
@@ -110,6 +119,8 @@ def _import_result(result):
     if isinstance(result, str):
         return result
     kind = result[0]
+    if kind == "error":
+        return result  # handled (raised) by produce_batch AFTER all imports
     if kind == "pickle":
         return result[1]
     _, shm_name, descriptors = result
@@ -144,6 +155,11 @@ class ProcessSampleWorkers:
         """Returns a list of flat-leaf lists, or raises StopIteration."""
         args = [(i, iteration, epoch, batch_size) for i in range(batch_size)]
         results = [_import_result(r) for r in self._pool.map(_worker_process_sample, args)]
+        # every successful sample's shm is now attached+freed; only then
+        # surface worker errors
+        for r in results:
+            if isinstance(r, tuple) and len(r) == 2 and r[0] == "error":
+                raise RuntimeError(f"pipeline worker failed:\n{r[1]}")
         if any(isinstance(r, str) and r == "EPOCH_END" for r in results):
             raise StopIteration
         return results

@@ -352,8 +352,8 @@ Decoder* acquire_decoder(AVCodecID codec_id, const uint8_t* extradata,
     }
     auto dec = std::make_unique<Decoder>();
     if (!dec->init(codec_id, extradata, extradata_size)) return nullptr;
-    DecoderCacheEntry& slot =
-        g_decoder_cache[g_decoder_cache_clock++ % kDecoderCacheSlots];
+    DecoderCacheEntry& slot = g_decoder_cache[g_decoder_cache_clock];
+    g_decoder_cache_clock = (g_decoder_cache_clock + 1) % kDecoderCacheSlots;
     slot.codec_id = codec_id;
     slot.extradata.assign(extradata, extradata + extradata_size);
     slot.dec = std::move(dec);
@@ -560,8 +560,9 @@ int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_i
     if (!decp) return -3;
     Decoder& dec = *decp;
 
-    // map display_rel -> output slot(s)
-    std::vector<int> want(hdr.num_frames, -1);
+    // map display_rel -> output slot(s); duplicates are legitimate (the
+    // same frame requested for several output slots)
+    std::vector<std::vector<int>> want(hdr.num_frames);
     int max_rel = -1;
     for (int t = 0; t < n_targets; ++t) {
         int rel = target_ids[t] - hdr.first_frame_id;
@@ -569,7 +570,7 @@ int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_i
             set_error("target frame not in bundle");
             return -4;
         }
-        want[rel] = t;
+        want[rel].push_back(t);
         max_rel = std::max(max_rel, rel);
     }
 
@@ -589,15 +590,26 @@ int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_i
     }
 
     auto handle_frame = [&]() {
+        // the output buffer is sized by the HEADER dims; a stream whose
+        // decoded frames differ (corrupt header, lying packet-list caller)
+        // would make to_rgb overflow it — reject instead of writing
+        if (frame->width != hdr.width || frame->height != hdr.height) {
+            set_error("decoded frame dimensions do not match the bundle header");
+            rc = -7;
+            remaining = 0;  // stop both loops
+            return;
+        }
         int64_t fpts = frame->best_effort_timestamp != AV_NOPTS_VALUE
                            ? frame->best_effort_timestamp
                            : frame->pts;
         auto it = rel_of_pts.find(fpts);
         int rel = it != rel_of_pts.end() ? it->second : -1;
-        if (rel >= 0 && rel < hdr.num_frames && want[rel] >= 0) {
-            dec.to_rgb(frame, out_rgb + static_cast<size_t>(want[rel]) * frame_bytes,
-                       as_bgr);
-            --remaining;
+        if (rel >= 0 && rel < hdr.num_frames && !want[rel].empty()) {
+            for (int slot : want[rel]) {
+                dec.to_rgb(frame, out_rgb + static_cast<size_t>(slot) * frame_bytes,
+                           as_bgr);
+                --remaining;
+            }
         }
         ++decoded;
     };
@@ -693,6 +705,13 @@ int avx_reader_read(void* h, int frame_id, uint8_t* out_rgb, int as_bgr) {
             return rc;
         }
         if (r->next_display == frame_id) {
+            // caller's buffer is sized by the indexer's stream dims; a
+            // mid-stream resolution change must not overflow it
+            if (frame->width != r->idx->width || frame->height != r->idx->height) {
+                set_error("decoded frame dimensions changed mid-stream");
+                av_frame_free(&frame);
+                return -4;
+            }
             r->dec.to_rgb(frame, out_rgb, as_bgr);
             rc = 0;
         }

@@ -53,7 +53,7 @@ def test_select_cxx_flags_default_and_env(monkeypatch):
 def test_build_cmake_args_env(monkeypatch):
     monkeypatch.setenv("ACCVLAB_CMAKE_BUILD_TYPE", "Debug")
     monkeypatch.setenv("ACCVLAB_CMAKE_ARGS", "-DBAR=2")
-    args = build_cmake_args("/tmp/x")
+    args = build_cmake_args()
     assert "-DCMAKE_BUILD_TYPE=Debug" in args
     assert "-DBAR=2" in args
     assert any(a.startswith("-DACCVLAB_VERSION=") for a in args)

@@ -101,3 +101,34 @@ def test_process_workers_shm_transport_bit_identical_and_no_leak():
         np.testing.assert_array_equal(a, b)
     leaked = set(glob.glob("/dev/shm/psm_*")) - before
     assert not leaked, f"leaked shm segments: {leaked}"
+
+
+class FailingProvider(BigProvider):
+    """Sample 2 of each batch raises — the other samples' shm segments must
+    still be attached and freed (no /dev/shm leak), and the error surfaces."""
+
+    def get_data(self, sample_index):
+        if sample_index % 4 == 2:
+            raise ValueError("synthetic sample failure")
+        return super().get_data(sample_index)
+
+
+def test_process_worker_error_surfaces_without_shm_leak():
+    import glob
+
+    before = set(glob.glob("/dev/shm/psm_*"))
+    inp = ShuffledShardedInputCallable(FailingProvider(), batch_size=4, shuffle=False)
+    definition = PipelineDefinition(
+        inp, [ImageRange01Normalizer("image")],
+        check_data_format=False, copy_external_source_passthrough_outputs=False,
+    )
+    pipe = definition.get_pipeline(
+        batch_size=4, num_threads=2, seed=0, worker_mode="process"
+    )
+    try:
+        with pytest.raises(Exception, match="synthetic sample failure"):
+            pipe.run()
+    finally:
+        pipe.stop()
+    leaked = set(glob.glob("/dev/shm/psm_*")) - before
+    assert not leaked, f"leaked shm segments after worker failure: {leaked}"

@@ -210,3 +210,37 @@ def test_truncated_and_corrupted_bundles_error_not_crash(h264_clip):
                 pass
         except (ValueError, RuntimeError, struct.error):
             pass
+
+
+def test_duplicate_target_frame_ids(h264_clip):
+    """The same frame requested for several output slots must decode into
+    each slot (was: rc=-6 'not all target frames decoded')."""
+    path, frames = h264_clip
+    dec = GopDecoder()
+    merged, (first,), (length,) = dec.GetGOP([path], [17])
+    a, b = first + 1, first + length - 1  # both inside this GOP
+    out = dec.DecodeFromGOPListRGB(merged, [[a, a, b, a]])
+    assert len(out[0]) == 4
+    np.testing.assert_array_equal(out[0][0], out[0][1])
+    np.testing.assert_array_equal(out[0][0], out[0][3])
+    assert np.abs(out[0][2].astype(int) - frames[b].astype(int)).mean() < 24
+
+
+def test_header_dims_mismatch_errors_not_overflow(h264_clip):
+    """A bundle whose header claims smaller dims than the stream decodes
+    must ERROR (was: heap overflow — to_rgb wrote stream-sized frames into
+    a header-sized buffer; confirmed SIGSEGV before the fix)."""
+    path, _ = h264_clip
+    dec = GopDecoder()
+    merged, _, _ = dec.GetGOP([path], [17])
+    (meta,) = GopDecoder.ExtractPacketList(merged)
+    dec.DecodeFromPacketListInitialize([meta["codec_id"]])
+    with pytest.raises(RuntimeError, match="dimensions"):
+        dec.DecodeFromPacketListRGB(
+            [meta["packets"]],
+            [list(range(len(meta["packets"])))],
+            [16],   # lying width
+            [16],   # lying height
+            [17],
+            metadatas=[meta],
+        )
