@@ -1,0 +1,113 @@
+"""Mixture-of-Experts block with expert-parallel sharding (TPU-native).
+
+Beyond-parity addition for the multichip story: a Switch-style top-1 MoE
+FFN in the dense-dispatch formulation — expert weights carry a leading
+expert dim that shards over a mesh ``expert`` axis; the per-expert einsums
+then compute locally per device and GSPMD inserts the cross-expert
+combine (psum over the sharded contraction). No host-side routing, no
+dynamic shapes: the one-hot dispatch mask keeps everything MXU-shaped.
+
+The expensive all-to-all token-dropping variant is intentionally avoided:
+for the detector-scale models here, dense dispatch is simpler, fully
+deterministic, and XLA-fusable; its FLOP overhead (E x the FFN) is the
+standard trade below ~64 experts.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class SwitchFFN(nn.Module):
+    """Top-1 routed expert FFN (dense dispatch).
+
+    Input/output: ``(batch, tokens, dim)``. Aux output: load-balancing loss
+    (Switch Transformer Eq. 4: E * sum_e f_e * P_e).
+    """
+
+    num_experts: int
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        e, d, h = self.num_experts, self.dim, self.hidden
+        router = nn.Dense(e, dtype=jnp.float32, name="router")
+        w_in = self.param(
+            "w_in", nn.initializers.lecun_normal(), (e, d, h), jnp.float32
+        )
+        w_out = self.param(
+            "w_out", nn.initializers.lecun_normal(), (e, h, d), jnp.float32
+        )
+
+        logits = router(x)  # (B, T, E)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top = jnp.argmax(probs, axis=-1)  # (B, T)
+        mask = jax.nn.one_hot(top, e, dtype=x.dtype)  # (B, T, E)
+        gate = jnp.sum(probs * mask, axis=-1, keepdims=True)  # (B, T, 1)
+
+        # dense dispatch: every expert sees every token (masked at combine);
+        # the E dim shards over the mesh "expert" axis via the param specs
+        hdn = jnp.einsum("btd,edh->beth", x.astype(jnp.bfloat16), w_in.astype(jnp.bfloat16))
+        hdn = nn.gelu(hdn)
+        y = jnp.einsum("beth,ehd->betd", hdn, w_out.astype(jnp.bfloat16))
+        out = jnp.einsum("bte,betd->btd", mask, y.astype(jnp.float32)) * gate
+
+        # load-balancing aux (fraction routed vs mean prob per expert)
+        frac = jnp.mean(mask, axis=(0, 1))  # (E,)
+        mean_prob = jnp.mean(probs, axis=(0, 1))  # (E,)
+        aux = e * jnp.sum(frac * mean_prob)
+        return out, aux
+
+
+class MoEClassifier(nn.Module):
+    """Tiny token classifier around SwitchFFN — the multichip dry-run model."""
+
+    num_experts: int
+    dim: int
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x = nn.Dense(self.dim)(tokens)
+        y, aux = SwitchFFN(self.num_experts, self.dim, self.dim * 2)(x)
+        x = nn.LayerNorm()(x + y)
+        logits = nn.Dense(self.num_classes)(jnp.mean(x, axis=1))
+        return logits, aux
+
+
+def make_moe_train_step(model: MoEClassifier, aux_weight: float = 0.01):
+    """(init_fn, train_step) for the dry run: cross-entropy + aux loss,
+    plain SGD (no optimizer state tree to shard)."""
+    import optax
+
+    def init_fn(key, tokens):
+        params = model.init(key, tokens)
+        return params
+
+    def loss_fn(params, batch):
+        logits, aux = model.apply(params, batch["tokens"])
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch["labels"]
+        ).mean()
+        return ce + aux_weight * aux
+
+    def train_step(params, batch, lr=1e-2):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+        return params, {"loss": loss}
+
+    return init_fn, train_step
+
+
+def make_moe_example_batch(batch_size: int, tokens: int, in_dim: int, num_classes: int):
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    return {
+        "tokens": jax.random.normal(k1, (batch_size, tokens, in_dim), jnp.float32),
+        "labels": jax.random.randint(k2, (batch_size,), 0, num_classes),
+    }

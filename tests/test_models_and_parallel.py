@@ -341,3 +341,59 @@ def test_petr_remat_equivalence():
         _, _, metrics = jax.jit(step)(p0, opt, batch)
         losses.append(float(metrics["loss"]))
     assert losses[0] == losses[1]
+
+
+def test_moe_expert_parallel_matches_single_device():
+    """SwitchFFN with the expert dim sharded over a mesh axis produces the
+    same loss/updates as the unsharded run (GSPMD psum combine == local
+    sum), and the dry-run stanza's sharding specs compile and execute."""
+    import jax
+    import numpy as np
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from accvlab_tpu.models.moe import (
+        MoEClassifier,
+        make_moe_example_batch,
+        make_moe_train_step,
+    )
+
+    model = MoEClassifier(num_experts=8, dim=16, num_classes=5)
+    batch = make_moe_example_batch(batch_size=4, tokens=8, in_dim=12, num_classes=5)
+    init_fn, train_step = make_moe_train_step(model)
+    params = init_fn(jax.random.PRNGKey(0), batch["tokens"])
+
+    # reference: plain single-device step
+    _, ref_metrics = jax.jit(train_step)(params, batch)
+
+    mesh = Mesh(mesh_utils.create_device_mesh((2, 4)), axis_names=("data", "expert"))
+
+    def param_spec(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        if any(n in ("w_in", "w_out") for n in names):
+            return P("expert", None, None)
+        return P()
+
+    params_sh = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params
+    )
+    batch_sh = jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(
+            mesh, P("data", *([None] * (getattr(leaf, "ndim", 1) - 1)))
+        ),
+        batch,
+    )
+    with mesh:
+        p = jax.device_put(params, params_sh)
+        b = jax.device_put(batch, batch_sh)
+        new_params, metrics = jax.jit(
+            train_step, in_shardings=(params_sh, batch_sh)
+        )(p, b)
+        jax.block_until_ready(metrics["loss"])
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-5
+    )
+    # expert weights really are sharded over the expert axis
+    w_in = new_params["params"]["SwitchFFN_0"]["w_in"]
+    assert len(w_in.sharding.device_set) == 8
