@@ -14,5 +14,13 @@ per-rank ``device_id`` + ``torch.distributed`` DDP (SURVEY §2.3/§5.8):
 """
 
 from .mesh import host_shard_info, make_mesh, make_mesh_nd, shard_batch, shard_like_batch
+from .pipeline_parallel import pipeline_apply
 
-__all__ = ["host_shard_info", "make_mesh", "make_mesh_nd", "shard_batch", "shard_like_batch"]
+__all__ = [
+    "host_shard_info",
+    "make_mesh",
+    "make_mesh_nd",
+    "pipeline_apply",
+    "shard_batch",
+    "shard_like_batch",
+]

@@ -397,3 +397,55 @@ def test_moe_expert_parallel_matches_single_device():
     # expert weights really are sharded over the expert axis
     w_in = new_params["params"]["SwitchFFN_0"]["w_in"]
     assert len(w_in.sharding.device_set) == 8
+
+
+def test_pipeline_parallel_matches_sequential_and_trains():
+    """GPipe-style pipeline_apply over a mesh 'pipe' axis: forward output is
+    bit-identical to applying the stages sequentially, and grads flow
+    through the scan + ppermute ring (a full pp train step executes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from accvlab_tpu.parallel import pipeline_apply
+
+    S, M, MB, D = 4, 6, 4, 16
+    mesh = Mesh(mesh_utils.create_device_mesh((2, S)), axis_names=("data", "pipe"))
+    kw, kb, kx = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "w": jax.random.normal(kw, (S, D, D)) * 0.3,
+        "b": jax.random.normal(kb, (S, D)) * 0.1,
+    }
+    xs = jax.random.normal(kx, (M, MB, D))
+
+    def stage_fn(p, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    ref = xs
+    for s in range(S):
+        ref = stage_fn({"w": params["w"][s], "b": params["b"][s]}, ref)
+
+    params_sh = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P("pipe"))), params
+    )
+    xs_sh = jax.device_put(xs, NamedSharding(mesh, P(None, "data")))
+    with mesh:
+        got = jax.jit(
+            lambda p, x: pipeline_apply(p, x, stage_fn, mesh=mesh, data_spec=P("data"))
+        )(params_sh, xs_sh)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        # full train step: mean-square loss, grads through the pipeline
+        def loss_fn(p, x):
+            y = pipeline_apply(p, x, stage_fn, mesh=mesh, data_spec=P("data"))
+            return jnp.mean(y * y)
+
+        loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params_sh, xs_sh)
+        jax.block_until_ready(loss)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))
+    # grads for every stage are nonzero (each stage participated)
+    gw = np.asarray(grads["w"])
+    assert (np.abs(gw).reshape(S, -1).max(axis=1) > 0).all()
