@@ -168,32 +168,45 @@ def run_external_build(
     lib_path = os.path.join(out_base, f"{target_stem}-{digest}.so")
     if os.path.exists(lib_path):
         return lib_path
-    build_dir = os.path.join(out_base, f".build-{target_stem}-{digest}")
+    # pid-suffixed build dir + atomic publish: concurrent first-use builders
+    # must not share object files or install a partially linked library
+    build_dir = os.path.join(out_base, f".build-{target_stem}-{digest}-{os.getpid()}")
     os.makedirs(build_dir, exist_ok=True)
-    cfg = subprocess.run(
-        ["cmake", csrc_dir, *build_cmake_args()],
-        cwd=build_dir,
-        capture_output=True,
-        text=True,
-    )
-    if cfg.returncode != 0:
-        raise RuntimeError(f"cmake configure failed:\n{cfg.stderr[-2000:]}")
-    bld = subprocess.run(
-        ["cmake", "--build", ".", "--parallel"],
-        cwd=build_dir,
-        capture_output=True,
-        text=True,
-    )
-    if bld.returncode != 0:
-        raise RuntimeError(f"cmake build failed:\n{bld.stderr[-2000:]}")
-    # locate the produced library and move it to the hash-keyed path
-    produced = [
-        os.path.join(r, f)
-        for r, _, fs in os.walk(build_dir)
-        for f in fs
-        if f.endswith(".so")
-    ]
-    if not produced:
-        raise RuntimeError(f"cmake build produced no shared library in {build_dir}")
-    os.replace(produced[0], lib_path)
-    return lib_path
+    try:
+        cfg = subprocess.run(
+            ["cmake", csrc_dir, *build_cmake_args()],
+            cwd=build_dir,
+            capture_output=True,
+            text=True,
+        )
+        if cfg.returncode != 0:
+            raise RuntimeError(f"cmake configure failed:\n{cfg.stderr[-2000:]}")
+        bld = subprocess.run(
+            ["cmake", "--build", ".", "--parallel"],
+            cwd=build_dir,
+            capture_output=True,
+            text=True,
+        )
+        if bld.returncode != 0:
+            raise RuntimeError(f"cmake build failed:\n{bld.stderr[-2000:]}")
+        # prefer the library matching the requested stem; error on ambiguity
+        produced = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(build_dir)
+            for f in fs
+            if f.endswith(".so")
+        ]
+        if not produced:
+            raise RuntimeError(f"cmake build produced no shared library in {build_dir}")
+        named = [p for p in produced if target_stem.lstrip("lib") in os.path.basename(p)]
+        if len(produced) > 1 and len(named) != 1:
+            raise RuntimeError(
+                f"cmake build produced multiple libraries {produced}; none/"
+                f"several match target_stem={target_stem!r}"
+            )
+        os.replace(named[0] if named else produced[0], lib_path)  # atomic
+        return lib_path
+    finally:
+        import shutil
+
+        shutil.rmtree(build_dir, ignore_errors=True)

@@ -163,12 +163,9 @@ def _pallas_draw_batched(heatmap, centers_t, radii_t, nums, factor, k_scale, int
                          exact=True):
     b, h, w = heatmap.shape
     t = radii_t.shape[1]
-    valid = jnp.arange(t, dtype=jnp.int32)[None, :] < nums[:, None]
-    radii_f = radii_t.astype(jnp.float32)
-    rr_masked = jnp.where(valid, radii_f, -1.0)[:, :, None]
-    iv = _gauss_inv_var(radii_f, factor, exact)[:, :, None]
-    xs = centers_t[:, :, 0].astype(jnp.float32)[:, :, None]
-    ys = centers_t[:, :, 1].astype(jnp.float32)[:, :, None]
+    if t == 0:  # no targets -> nothing to draw
+        return heatmap
+    xs, ys, rr_masked, iv = _prep_target_params(centers_t, radii_t, nums, factor, exact)
     hm_flat = heatmap.reshape(b, 1, h * w)
     kernel = functools.partial(_batched_kernel, width=w, k_scale=k_scale, exact=exact)
     out = pl.pallas_call(
@@ -270,6 +267,8 @@ def _pallas_draw_tiled(
 ):
     b, c, h, w = heatmap.shape
     t = xs.shape[1]
+    if t == 0:  # no targets -> nothing to draw (and t_chunk would be 0)
+        return heatmap
     # bound the vectorized (TC, P) working set: chunk targets, then pick the
     # row-tile so TC * P stays within the work budget
     t_chunk = min(t, _TARGET_CHUNK)

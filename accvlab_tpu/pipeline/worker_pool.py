@@ -21,6 +21,7 @@ Small leaves keep the simple pickle path.
 from __future__ import annotations
 
 import multiprocessing as mp
+import os
 from multiprocessing import resource_tracker, shared_memory
 
 import numpy as np
@@ -86,7 +87,15 @@ def _worker_process_sample(args):
 
 def _export_flat(flat):
     """Pack large leaves into one shared-memory segment; return a transport
-    descriptor list (small leaves ride the pickle pipe as-is)."""
+    descriptor list (small leaves ride the pickle pipe as-is).
+
+    Segment names are tagged with the POOL PARENT's pid
+    (``accvlab<ppid>_...``): the parent sweeps dead-parent orphans at pool
+    start (see :func:`_sweep_orphan_segments`), so segments leaked by a
+    hard-crashed worker/parent are reclaimed by the next run rather than
+    accumulating in /dev/shm forever."""
+    import uuid
+
     big = [
         (i, a) for i, a in enumerate(flat)
         if a.nbytes >= _SHM_THRESHOLD and a.dtype != object
@@ -94,7 +103,8 @@ def _export_flat(flat):
     if not big:
         return ("pickle", flat)
     total = sum(int(np.ascontiguousarray(a).nbytes) for _, a in big)
-    shm = shared_memory.SharedMemory(create=True, size=total)
+    name = f"accvlab{os.getppid()}_{uuid.uuid4().hex[:12]}"
+    shm = shared_memory.SharedMemory(create=True, size=total, name=name)
     try:
         descriptors = list(flat)
         off = 0
@@ -103,15 +113,45 @@ def _export_flat(flat):
             shm.buf[off : off + a.nbytes] = memoryview(a).cast("B")
             descriptors[i] = ("__shm__", off, a.shape, a.dtype.str)
             off += a.nbytes
-        return ("shm", shm.name, descriptors)
-    finally:
+    except BaseException:
         shm.close()
-        # the parent owns the segment's lifetime (it unlinks after copying);
-        # unregister so this worker's resource tracker doesn't also unlink it
+        shm.unlink()  # never orphan a half-written segment
+        raise
+    shm.close()
+    # the parent owns the segment's lifetime (it unlinks after copying);
+    # unregister so this worker's resource tracker doesn't also unlink it
+    try:
+        resource_tracker.unregister(shm._name, "shared_memory")  # noqa: SLF001
+    except Exception:
+        pass
+    return ("shm", shm.name, descriptors)
+
+
+def _sweep_orphan_segments():
+    """Unlink /dev/shm segments tagged with a pool-parent pid that is no
+    longer alive (crashed parent / hard-killed worker left them behind)."""
+    try:
+        entries = os.listdir("/dev/shm")
+    except OSError:
+        return
+    for entry in entries:
+        if not entry.startswith("accvlab"):
+            continue
+        pid_part = entry[len("accvlab"):].split("_", 1)[0]
+        if not pid_part.isdigit():
+            continue
+        pid = int(pid_part)
+        if pid == os.getpid():
+            continue  # may be in flight in this very process
         try:
-            resource_tracker.unregister(shm._name, "shared_memory")  # noqa: SLF001
-        except Exception:
-            pass
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            try:
+                os.unlink(os.path.join("/dev/shm", entry))
+            except OSError:
+                pass
+        except PermissionError:
+            pass  # alive under another uid — not ours to touch
 
 
 def _import_result(result):
@@ -144,6 +184,7 @@ class ProcessSampleWorkers:
     """Spawned worker pool running input-callable + host steps per sample."""
 
     def __init__(self, num_workers, input_callable, host_steps, input_blueprint, check, seed):
+        _sweep_orphan_segments()  # reclaim dead-parent /dev/shm leftovers
         ctx = mp.get_context("spawn")
         self._pool = ctx.Pool(
             processes=num_workers,

@@ -499,6 +499,17 @@ bool validate_bundle(const uint8_t* buf, uint64_t size, BundleHeader* hdr) {
         set_error("corrupt bundle header (negative/zero sizes)");
         return false;
     }
+    // untrusted counts must not size allocations: a GOP never has more
+    // display frames than packets, and first_frame_id feeds signed
+    // arithmetic (rel = target - first) — bound both before any use
+    if (hdr->num_frames > hdr->num_packets) {
+        set_error("corrupt bundle header (num_frames exceeds num_packets)");
+        return false;
+    }
+    if (hdr->first_frame_id < 0 || hdr->first_frame_id > (1 << 30)) {
+        set_error("corrupt bundle header (first_frame_id out of range)");
+        return false;
+    }
     uint64_t offset = sizeof(BundleHeader);
     offset += static_cast<uint64_t>(hdr->extradata_size);
     uint64_t table_bytes =

@@ -293,3 +293,26 @@ def test_tiled_pallas_target_chunking(monkeypatch):
     out_p = draw_heatmap_batched(heatmap_c, cb, rb_, labels=lb, implementation="pallas")
     out_x = draw_heatmap_batched(heatmap_c, cb, rb_, labels=lb, implementation="xla")
     np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_x))
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_zero_targets_noop(impl):
+    """T=0 (routine in detection datasets) returns the heatmap unchanged on
+    every path (was: ZeroDivisionError in the tiled pallas chunking)."""
+    hm = jnp.asarray(np.random.default_rng(0).normal(size=(3, 16, 16)), jnp.float32)
+    out = draw_heatmap(
+        hm,
+        jnp.zeros((0, 2), jnp.int32),
+        jnp.zeros((0,), jnp.int32),
+        jnp.zeros((0,), jnp.int32),
+        implementation=impl,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(hm))
+
+    from accvlab_tpu.ragged import RaggedBatch
+
+    cb = RaggedBatch(jnp.zeros((2, 0, 2), jnp.int32), sample_sizes=jnp.zeros((2,), jnp.int32))
+    rb = RaggedBatch(jnp.zeros((2, 0), jnp.int32), sample_sizes=jnp.zeros((2,), jnp.int32))
+    hmb = jnp.asarray(np.random.default_rng(1).normal(size=(2, 8, 8)), jnp.float32)
+    outb = draw_heatmap_batched(hmb, cb, rb, implementation=impl)
+    np.testing.assert_array_equal(np.asarray(outb), np.asarray(hmb))

@@ -94,12 +94,12 @@ def test_process_workers_shm_transport_bit_identical_and_no_leak():
             pipe.stop()
         return out
 
-    before = set(glob.glob("/dev/shm/psm_*"))
+    before = set(glob.glob("/dev/shm/accvlab*"))
     thread_out = run("thread")
     process_out = run("process")
     for a, b in zip(thread_out, process_out):
         np.testing.assert_array_equal(a, b)
-    leaked = set(glob.glob("/dev/shm/psm_*")) - before
+    leaked = set(glob.glob("/dev/shm/accvlab*")) - before
     assert not leaked, f"leaked shm segments: {leaked}"
 
 
@@ -116,7 +116,7 @@ class FailingProvider(BigProvider):
 def test_process_worker_error_surfaces_without_shm_leak():
     import glob
 
-    before = set(glob.glob("/dev/shm/psm_*"))
+    before = set(glob.glob("/dev/shm/accvlab*"))
     inp = ShuffledShardedInputCallable(FailingProvider(), batch_size=4, shuffle=False)
     definition = PipelineDefinition(
         inp, [ImageRange01Normalizer("image")],
@@ -130,5 +130,5 @@ def test_process_worker_error_surfaces_without_shm_leak():
             pipe.run()
     finally:
         pipe.stop()
-    leaked = set(glob.glob("/dev/shm/psm_*")) - before
+    leaked = set(glob.glob("/dev/shm/accvlab*")) - before
     assert not leaked, f"leaked shm segments after worker failure: {leaked}"

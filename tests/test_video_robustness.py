@@ -244,3 +244,26 @@ def test_header_dims_mismatch_errors_not_overflow(h264_clip):
             [17],
             metadatas=[meta],
         )
+
+
+def test_header_count_bomb_errors_fast(h264_clip):
+    """A corrupt num_frames (e.g. 2^30 from one 4-byte flip) must yield a
+    fast error, not a multi-GB allocation (was: >300 s OOM hang)."""
+    import struct as _struct
+    import time as _time
+
+    path, _ = h264_clip
+    dec = GopDecoder()
+    merged, _, _ = dec.GetGOP([path], [17])
+    bundle = np.asarray(merged, np.uint8).copy()
+    # BundleHeader field 6 (0-indexed int32 slot) = num_frames
+    bundle[6 * 4 : 7 * 4] = np.frombuffer(_struct.pack("<i", 1 << 30), np.uint8)
+    t0 = _time.perf_counter()
+    with pytest.raises((ValueError, RuntimeError)):
+        GopDecoder._decode_bundle(bundle.tobytes(), [17], False)
+    assert _time.perf_counter() - t0 < 5.0
+    # first_frame_id bomb: signed-overflow-prone values rejected too
+    bundle2 = np.asarray(merged, np.uint8).copy()
+    bundle2[5 * 4 : 6 * 4] = np.frombuffer(_struct.pack("<i", -2**31 + 7), np.uint8)
+    with pytest.raises((ValueError, RuntimeError)):
+        GopDecoder._decode_bundle(bundle2.tobytes(), [17], False)
