@@ -188,7 +188,10 @@ def run_external_build(
             text=True,
         )
         if bld.returncode != 0:
-            raise RuntimeError(f"cmake build failed:\n{bld.stderr[-2000:]}")
+            # ninja streams compile errors to stdout; include both
+            raise RuntimeError(
+                f"cmake build failed:\n{bld.stdout[-2000:]}\n{bld.stderr[-2000:]}"
+            )
         # prefer the library matching the requested stem; error on ambiguity
         produced = [
             os.path.join(r, f)
@@ -198,7 +201,10 @@ def run_external_build(
         ]
         if not produced:
             raise RuntimeError(f"cmake build produced no shared library in {build_dir}")
-        named = [p for p in produced if target_stem.lstrip("lib") in os.path.basename(p)]
+        named = [
+            p for p in produced
+            if target_stem.removeprefix("lib") in os.path.basename(p)
+        ]
         if len(produced) > 1 and len(named) != 1:
             raise RuntimeError(
                 f"cmake build produced multiple libraries {produced}; none/"

@@ -20,8 +20,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-try:  # jax>=0.4.35 moved shard_map out of experimental
-    from jax.sharding import shard_map  # type: ignore
+try:  # promoted API (jax >= 0.8)
+    from jax import shard_map  # type: ignore
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
@@ -54,14 +54,17 @@ def pipeline_apply(
     n_micro = xs.shape[0]
 
     param_specs = jax.tree_util.tree_map(lambda _: P(pipe_axis), stage_params)
-    xs_spec = P(None, *getattr(data_spec, "_partitions", ()) or ())
+    xs_spec = P(None, *data_spec)  # PartitionSpec is publicly iterable
 
+    # the promoted jax.shard_map (>=0.8) tracks varying-manual-axes itself
+    # and no longer takes check_rep; the experimental fallback still does
+    _kw = {} if shard_map.__module__.startswith("jax.") and "experimental" not in shard_map.__module__ else {"check_rep": False}
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(param_specs, xs_spec),
         out_specs=xs_spec,
-        check_rep=False,
+        **_kw,
     )
     def run(params_local, xs_local):
         stage = lax.axis_index(pipe_axis)
@@ -78,7 +81,14 @@ def pipeline_apply(
             out = jnp.where(stage == n_stages - 1, y, jnp.zeros_like(y))
             return buf_next, out
 
-        _, outs = lax.scan(tick, jnp.zeros_like(xs_local[0]), jnp.arange(ticks))
+        init = jnp.zeros_like(xs_local[0])
+        # promoted shard_map tracks varying-manual-axes: the carry becomes
+        # pipe-varying after the first ppermute, so mark the init to match
+        if hasattr(lax, "pcast"):
+            init = lax.pcast(init, (pipe_axis,), to="varying")
+        elif hasattr(lax, "pvary"):
+            init = lax.pvary(init, (pipe_axis,))
+        _, outs = lax.scan(tick, init, jnp.arange(ticks))
         # last stage emitted microbatch i at tick (n_stages - 1) + i; other
         # stages contributed zeros, so the cross-stage psum just selects it
         outs = outs[n_stages - 1 :]

@@ -34,15 +34,19 @@ _W_STEPS = None
 _W_INPUT_BLUEPRINT = None
 _W_CHECK = False
 _W_SEED = 0
+_W_POOL_PID = 0  # pool-parent pid, captured AT POOL INIT (os.getppid() at
+# export time would report pid 1 for a worker orphaned by a crashed parent,
+# shielding its segments from the orphan sweep forever)
 
 
-def _init_worker(input_callable, host_steps, input_blueprint, check, seed):
-    global _W_INPUT, _W_STEPS, _W_INPUT_BLUEPRINT, _W_CHECK, _W_SEED
+def _init_worker(input_callable, host_steps, input_blueprint, check, seed, pool_pid):
+    global _W_INPUT, _W_STEPS, _W_INPUT_BLUEPRINT, _W_CHECK, _W_SEED, _W_POOL_PID
     _W_INPUT = input_callable
     _W_STEPS = host_steps
     _W_INPUT_BLUEPRINT = input_blueprint
     _W_CHECK = check
     _W_SEED = seed
+    _W_POOL_PID = pool_pid
 
 
 def _worker_process_sample(args):
@@ -103,7 +107,7 @@ def _export_flat(flat):
     if not big:
         return ("pickle", flat)
     total = sum(int(np.ascontiguousarray(a).nbytes) for _, a in big)
-    name = f"accvlab{os.getppid()}_{uuid.uuid4().hex[:12]}"
+    name = f"accvlab{_W_POOL_PID}_{uuid.uuid4().hex[:12]}"
     shm = shared_memory.SharedMemory(create=True, size=total, name=name)
     try:
         descriptors = list(flat)
@@ -116,6 +120,10 @@ def _export_flat(flat):
     except BaseException:
         shm.close()
         shm.unlink()  # never orphan a half-written segment
+        try:  # and drop it from this worker's tracker (already gone)
+            resource_tracker.unregister(shm._name, "shared_memory")  # noqa: SLF001
+        except Exception:
+            pass
         raise
     shm.close()
     # the parent owns the segment's lifetime (it unlinks after copying);
@@ -189,7 +197,8 @@ class ProcessSampleWorkers:
         self._pool = ctx.Pool(
             processes=num_workers,
             initializer=_init_worker,
-            initargs=(input_callable, host_steps, input_blueprint, check, seed),
+            initargs=(input_callable, host_steps, input_blueprint, check, seed,
+                      os.getpid()),
         )
 
     def produce_batch(self, batch_size: int, iteration: int, epoch: int):

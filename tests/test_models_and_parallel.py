@@ -394,9 +394,11 @@ def test_moe_expert_parallel_matches_single_device():
     np.testing.assert_allclose(
         float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-5
     )
-    # expert weights really are sharded over the expert axis
+    # expert weights really are sharded over the expert axis: each device
+    # holds num_experts / expert_axis_size experts (device_set alone is
+    # vacuous — a replicated array also spans all devices)
     w_in = new_params["params"]["SwitchFFN_0"]["w_in"]
-    assert len(w_in.sharding.device_set) == 8
+    assert w_in.addressable_shards[0].data.shape[0] == 8 // 4
 
 
 def test_pipeline_parallel_matches_sequential_and_trains():
