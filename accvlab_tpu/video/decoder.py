@@ -390,8 +390,12 @@ class GopDecoder:
                 extradata = meta["extradata"]
             else:
                 # packets in decode order == display order (closed GOP, no
-                # B-frames); frame ids are relative to the first packet
-                pts = [-(2**63) + 1] * len(sel)  # AV_NOPTS-like sentinel
+                # B-frames); frame ids are relative to the first packet.
+                # pts must be DISTINCT: the engine builds a pts->display_rel
+                # map keyed on pts (video_engine.cpp rel_of_pts), so a shared
+                # sentinel would collapse every frame onto rel 0. Synthesize
+                # pts=j to pair one-to-one with display_rel=j.
+                pts = list(range(len(sel)))
                 disp = list(range(len(sel)))
                 flags = [1] + [0] * (len(sel) - 1)  # first is the keyframe
                 first = 0

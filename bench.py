@@ -25,7 +25,12 @@ import time
 # Persistent compilation cache: the remote-compile tunnel can take minutes
 # per program in slow phases; caching the returned executable locally makes
 # repeat runs skip it entirely. Must be set before jax initializes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "jax"
+    ),
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import numpy as np

@@ -120,22 +120,40 @@ def test_packet_list_length_validation(clip):
 
 def test_packet_list_foreign_packets_without_metadata(clip):
     """The no-metadata path (decode order == display order, extradata given
-    explicitly) — the 'packets from another demuxer' scenario."""
+    explicitly) — the 'packets from another demuxer' scenario.
+
+    Decodes SEVERAL rel values, each against its own reference frame, and
+    requires at least one rel > 0: the metadata-free fallback once assigned a
+    shared sentinel pts to every packet, collapsing the engine's
+    pts->display_rel map so only rel 0 decoded — a rel-0-only test was green
+    through that bug."""
     path, frames = clip
     dec = GopDecoder()
-    packets, (first,), _ = dec.GetGOP([path], [2])
-    (meta,) = dec.ExtractPacketList(packets)
-    # keep only packets up to display index 2 (closed GOP, no B-frames ->
-    # decode order == display order)
-    rel = 2 - first
-    sel = list(range(rel + 1))
-    dec.DecodeFromPacketListInitialize([meta["codec_id"]])
-    (img,) = dec.DecodeFromPacketListRGB(
-        [[meta["packets"][j] for j in sel]],
-        [list(range(len(sel)))],
-        [meta["width"]],
-        [meta["height"]],
-        [rel],  # relative id in the no-metadata contract
-        extradatas=[meta["extradata"]],
-    )
-    assert close(img, frames[2])
+    tested_rels = []
+    for target in (2, 5, 9):
+        packets, (first,), _ = dec.GetGOP([path], [target])
+        (meta,) = dec.ExtractPacketList(packets)
+        # keep only packets up to the target's display index (closed GOP, no
+        # B-frames -> decode order == display order)
+        rel = target - first
+        tested_rels.append(rel)
+        sel = list(range(rel + 1))
+        dec.DecodeFromPacketListInitialize([meta["codec_id"]])
+        (img,) = dec.DecodeFromPacketListRGB(
+            [[meta["packets"][j] for j in sel]],
+            [list(range(len(sel)))],
+            [meta["width"]],
+            [meta["height"]],
+            [rel],  # relative id in the no-metadata contract
+            extradatas=[meta["extradata"]],
+        )
+        assert close(img, frames[target]), f"target {target} (rel {rel})"
+        # strict best-match: the decoded frame must be closer to ITS
+        # reference frame than to any other (catches off-by-one/collapsed
+        # mappings that still pass a loose tolerance)
+        dists = [
+            np.abs(np.asarray(img, np.int32) - np.asarray(f, np.int32)).mean()
+            for f in frames[: first + len(sel) + 2]
+        ]
+        assert int(np.argmin(dists)) == target, f"best match {np.argmin(dists)} != {target}"
+    assert max(tested_rels) > 0, "fixture regression: every target was a keyframe"
