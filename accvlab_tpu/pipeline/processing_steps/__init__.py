@@ -7,6 +7,7 @@ step; see per-class docstrings for parity citations).
 
 from .pipeline_step_base import BatchLevelStepBase, PipelineStepBase
 from .image_decoder import ImageDecoder
+from .color_converter import YCbCrToRGBConverter
 from .image_normalizers import ImageMeanStdDevNormalizer, ImageRange01Normalizer
 from .padders import ImageToTileSizePadder, PaddingToUniform
 from .field_utils import AxesLayoutSetter, TensorSizeAdder, UnneededFieldRemover
@@ -54,4 +55,5 @@ __all__ = [
     "TensorSizeAdder",
     "UnneededFieldRemover",
     "VisibleBboxSelector",
+    "YCbCrToRGBConverter",
 ]

@@ -36,6 +36,7 @@ class ImageDecoder(PipelineStepBase):
         as_bgr: bool = False,
         decode_scale_hint_hw=None,
         decode_resize_hw=None,
+        wire_format: str = "rgb",
     ):
         """``decode_scale_hint_hw``: optional (height, width) target. When the
         pipeline immediately resizes below the source resolution, libjpeg's
@@ -53,24 +54,64 @@ class ImageDecoder(PipelineStepBase):
         first device step resizes to a fixed size anyway (e.g.
         AffineTransformer STRETCH mode — which then sees an already-at-scale
         image and composes only the random augment on top). Geometry fields
-        must key off the original size, as with the hint."""
+        must key off the original size, as with the hint.
+
+        ``wire_format``: ``"rgb"`` (default) decodes to uint8 HWC RGB on the
+        host. ``"yuv420"`` stops host decoding at the JPEG's native colorspace
+        — the image field becomes the planar uint8 Y luma ``(H, W)`` and a
+        sibling field ``<image_name>_cbcr`` carries 2x2-subsampled uint8
+        chroma ``(H/2, W/2, 2)`` — **1.5 B/px over the host->device wire
+        instead of 3**, with the chroma upsample + BT.601 matrix fused into
+        the device program by a :class:`YCbCrToRGBConverter` step (which must
+        be the first device step touching the image). This is the TPU analog
+        of the reference's NVDEC split, which ships NV12 and color-converts
+        on the GPU (``ColorSpace.cu:227-283``); JPEG chroma is stored at this
+        resolution anyway, so the wire carries the file's full information.
+        Host decode is also cheaper: libjpeg emits YCbCr natively (PIL draft
+        mode), skipping the host RGB conversion entirely. Requires an even
+        output height/width and a string ``image_name``."""
         super().__init__()
+        if wire_format not in ("rgb", "yuv420"):
+            raise ValueError(f"wire_format must be 'rgb' or 'yuv420', got {wire_format!r}")
+        if wire_format == "yuv420":
+            if as_bgr:
+                raise ValueError(
+                    "as_bgr with wire_format='yuv420': pass as_bgr to the "
+                    "YCbCrToRGBConverter device step instead (the host never "
+                    "produces RGB in this mode)"
+                )
+            if not isinstance(image_name, str):
+                raise ValueError(
+                    "wire_format='yuv420' needs a string image_name (the "
+                    "chroma travels in a derived '<image_name>_cbcr' field)"
+                )
         self._image_name = image_name
         self._as_bgr = as_bgr
+        self._wire_format = wire_format
         self._scale_hint = tuple(decode_scale_hint_hw) if decode_scale_hint_hw else None
         self._resize_hw = tuple(decode_resize_hw) if decode_resize_hw else None
         del use_device_mixed, hw_decoder_load  # no NVJPEG on TPU hosts
 
+    @property
+    def chroma_field_name(self) -> str:
+        return f"{self._image_name}_cbcr"
+
     def _process(self, data: SampleDataGroup) -> SampleDataGroup:
         from PIL import Image
 
+        yuv = self._wire_format == "yuv420"
+        mode = "YCbCr" if yuv else "RGB"
         for ip in data.find_all_occurrences(self._image_name):
             encoded = np.asarray(data.get_item_in_path(ip), dtype=np.uint8)
             img = Image.open(io.BytesIO(encoded.tobytes()))
             target = self._resize_hw or self._scale_hint
             if target is not None:
-                img.draft("RGB", (target[1], target[0]))
-            img = img.convert("RGB")
+                # draft: DCT-domain scaled decode straight to the target
+                # colorspace (libjpeg decodes YCbCr natively — in yuv mode the
+                # host RGB conversion is skipped entirely)
+                img.draft(mode, (target[1], target[0]))
+            if img.mode != mode:
+                img = img.convert(mode)
             if self._resize_hw is not None and img.size != (
                 self._resize_hw[1],
                 self._resize_hw[0],
@@ -79,9 +120,19 @@ class ImageDecoder(PipelineStepBase):
                     (self._resize_hw[1], self._resize_hw[0]), Image.BILINEAR
                 )
             decoded = np.asarray(img, dtype=np.uint8)
-            if self._as_bgr:
-                decoded = decoded[..., ::-1]
-            data.set_item_in_path(ip, decoded)
+            if yuv:
+                from ...color import subsample_chroma_420
+
+                y, cbcr = subsample_chroma_420(decoded)
+                data.set_item_in_path(ip, y)
+                parent = data.get_parent_of_path(list(ip))
+                if not parent.path_exists(self.chroma_field_name):
+                    parent.add_data_field(self.chroma_field_name, DType.UINT8)
+                parent[self.chroma_field_name] = cbcr
+            else:
+                if self._as_bgr:
+                    decoded = decoded[..., ::-1]
+                data.set_item_in_path(ip, decoded)
         return data
 
     def _check_and_adjust_data_format_input_to_output(
@@ -99,4 +150,12 @@ class ImageDecoder(PipelineStepBase):
                 raise TypeError(
                     f"Encoded image field at {ip} must be UINT8, got {t}"
                 )
+            if self._wire_format == "yuv420":
+                parent = data_empty.get_parent_of_path(list(ip))
+                if parent.path_exists(self.chroma_field_name):
+                    raise KeyError(
+                        f"wire_format='yuv420' adds a '{self.chroma_field_name}' "
+                        "field but one already exists"
+                    )
+                parent.add_data_field(self.chroma_field_name, DType.UINT8)
         return data_empty

@@ -19,7 +19,7 @@ hardware decoder; SURVEY §7.5 / BASELINE.json north star). Same API surface:
   pre-generated clips; we generate them on demand).
 """
 
-from .decoder import CachedGopDecoder, CreateGopDecoder, GopDecoder
+from .decoder import CachedGopDecoder, CreateGopDecoder, GopDecoder, YuvFrame
 from .encode import write_video
 from .gop_storage import GOPStorageManager
 from .gop_store import SharedGopStore
@@ -57,6 +57,7 @@ __all__ = [
     "GopRef",
     "SampleReader",
     "SharedGopStore",
+    "YuvFrame",
     "drop_videos_cache",
     "write_video",
 ]

@@ -296,10 +296,25 @@ struct Decoder {
         return true;
     }
 
-    // convert a decoded frame to packed RGB24 (or BGR24) into dst
-    bool to_rgb(AVFrame* frame, uint8_t* dst, int as_bgr) {
-        AVPixelFormat dst_fmt = as_bgr ? AV_PIX_FMT_BGR24 : AV_PIX_FMT_RGB24;
+    // Output formats for to_wire. kWireYuv420 is the TPU wire layout:
+    // planar Y (H*W) followed by interleaved CbCr ((H/2)*(W/2)*2) == NV12 —
+    // 1.5 B/px shipped host->device with the chroma upsample + color matrix
+    // fused into the device program (the reference's NVDEC split: it ships
+    // NV12 and converts on-GPU, ColorSpace.cu:227-283).
+    enum WireFmt { kWireRgb = 0, kWireBgr = 1, kWireYuv420 = 2 };
+
+    // convert a decoded frame into dst in the requested wire format; if
+    // color_out is non-null, writes {AVColorSpace, AVColorRange} so the
+    // device-side conversion can pick the right matrix/range
+    bool to_wire(AVFrame* frame, uint8_t* dst, int out_fmt, int32_t* color_out) {
+        AVPixelFormat dst_fmt = out_fmt == kWireBgr   ? AV_PIX_FMT_BGR24
+                                : out_fmt == kWireRgb ? AV_PIX_FMT_RGB24
+                                                      : AV_PIX_FMT_NV12;
         AVPixelFormat src_fmt = static_cast<AVPixelFormat>(frame->format);
+        if (out_fmt == kWireYuv420 && ((frame->width | frame->height) & 1)) {
+            set_error("yuv420 wire output needs even frame dimensions");
+            return false;
+        }
         if (!sws || sws_w != frame->width || sws_h != frame->height ||
             sws_fmt != src_fmt || sws_dst != dst_fmt) {
             if (sws) sws_freeContext(sws);
@@ -311,13 +326,39 @@ struct Decoder {
             sws_fmt = src_fmt;
             sws_dst = dst_fmt;
         }
-        uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
-        int dst_linesize[4] = {frame->width * 3, 0, 0, 0};
-        sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
-                  dst_linesize);
+        if (out_fmt == kWireYuv420) {
+            // NV12: dst plane 0 = Y, plane 1 = interleaved CbCr right after.
+            // For 8-bit yuv420p sources this is a copy + interleave (no
+            // colorspace math on the host at all); 10-bit sources are
+            // dithered down to 8 by swscale.
+            size_t y_bytes = static_cast<size_t>(frame->width) * frame->height;
+            uint8_t* dst_data[4] = {dst, dst + y_bytes, nullptr, nullptr};
+            int dst_linesize[4] = {frame->width, frame->width, 0, 0};
+            sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
+                      dst_linesize);
+        } else {
+            uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
+            int dst_linesize[4] = {frame->width * 3, 0, 0, 0};
+            sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
+                      dst_linesize);
+        }
+        if (color_out) {
+            color_out[0] = static_cast<int32_t>(frame->colorspace);
+            color_out[1] = static_cast<int32_t>(frame->color_range);
+        }
         return true;
     }
+
+    bool to_rgb(AVFrame* frame, uint8_t* dst, int as_bgr) {
+        return to_wire(frame, dst, as_bgr ? kWireBgr : kWireRgb, nullptr);
+    }
 };
+
+// bytes per frame for a wire format
+size_t wire_frame_bytes(int out_fmt, int width, int height) {
+    size_t px = static_cast<size_t>(width) * height;
+    return out_fmt == Decoder::kWireYuv420 ? px * 3 / 2 : px * 3;
+}
 
 // ------------------------------------------------------------------ //
 // Per-thread decoder cache for bundle decode (parity: the reference's //
@@ -554,11 +595,19 @@ int avx_bundle_info(const uint8_t* buf, uint64_t size, int32_t* first_frame_id,
 }
 
 // Decode `n_targets` frames (absolute display ids) from a serialized bundle
-// into out_rgb (n_targets * H * W * 3, row-major). Returns 0 on success.
-int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_ids,
-                      int32_t n_targets, uint8_t* out_rgb, int as_bgr) {
+// into out (row-major, n_targets frames of wire_frame_bytes(out_fmt) each;
+// fmt 0/1 = RGB24/BGR24, fmt 2 = YUV420 wire: planar Y + interleaved CbCr).
+// color_out (nullable): {AVColorSpace, AVColorRange} of the decoded frames.
+// Returns 0 on success.
+int avx_decode_bundle_fmt(const uint8_t* buf, uint64_t size,
+                          const int32_t* target_ids, int32_t n_targets,
+                          uint8_t* out_rgb, int out_fmt, int32_t* color_out) {
     BundleHeader hdr;
     if (!validate_bundle(buf, size, &hdr)) return -1;
+    if (out_fmt == Decoder::kWireYuv420 && ((hdr.width | hdr.height) & 1)) {
+        set_error("yuv420 wire output needs even frame dimensions");
+        return -8;
+    }
     const uint8_t* p = buf + sizeof(BundleHeader);
     const uint8_t* extradata = p;
     p += hdr.extradata_size;
@@ -585,7 +634,7 @@ int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_i
         max_rel = std::max(max_rel, rel);
     }
 
-    size_t frame_bytes = static_cast<size_t>(hdr.width) * hdr.height * 3;
+    size_t frame_bytes = wire_frame_bytes(out_fmt, hdr.width, hdr.height);
     AVPacket* pkt = av_packet_alloc();
     AVFrame* frame = av_frame_alloc();
     int decoded = 0;
@@ -617,8 +666,13 @@ int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_i
         int rel = it != rel_of_pts.end() ? it->second : -1;
         if (rel >= 0 && rel < hdr.num_frames && !want[rel].empty()) {
             for (int slot : want[rel]) {
-                dec.to_rgb(frame, out_rgb + static_cast<size_t>(slot) * frame_bytes,
-                           as_bgr);
+                if (!dec.to_wire(frame,
+                                 out_rgb + static_cast<size_t>(slot) * frame_bytes,
+                                 out_fmt, color_out)) {
+                    rc = -8;
+                    remaining = 0;
+                    return;
+                }
                 --remaining;
             }
         }
@@ -656,6 +710,13 @@ int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_i
     return rc;
 }
 
+int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_ids,
+                      int32_t n_targets, uint8_t* out_rgb, int as_bgr) {
+    return avx_decode_bundle_fmt(buf, size, target_ids, n_targets, out_rgb,
+                                 as_bgr ? Decoder::kWireBgr : Decoder::kWireRgb,
+                                 nullptr);
+}
+
 // ---- stream reader ---------------------------------------------------- //
 
 void* avx_reader_open(const char* path) {
@@ -686,7 +747,9 @@ int avx_reader_num_frames(void* h) {
 // Read one frame by display id. Forward-decodes from the current position
 // when possible (decoder-state continuity, PyNvVideoReader.hpp:89-104);
 // otherwise seeks to the containing keyframe and decodes forward.
-int avx_reader_read(void* h, int frame_id, uint8_t* out_rgb, int as_bgr) {
+// out_fmt / color_out as in avx_decode_bundle_fmt.
+int avx_reader_read_fmt(void* h, int frame_id, uint8_t* out_rgb, int out_fmt,
+                        int32_t* color_out) {
     auto* r = static_cast<StreamReader*>(h);
     int n = static_cast<int>(r->idx->pts_sorted.size());
     if (frame_id < 0 || frame_id >= n) {
@@ -723,13 +786,22 @@ int avx_reader_read(void* h, int frame_id, uint8_t* out_rgb, int as_bgr) {
                 av_frame_free(&frame);
                 return -4;
             }
-            r->dec.to_rgb(frame, out_rgb, as_bgr);
+            if (!r->dec.to_wire(frame, out_rgb, out_fmt, color_out)) {
+                av_frame_free(&frame);
+                return -5;
+            }
             rc = 0;
         }
         r->next_display += 1;
     }
     av_frame_free(&frame);
     return rc;
+}
+
+int avx_reader_read(void* h, int frame_id, uint8_t* out_rgb, int as_bgr) {
+    return avx_reader_read_fmt(h, frame_id, out_rgb,
+                               as_bgr ? Decoder::kWireBgr : Decoder::kWireRgb,
+                               nullptr);
 }
 
 // ---- test-asset encoder ------------------------------------------------ //

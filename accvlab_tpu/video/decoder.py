@@ -20,13 +20,50 @@ import ctypes
 import struct
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
 from .native import get_lib, last_error
 
 _MERGE_MAGIC = b"AAGM"
+
+# wire-format codes (must match video_engine.cpp Decoder::WireFmt)
+_WIRE_RGB, _WIRE_BGR, _WIRE_YUV420 = 0, 1, 2
+
+# AVColorSpace / AVColorRange values relevant to matrix/range selection
+_AVCOL_SPC_BT709 = 1
+_AVCOL_RANGE_JPEG = 2
+
+
+def _color_names(avcol_spc: int, avcol_range: int) -> Tuple[str, str]:
+    """Map libav colorspace/range enums onto the converter's arguments.
+    Unspecified streams default to BT.601 limited — the convention for the
+    SD/automotive content this library targets (and libav's own default)."""
+    matrix = "bt709" if avcol_spc == _AVCOL_SPC_BT709 else "bt601"
+    color_range = "full" if avcol_range == _AVCOL_RANGE_JPEG else "limited"
+    return matrix, color_range
+
+
+class YuvFrame(NamedTuple):
+    """A decoded frame in the YUV 4:2:0 wire layout (1.5 B/px).
+
+    ``y``: ``(H, W)`` uint8 luma; ``cbcr``: ``(H/2, W/2, 2)`` uint8 chroma;
+    ``matrix``/``color_range``: arguments for
+    :func:`accvlab_tpu.color.ycbcr420_to_rgb` (device-side conversion).
+    """
+
+    y: np.ndarray
+    cbcr: np.ndarray
+    matrix: str
+    color_range: str
+
+    def to_rgb(self) -> np.ndarray:
+        """Host-side reference conversion (tests/debug; production converts
+        on device)."""
+        from ..color import ycbcr420_to_rgb
+
+        return ycbcr420_to_rgb(self.y, self.cbcr, self.matrix, self.color_range)
 
 
 def _merge_bundles(bundles: List[np.ndarray]) -> np.ndarray:
@@ -454,6 +491,33 @@ class GopDecoder:
     # -- decode ---------------------------------------------------------- #
 
     @staticmethod
+    def _decode_bundle_yuv(bundle: np.ndarray, frame_ids: Sequence[int]):
+        lib = get_lib()
+        first, nf, w, h, cid = _bundle_info(bundle)
+        ids = np.asarray(frame_ids, np.int32)
+        out = np.empty((len(ids), h * w * 3 // 2), np.uint8)
+        color = np.zeros(2, np.int32)
+        buf = np.ascontiguousarray(bundle, np.uint8)
+        rc = lib.avx_decode_bundle_fmt(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            buf.nbytes,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(ids),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _WIRE_YUV420,
+            color.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise RuntimeError(f"decode failed (rc={rc}): {last_error()}")
+        matrix, color_range = _color_names(int(color[0]), int(color[1]))
+        res = []
+        for i in range(len(ids)):
+            y = out[i, : h * w].reshape(h, w)
+            cbcr = out[i, h * w :].reshape(h // 2, w // 2, 2)
+            res.append(YuvFrame(y, cbcr, matrix, color_range))
+        return res
+
+    @staticmethod
     def _decode_bundle(bundle: np.ndarray, frame_ids: Sequence[int], as_bgr: bool):
         lib = get_lib()
         first, nf, w, h, cid = _bundle_info(bundle)
@@ -515,6 +579,56 @@ class GopDecoder:
         """One-shot demux + decode (parity: ``decode_from_video``)."""
         merged, firsts, lens = self.GetGOP(filepaths, frame_ids)
         return self.DecodeFromGOPRGB(merged, filepaths, frame_ids, as_bgr)
+
+    # -- YUV wire decode (device-side color conversion) ------------------ #
+
+    def DecodeFromGOPYUV(
+        self,
+        packets: np.ndarray,
+        filepaths: Sequence[str] = (),
+        frame_ids: Sequence[int] = (),
+    ) -> List["YuvFrame"]:
+        """Decode one target frame per sub-bundle, stopping at the stream's
+        native YUV 4:2:0 (1.5 B/px: planar Y + interleaved half-res CbCr).
+
+        The host does NO colorspace math (for 8-bit 4:2:0 sources this is a
+        plane copy); convert on device with
+        :func:`accvlab_tpu.color.ycbcr420_to_rgb` using each frame's reported
+        ``matrix``/``color_range`` — the TPU analog of the reference's
+        NVDEC-then-``ColorSpace.cu`` split, at half the host->device bytes of
+        the RGB APIs."""
+        del filepaths
+        bundles = _split_bundles(np.asarray(packets))
+        assert len(bundles) == len(frame_ids), (
+            f"{len(bundles)} bundles but {len(frame_ids)} frame ids"
+        )
+        futures = [
+            self._pool.submit(self._decode_bundle_yuv, b, [fid])
+            for b, fid in zip(bundles, frame_ids)
+        ]
+        return [f.result()[0] for f in futures]
+
+    def DecodeFromGOPListYUV(
+        self,
+        packets: np.ndarray,
+        frame_ids_per_file: Sequence[Sequence[int]],
+    ) -> List[List["YuvFrame"]]:
+        """Several target frames per sub-bundle, YUV wire output (see
+        :meth:`DecodeFromGOPYUV`)."""
+        bundles = _split_bundles(np.asarray(packets))
+        assert len(bundles) == len(frame_ids_per_file)
+        futures = [
+            self._pool.submit(self._decode_bundle_yuv, b, ids)
+            for b, ids in zip(bundles, frame_ids_per_file)
+        ]
+        return [f.result() for f in futures]
+
+    def DecodeYUV(
+        self, filepaths: Sequence[str], frame_ids: Sequence[int]
+    ) -> List["YuvFrame"]:
+        """One-shot demux + YUV-wire decode."""
+        merged, _, _ = self.GetGOP(filepaths, frame_ids)
+        return self.DecodeFromGOPYUV(merged, filepaths, frame_ids)
 
 
 class CachedGopDecoder:

@@ -60,6 +60,41 @@ class _StreamReader:
             )
         return out
 
+    def read_yuv(self, frame_id: int):
+        """Read one frame in the YUV 4:2:0 wire layout (see
+        :class:`accvlab_tpu.video.YuvFrame`): no host colorspace math, half
+        the bytes of :meth:`read` on the way to the device."""
+        from .decoder import YuvFrame, _WIRE_YUV420, _color_names
+
+        h, w = self.height, self.width
+        if (h | w) & 1:
+            raise RuntimeError(
+                f"yuv420 wire output needs even frame dimensions, got {w}x{h}"
+            )
+        out = np.empty(h * w * 3 // 2, np.uint8)
+        color = np.zeros(2, np.int32)
+        with self._read_lock:
+            if not self._h:
+                raise RuntimeError(f"reader for '{self.path}' is closed")
+            rc = self._lib.avx_reader_read_fmt(
+                self._h,
+                int(frame_id),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                _WIRE_YUV420,
+                color.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+        if rc != 0:
+            raise RuntimeError(
+                f"read frame {frame_id} of '{self.path}' failed: {last_error()}"
+            )
+        matrix, color_range = _color_names(int(color[0]), int(color[1]))
+        return YuvFrame(
+            out[: h * w].reshape(h, w),
+            out[h * w :].reshape(h // 2, w // 2, 2),
+            matrix,
+            color_range,
+        )
+
     def close(self):
         # take the read lock: freeing the native handle while another thread
         # is inside avx_reader_read would hand libav freed state (release/

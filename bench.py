@@ -108,6 +108,7 @@ def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw
         ImageDecoder,
         ImageMeanStdDevNormalizer,
         PhotoMetricDistorter,
+        YCbCrToRGBConverter,
     )
 
     import os
@@ -121,8 +122,15 @@ def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw
         # fused decode+resize (the host analog of DALI's fused GPU
         # decode+resize): decode directly AT the output size — 2.1x less
         # host->device transfer and device work than decoding at source size;
-        # geometry (bboxes -> heatmap) keys off the original-size metadata field
-        ImageDecoder("image", decode_resize_hw=out_hw),
+        # geometry (bboxes -> heatmap) keys off the original-size metadata
+        # field. wire_format='yuv420' stops host decode at the JPEG's native
+        # colorspace and ships planar Y + subsampled CbCr (1.5 B/px instead
+        # of 3 — the reference's NVDEC split, ColorSpace.cu:227): on the
+        # tunnel-wire-bound setup this halves the binding constraint.
+        ImageDecoder("image", decode_resize_hw=out_hw, wire_format="yuv420"),
+        # device-side chroma upsample + BT.601 matrix, fused into the batched
+        # preprocess program
+        YCbCrToRGBConverter("image"),
         AffineTransformer(
             output_hw=out_hw,
             resizing_mode=AffineTransformer.ResizingMode.STRETCH,
@@ -295,7 +303,8 @@ def main():
     )
     idle = measure_input_idle(pipe, num_cams)
 
-    upload_mb = batch_size * num_cams * 256 * 704 * 3 / 1e6  # decode_resize_hw
+    # YUV 4:2:0 wire: Y (H*W) + CbCr (H/2*W/2*2) = 1.5 B/px at decode_resize_hw
+    upload_mb = batch_size * num_cams * 256 * 704 * 1.5 / 1e6
     pipe.stop()
 
     frames = n_batches * batch_size * num_cams

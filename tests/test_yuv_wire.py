@@ -1,0 +1,370 @@
+"""YUV 4:2:0 wire format: host subsample + device color-convert.
+
+Model: the reference ships NV12 to the accelerator and converts there
+(``VideoCodecSDKUtils/.../Utils/ColorSpace.cu:227-283``); these tests cover
+the TPU rebuild's equivalent split (``accvlab_tpu.color`` +
+``ImageDecoder(wire_format='yuv420')`` + ``YCbCrToRGBConverter``) against a
+scalar numpy oracle and against the established RGB-wire path.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from accvlab_tpu.color import (
+    subsample_chroma_420,
+    ycbcr420_to_rgb,
+    ycbcr_coefficients,
+    yuv420p_planes_to_wire,
+)
+from accvlab_tpu.pipeline import DType, PipelineDefinition, SampleDataGroup
+from accvlab_tpu.pipeline.inputs import DataProvider, ShuffledShardedInputCallable
+from accvlab_tpu.pipeline.processing_steps import (
+    ImageDecoder,
+    ImageRange01Normalizer,
+    YCbCrToRGBConverter,
+)
+
+
+# ------------------------- scalar oracle ------------------------------ #
+
+
+def oracle_ycbcr420_to_rgb(y, cbcr, matrix="bt601", color_range="full"):
+    """Order-faithful scalar re-statement of the conversion contract."""
+    ys, yo, c_rr, c_gb, c_gr, c_bb = ycbcr_coefficients(matrix, color_range)
+    h, w = y.shape
+    out = np.empty((h, w, 3), np.uint8)
+    for i in range(h):
+        for j in range(w):
+            yf = (np.float32(y[i, j]) - yo) * ys
+            cb = np.float32(cbcr[i // 2, j // 2, 0]) - np.float32(128.0)
+            cr = np.float32(cbcr[i // 2, j // 2, 1]) - np.float32(128.0)
+            px = (yf + c_rr * cr, yf - c_gb * cb - c_gr * cr, yf + c_bb * cb)
+            for k, v in enumerate(px):
+                out[i, j, k] = np.uint8(np.clip(np.floor(v + np.float32(0.5)), 0, 255))
+    return out
+
+
+# ------------------------- unit tests ---------------------------------- #
+
+
+def test_subsample_chroma_420_matches_scalar_box_filter():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (8, 12, 3), np.uint8)
+    y, cbcr = subsample_chroma_420(img)
+    np.testing.assert_array_equal(y, img[..., 0])
+    assert cbcr.shape == (4, 6, 2)
+    for i in range(4):
+        for j in range(6):
+            for c in range(2):
+                block = img[2 * i : 2 * i + 2, 2 * j : 2 * j + 2, c + 1].astype(int)
+                assert cbcr[i, j, c] == (block.sum() + 2) // 4
+
+
+def test_subsample_chroma_rejects_odd_sizes():
+    with pytest.raises(ValueError, match="even"):
+        subsample_chroma_420(np.zeros((7, 8, 3), np.uint8))
+    with pytest.raises(ValueError, match="even"):
+        subsample_chroma_420(np.zeros((8, 9, 3), np.uint8))
+    with pytest.raises(ValueError, match="YCbCr"):
+        subsample_chroma_420(np.zeros((8, 8, 4), np.uint8))
+
+
+@pytest.mark.parametrize("matrix", ["bt601", "bt709"])
+@pytest.mark.parametrize("color_range", ["full", "limited"])
+def test_ycbcr420_to_rgb_matches_scalar_oracle(matrix, color_range):
+    rng = np.random.default_rng(1)
+    y = rng.integers(0, 256, (6, 8), np.uint8)
+    cbcr = rng.integers(0, 256, (3, 4, 2), np.uint8)
+    got = ycbcr420_to_rgb(y, cbcr, matrix=matrix, color_range=color_range)
+    np.testing.assert_array_equal(
+        got, oracle_ycbcr420_to_rgb(y, cbcr, matrix, color_range)
+    )
+
+
+def test_ycbcr420_to_rgb_under_jit_matches_numpy():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    y = rng.integers(0, 256, (2, 6, 8), np.uint8)  # leading batch dim
+    cbcr = rng.integers(0, 256, (2, 3, 4, 2), np.uint8)
+    host = ycbcr420_to_rgb(y, cbcr)
+    dev = jax.jit(lambda a, b: ycbcr420_to_rgb(a, b))(jnp.asarray(y), jnp.asarray(cbcr))
+    np.testing.assert_array_equal(host, np.asarray(dev))
+
+
+def test_gray_image_round_trips_exactly():
+    # chroma == 128 -> RGB == Y replicated; conversion must be lossless
+    y = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    cbcr = np.full((8, 8, 2), 128, np.uint8)
+    rgb = ycbcr420_to_rgb(y, cbcr)
+    for c in range(3):
+        np.testing.assert_array_equal(rgb[..., c], y)
+
+
+def test_limited_range_maps_studio_swing():
+    # Y=16 -> 0, Y=235 -> 255 in limited range
+    y = np.array([[16, 235]] * 2, np.uint8)
+    cbcr = np.full((1, 1, 2), 128, np.uint8)
+    rgb = ycbcr420_to_rgb(y, cbcr, color_range="limited")
+    assert rgb[0, 0].tolist() == [0, 0, 0]
+    assert rgb[0, 1].tolist() == [255, 255, 255]
+
+
+def test_yuv420p_planes_to_wire_layout():
+    u = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    v = (np.arange(6, dtype=np.uint8) + 100).reshape(2, 3)
+    w = yuv420p_planes_to_wire(u, v)
+    np.testing.assert_array_equal(w[..., 0], u)
+    np.testing.assert_array_equal(w[..., 1], v)
+
+
+def test_bad_matrix_and_range_raise():
+    with pytest.raises(ValueError, match="matrix"):
+        ycbcr_coefficients("bt2020")
+    with pytest.raises(ValueError, match="color_range"):
+        ycbcr_coefficients("bt601", "extended")
+
+
+# --------------------- pipeline integration ---------------------------- #
+
+
+def make_jpeg(hw=(32, 48), seed=0, smooth=True):
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    if smooth:
+        base = rng.integers(0, 255, (hw[0] // 8, hw[1] // 8, 3), np.uint8)
+        img = np.asarray(
+            Image.fromarray(base).resize((hw[1], hw[0]), Image.BILINEAR), np.uint8
+        )
+    else:
+        img = rng.integers(0, 255, (*hw, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92)
+    return np.frombuffer(buf.getvalue(), np.uint8).copy()
+
+
+class JpegProvider(DataProvider):
+    def __init__(self, jpegs):
+        self._jpegs = jpegs
+
+    @property
+    def sample_data_structure(self):
+        root = SampleDataGroup()
+        root.add_data_field("image", DType.UINT8)
+        return root
+
+    def get_data(self, sample_index):
+        sdg = self.sample_data_structure
+        sdg["image"] = self._jpegs[sample_index % len(self._jpegs)]
+        return sdg
+
+    def get_number_of_samples(self):
+        return len(self._jpegs)
+
+
+def run_pipeline(steps, jpegs, batch_size=2):
+    inp = ShuffledShardedInputCallable(
+        JpegProvider(jpegs), batch_size=batch_size, shuffle=False
+    )
+    defn = PipelineDefinition(inp, steps)
+    pipe = defn.get_pipeline(batch_size=batch_size, num_threads=2, seed=0)
+    try:
+        return pipe.run()
+    finally:
+        pipe.stop()
+
+
+def test_yuv_wire_blueprint_propagation():
+    inp = ShuffledShardedInputCallable(
+        JpegProvider([make_jpeg()]), batch_size=1, shuffle=False
+    )
+    defn = PipelineDefinition(
+        inp, [ImageDecoder("image", wire_format="yuv420"), YCbCrToRGBConverter("image")]
+    )
+    out_bp = defn.check_and_get_output_data_structure()
+    # chroma field added by the decoder, consumed by the converter
+    assert out_bp.find_all_occurrences("image_cbcr") == ()
+    defn_no_conv = PipelineDefinition(inp, [ImageDecoder("image", wire_format="yuv420")])
+    bp2 = defn_no_conv.check_and_get_output_data_structure()
+    assert len(bp2.find_all_occurrences("image_cbcr")) == 1
+
+
+def test_converter_without_decoder_chroma_raises():
+    inp = ShuffledShardedInputCallable(
+        JpegProvider([make_jpeg()]), batch_size=1, shuffle=False
+    )
+    defn = PipelineDefinition(inp, [ImageDecoder("image"), YCbCrToRGBConverter("image")])
+    with pytest.raises(KeyError, match="image_cbcr"):
+        defn.check_and_get_output_data_structure()
+
+
+def test_decoder_yuv_param_validation():
+    with pytest.raises(ValueError, match="as_bgr"):
+        ImageDecoder("image", as_bgr=True, wire_format="yuv420")
+    with pytest.raises(ValueError, match="string"):
+        ImageDecoder(0, wire_format="yuv420")
+    with pytest.raises(ValueError, match="wire_format"):
+        ImageDecoder("image", wire_format="nv12")
+
+
+def test_yuv_host_stage_ships_half_the_bytes():
+    jpeg = make_jpeg(hw=(32, 48))
+    dec = ImageDecoder("image", wire_format="yuv420")
+    bp = JpegProvider([jpeg]).sample_data_structure
+    bp = dec.check_input_data_format_and_set_output_data_format(bp)
+    sdg = bp.get_empty_like_self()
+    sdg["image"] = jpeg
+    out = dec._process(sdg)
+    y = out["image"]
+    cbcr = out["image_cbcr"]
+    assert y.shape == (32, 48) and y.dtype == np.uint8
+    assert cbcr.shape == (16, 24, 2) and cbcr.dtype == np.uint8
+    wire = y.nbytes + cbcr.nbytes
+    assert wire * 2 == 32 * 48 * 3  # exactly half of RGB
+
+
+def test_yuv_pipeline_matches_rgb_pipeline_within_chroma_tolerance():
+    """Full pipeline parity: decode->convert via the YUV wire vs the RGB
+    wire. Differences come only from (a) chroma subsample/upsample (bounded
+    by the image's chroma gradient; the JPEG stored 4:2:0 chroma anyway) and
+    (b) float vs PIL integer matrix rounding."""
+    jpegs = [make_jpeg(seed=s) for s in range(2)]
+    rgb_out = run_pipeline([ImageDecoder("image")], jpegs)
+    yuv_out = run_pipeline(
+        [ImageDecoder("image", wire_format="yuv420"), YCbCrToRGBConverter("image")],
+        jpegs,
+    )
+    a = np.asarray(rgb_out["image"], np.int32)
+    b = np.asarray(yuv_out["image"], np.int32)
+    assert a.shape == b.shape
+    diff = np.abs(a - b)
+    # the synthetic image has near-worst-case chroma gradients (8x8 block
+    # noise); PIL "fancy" chroma upsampling vs the device's nearest upsample
+    # (the reference GPU kernels' sampling) differ by a few codes there —
+    # measured ~4. Natural images sit far lower.
+    assert diff.mean() < 6.0, f"mean |diff| {diff.mean():.2f}"
+    # luma channel-average is chroma-free to first order -> tight
+    assert np.abs(a.mean() - b.mean()) < 1.0
+
+
+def test_yuv_pipeline_with_fused_resize_and_normalize():
+    jpegs = [make_jpeg(hw=(40, 64), seed=7)]
+    out = run_pipeline(
+        [
+            ImageDecoder("image", wire_format="yuv420", decode_resize_hw=(24, 32)),
+            YCbCrToRGBConverter("image"),
+            ImageRange01Normalizer("image"),
+        ],
+        jpegs,
+        batch_size=1,
+    )
+    img = np.asarray(out["image"])
+    assert img.shape == (1, 24, 32, 3)
+    assert img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+
+    rgb = run_pipeline(
+        [
+            ImageDecoder("image", decode_resize_hw=(24, 32)),
+            ImageRange01Normalizer("image"),
+        ],
+        jpegs,
+        batch_size=1,
+    )
+    ref = np.asarray(rgb["image"])
+    # resize order differs too (YCbCr-space resize + subsample vs RGB-space
+    # resize after fancy upsample) on a block-noise image; measured ~8/255
+    assert np.abs(img - ref).mean() < 12.0 / 255.0
+
+
+# --------------------- video engine YUV wire --------------------------- #
+
+
+@pytest.fixture(scope="module")
+def vclip(tmp_path_factory):
+    from accvlab_tpu.video import write_video
+    from accvlab_tpu.video.encode import make_moving_shape_frames
+
+    base = tmp_path_factory.mktemp("yuvclip")
+    frames = make_moving_shape_frames(24, hw=(64, 96), seed=11)
+    path = str(base / "clip.mp4")
+    write_video(path, frames, fps=12, gop_size=8)
+    return path, frames
+
+
+def test_video_decode_yuv_matches_rgb_path(vclip):
+    from accvlab_tpu.video import GopDecoder
+
+    path, frames = vclip
+    dec = GopDecoder()
+    ids = [0, 5, 13]
+    rgb = dec.Decode([path] * len(ids), ids)
+    yuv = dec.DecodeYUV([path] * len(ids), ids)
+    for r, f in zip(yuv, ids):
+        assert r.y.shape == (64, 96) and r.cbcr.shape == (32, 48, 2)
+        assert r.y.nbytes + r.cbcr.nbytes == 64 * 96 * 3 // 2  # half of RGB
+        assert r.matrix == "bt601" and r.color_range == "limited"
+    for r, g in zip(yuv, rgb):
+        # our float matrix + nearest chroma upsample vs swscale's fixed-point
+        # path on the same decoded frame
+        d = np.abs(r.to_rgb().astype(np.int32) - g.astype(np.int32))
+        assert d.mean() < 4.0, f"mean |diff| {d.mean():.2f}"
+    # both must be the actual content, not just mutually close
+    for r, f in zip(yuv, ids):
+        d = np.abs(r.to_rgb().astype(np.int32) - frames[f].astype(np.int32))
+        assert d.mean() < 24.0
+
+
+def test_video_decode_yuv_list(vclip):
+    from accvlab_tpu.video import GopDecoder
+
+    path, _ = vclip
+    dec = GopDecoder()
+    packets, firsts, lens = dec.GetGOP([path, path], [3, 9])
+    ids = [[firsts[0], 3], [9]]  # keyframe placement is encoder-dependent
+    out = dec.DecodeFromGOPListYUV(packets, ids)
+    assert len(out) == 2 and len(out[0]) == 2 and len(out[1]) == 1
+    rgb = dec.DecodeFromGOPListRGB(packets, ids)
+    for yrow, grow in zip(out, rgb):
+        for r, g in zip(yrow, grow):
+            assert np.abs(
+                r.to_rgb().astype(np.int32) - g.astype(np.int32)
+            ).mean() < 4.0
+
+
+def test_stream_reader_read_yuv(vclip):
+    from accvlab_tpu.video.readers import _StreamReader
+
+    path, frames = vclip
+    r = _StreamReader(path)
+    try:
+        for fid in (0, 7, 2):  # forward then re-seek
+            yf = r.read_yuv(fid)
+            g = r.read(fid)
+            assert np.abs(
+                yf.to_rgb().astype(np.int32) - g.astype(np.int32)
+            ).mean() < 4.0
+    finally:
+        r.close()
+
+
+def test_converter_as_bgr():
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 256, (4, 4), np.uint8)
+    cbcr = rng.integers(0, 256, (2, 2, 2), np.uint8)
+    bp = SampleDataGroup()
+    bp.add_data_field("image", DType.UINT8)
+    bp.add_data_field("image_cbcr", DType.UINT8)
+    step_rgb = YCbCrToRGBConverter("image")
+    step_bgr = YCbCrToRGBConverter("image", as_bgr=True)
+
+    def run(step):
+        sdg = bp.get_empty_like_self()
+        sdg["image"], sdg["image_cbcr"] = y, cbcr
+        return np.asarray(step(sdg)["image"])
+
+    np.testing.assert_array_equal(run(step_rgb), run(step_bgr)[..., ::-1])
