@@ -60,6 +60,31 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _validate_ids_eager(ids, num_valid: int, what: str, live_mask=None):
+    """Out-of-range destination-id validation (parity: the reference's DALI
+    plugin rejects bad class ids/shapes at setup, ``DrawGaussians.h:43-96``).
+
+    Eager (concrete) inputs raise ``ValueError``; traced inputs can't be
+    inspected, so under ``jit`` out-of-range ids are *masked out* — the
+    target draws NOTHING (never a silent draw into a clamped real channel).
+    ``live_mask`` restricts the check to live targets (padding is
+    unconstrained by contract)."""
+    import numpy as np
+
+    if isinstance(ids, jax.core.Tracer) or isinstance(live_mask, jax.core.Tracer):
+        return
+    ids_np = np.asarray(ids)
+    bad = (ids_np < 0) | (ids_np >= num_valid)
+    if live_mask is not None:
+        bad = bad & np.asarray(live_mask)
+    if bad.any():
+        bad_vals = np.unique(ids_np[bad])
+        raise ValueError(
+            f"{what} out of range [0, {num_valid}): {bad_vals[:10].tolist()}"
+            f"{' ...' if bad_vals.size > 10 else ''}"
+        )
+
+
 def _resolve_impl(implementation: str) -> str:
     # "auto" = the measured record. On v5e the fused-XLA formulation with
     # lane-packed pixels wins every case (batched 0.019 ms, classwise
@@ -375,6 +400,7 @@ def draw_heatmap(
             backend's fast exp — the same accuracy contract as the
             reference's CUDA ``expf`` path.
     """
+    _validate_ids_eager(heatmap_idxes, jnp.shape(heatmaps)[0], "heatmap_idxes")
     heatmaps = jnp.asarray(heatmaps, jnp.float32)
     centers = jnp.asarray(centers, jnp.int32)
     radii = jnp.asarray(radii, jnp.int32)
@@ -482,6 +508,13 @@ def draw_heatmap_batched(
         "centers and labels must have the same maximum number of objects"
     )
     num_classes = heatmap.shape[1]
+    # eager validation of LIVE targets' class ids (padding is unconstrained);
+    # traced inputs fall back to mask-out semantics — see _validate_ids_eager
+    if not isinstance(nums, jax.core.Tracer):
+        import numpy as np
+
+        live = np.arange(labels_t.shape[1])[None, :] < np.asarray(nums)[:, None]
+        _validate_ids_eager(labels.tensor, num_classes, "labels", live_mask=live)
 
     if impl == "xla":
         # classwise record on TPU: (T, P) contributions once (P = H*W
@@ -509,8 +542,10 @@ def draw_heatmap_batched(
             ]
             g = _exp(-(dy * dy + dx * dx).astype(jnp.float32) * iv, exact) * k_scale
             contrib = jnp.where(inbox, g, -jnp.inf)  # (T, P)
-            safe_lab = jnp.clip(lab, 0, num_classes - 1)
-            sel = safe_lab[None, :] == jnp.arange(num_classes)[:, None]  # (C, T)
+            # out-of-range labels match no class row -> the target draws
+            # nothing (validated eagerly above; never clamped into a real
+            # channel)
+            sel = lab[None, :] == jnp.arange(num_classes)[:, None]  # (C, T)
             drawn = jnp.max(
                 jnp.where(sel[:, :, None], contrib[None], -jnp.inf),
                 axis=1,

@@ -28,6 +28,7 @@ Mapping of the reference design onto the JAX runtime:
 from __future__ import annotations
 
 import threading
+from collections import OrderedDict
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, List, Optional
 
@@ -40,8 +41,30 @@ _DEFAULT_MAX_CHUNK = 32 * 1024 * 1024  # reference: max_packed_chunk_bytes
 
 _background_pool: Optional[ThreadPoolExecutor] = None
 _pool_lock = threading.Lock()
-_slicer_cache: dict = {}
+
+# Per-spec jitted helper programs are shape-specialized; a workload with
+# varying trees would otherwise grow the cache (and XLA's) without bound.
+# LRU-bound both sides symmetrically (reference analog: the fixed-size
+# staging-buffer reuse in multi_tensor_copier.cpp:597).
+_HELPER_CACHE_MAX = 256
+_slicer_cache: "OrderedDict" = OrderedDict()
+_d2h_packer_cache: "OrderedDict" = OrderedDict()
 _slicer_lock = threading.Lock()
+
+
+def _cached_program(cache: "OrderedDict", key, build):
+    with _slicer_lock:
+        fn = cache.get(key)
+        if fn is not None:
+            cache.move_to_end(key)
+            return fn
+    fn = build()
+    with _slicer_lock:
+        cache[key] = fn
+        cache.move_to_end(key)
+        while len(cache) > _HELPER_CACHE_MAX:
+            cache.popitem(last=False)
+    return fn
 
 
 def _get_chunk_slicer(specs):
@@ -53,20 +76,19 @@ def _get_chunk_slicer(specs):
     per-``cudaMemcpyAsync`` overhead the reference's packing eliminates.
     ``specs`` is a hashable tuple of ``(start_elem, num_elems, shape)``.
     """
-    with _slicer_lock:
-        fn = _slicer_cache.get(specs)
-        if fn is None:
-            import jax
 
-            def slicer(chunk):
-                return tuple(
-                    jax.lax.slice_in_dim(chunk, s, s + n).reshape(shape)
-                    for s, n, shape in specs
-                )
+    def build():
+        import jax
 
-            fn = jax.jit(slicer)
-            _slicer_cache[specs] = fn
-    return fn
+        def slicer(chunk):
+            return tuple(
+                jax.lax.slice_in_dim(chunk, s, s + n).reshape(shape)
+                for s, n, shape in specs
+            )
+
+        return jax.jit(slicer)
+
+    return _cached_program(_slicer_cache, specs, build)
 
 
 def _get_background_pool() -> ThreadPoolExecutor:
@@ -128,31 +150,35 @@ class AsyncCopyHandle:
         return result
 
 
-_d2h_packer_cache: dict = {}
-
-
 def _get_d2h_packer(spec):
-    """One jitted program that concatenates same-dtype device arrays into a
-    single flat buffer — the D2H mirror of the pack planner: one transfer for
-    many small arrays instead of one ``device_get`` each. ``spec`` is a
-    hashable tuple of flattened sizes (dtype disambiguated by the arrays)."""
-    with _slicer_lock:
-        fn = _d2h_packer_cache.get(spec)
-        if fn is None:
-            import jax
-            import jax.numpy as jnp
+    """One jitted program that lays same-dtype device arrays into a single
+    flat buffer — the D2H mirror of the pack planner: one transfer for many
+    small arrays instead of one ``device_get`` each. ``spec`` is a hashable
+    tuple of ``(num_elems, aligned_elems)`` pairs (dtype disambiguated by the
+    arrays); each array is padded to its aligned slot, mirroring the H2D
+    ``layout_packed_offsets`` alignment (LRU-bounded like the chunk slicer)."""
 
-            def packer(*arrs):
-                return jnp.concatenate([a.reshape(-1) for a in arrs])
+    def build():
+        import jax
+        import jax.numpy as jnp
 
-            fn = jax.jit(packer)
-            _d2h_packer_cache[spec] = fn
-    return fn
+        def packer(*arrs):
+            return jnp.concatenate(
+                [
+                    jnp.pad(a.reshape(-1), (0, pad - n)) if pad != n else a.reshape(-1)
+                    for a, (n, pad) in zip(arrs, spec)
+                ]
+            )
+
+        return jax.jit(packer)
+
+    return _cached_program(_d2h_packer_cache, spec, build)
 
 
 def _plan_and_copy_d2h(
     leaves: List[Any],
     pack_cpu_tensors: bool,
+    min_packed_alignment_bytes: int,
     max_packed_chunk_bytes: int,
 ):
     """Device->host plan (parity: the reference's D2H rows of
@@ -162,7 +188,8 @@ def _plan_and_copy_d2h(
     unchanged (they are already on the host, like the reference's CPU
     tensors). Small single-shard device arrays are packed per (dtype, device)
     into one on-device concatenation + ONE ``device_get``, then returned as
-    zero-copy numpy views into the transferred chunk.
+    zero-copy numpy views into the transferred chunk. Mirrors the H2D side's
+    alignment buckets and chunk splitting symmetrically.
     """
     import jax
 
@@ -185,9 +212,11 @@ def _plan_and_copy_d2h(
             continue
         out[i] = leaf  # numpy/scalars/opaque: already host-resident
 
-    for (_dtype, _dev), items in pack_groups.items():
+    for (dtype, _dev), items in pack_groups.items():
+        itemsize = np.dtype(dtype).itemsize
+        align_items = max(1, min_packed_alignment_bytes // itemsize)
         chunk: List = []
-        chunk_bytes = 0
+        chunk_elems = 0
 
         def flush(chunk):
             if not chunk:
@@ -197,20 +226,23 @@ def _plan_and_copy_d2h(
                 out[i] = np.asarray(jax.device_get(arr))
                 return
             arrays = [a for _, a in chunk]
-            spec = tuple(a.size for a in arrays)
+            spec = tuple(
+                (a.size, -(-a.size // align_items) * align_items) for a in arrays
+            )
             flat = _get_d2h_packer(spec)(*arrays)
             host = np.asarray(jax.device_get(flat))
             pos = 0
-            for (leaf_i, arr), n in zip(chunk, spec):
+            for (leaf_i, arr), (n, pad) in zip(chunk, spec):
                 out[leaf_i] = host[pos : pos + n].reshape(arr.shape)
-                pos += n
+                pos += pad
 
         for leaf_i, arr in items:
-            if chunk and chunk_bytes + arr.nbytes > max_packed_chunk_bytes:
+            n_aligned = -(-arr.size // align_items) * align_items
+            if chunk and (chunk_elems + n_aligned) * itemsize > max_packed_chunk_bytes:
                 flush(chunk)
-                chunk, chunk_bytes = [], 0
+                chunk, chunk_elems = [], 0
             chunk.append((leaf_i, arr))
-            chunk_bytes += arr.nbytes
+            chunk_elems += n_aligned
         flush(chunk)
 
     return out, []
@@ -227,7 +259,10 @@ def _plan_and_copy(
     import jax.numpy as jnp
 
     if isinstance(device, str) and device.lower() in ("cpu", "host"):
-        return _plan_and_copy_d2h(leaves, pack_cpu_tensors, max_packed_chunk_bytes)
+        return _plan_and_copy_d2h(
+            leaves, pack_cpu_tensors, min_packed_alignment_bytes,
+            max_packed_chunk_bytes,
+        )
 
     out: List[Any] = [None] * len(leaves)
     device_arrays: List[Any] = []

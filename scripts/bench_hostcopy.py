@@ -85,7 +85,45 @@ def measure(avg_kb):
     }
 
 
+def measure_d2h(avg_kb):
+    """Dispatch-bound D2H: many small device arrays back to host, packed
+    (on-device concat + one device_get) vs per-array device_get."""
+    host_tree = make_tree(avg_kb, seed=1000 + avg_kb)
+    tree = {k: jax.device_put(v) for k, v in host_tree.items()}
+    true_sync(tree)
+    total_mb = sum(v.nbytes for v in host_tree.values()) / 1e6
+
+    def naive():
+        return {k: np.asarray(jax.device_get(v)) for k, v in tree.items()}
+
+    def packed():
+        return start_copy(tree, device="cpu").get()
+
+    a, b = naive(), packed()
+    for k in host_tree:
+        np.testing.assert_array_equal(a[k], b[k])
+
+    def best(fn):
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_naive, t_packed = best(naive), best(packed)
+    return {
+        "direction": "d2h",
+        "avg_kb": avg_kb,
+        "total_mb": round(total_mb, 1),
+        "naive_ms": round(t_naive * 1e3, 1),
+        "packed_ms": round(t_packed * 1e3, 1),
+        "speedup": round(t_naive / t_packed, 2),
+    }
+
+
 if __name__ == "__main__":
     print("device:", jax.devices()[0], file=sys.stderr)
     for avg_kb in (4, 150):
         print(json.dumps(measure(avg_kb)), flush=True)
+    print(json.dumps(measure_d2h(4)), flush=True)

@@ -316,3 +316,88 @@ def test_zero_targets_noop(impl):
     hmb = jnp.asarray(np.random.default_rng(1).normal(size=(2, 8, 8)), jnp.float32)
     outb = draw_heatmap_batched(hmb, cb, rb, implementation=impl)
     np.testing.assert_array_equal(np.asarray(outb), np.asarray(hmb))
+
+
+# --------------- out-of-range destination validation ------------------- #
+# Parity: the reference's DALI plugin validates class ids at setup
+# (DrawGaussians.h:43-96). Eager inputs raise; under jit the bad target is
+# masked out (draws nothing) — never silently clamped into a real channel.
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("bad_idx", [-1, 3, 99])
+def test_flat_out_of_range_idx_raises_eager(impl, bad_idx):
+    heatmaps = jnp.zeros((3, 8, 12), jnp.float32)
+    centers = jnp.asarray([[4, 4], [6, 2]], jnp.int32)
+    radii = jnp.asarray([1, 2], jnp.int32)
+    with pytest.raises(ValueError, match="heatmap_idxes out of range"):
+        draw_heatmap(heatmaps, centers, radii, jnp.asarray([0, bad_idx]),
+                     implementation=impl)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_flat_out_of_range_idx_masked_under_jit(impl):
+    import jax
+
+    heatmaps = jnp.zeros((3, 8, 12), jnp.float32)
+    centers = jnp.asarray([[4, 4], [6, 2]], jnp.int32)
+    radii = jnp.asarray([1, 2], jnp.int32)
+
+    @jax.jit
+    def f(idxes):
+        return draw_heatmap(heatmaps, centers, radii, idxes, implementation=impl)
+
+    with_bad = f(jnp.asarray([0, 99], jnp.int32))
+    only_first = f(jnp.asarray([0, -1], jnp.int32))  # also bad -> ignored
+    ref = draw_heatmap(heatmaps[:1], centers[:1], radii[:1],
+                       jnp.asarray([0]), implementation=impl)
+    np.testing.assert_array_equal(np.asarray(with_bad[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(with_bad), np.asarray(only_first))
+    assert np.asarray(with_bad[1:]).max() == 0.0  # nothing leaked elsewhere
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("bad_label", [-2, 4, 7])
+def test_classwise_out_of_range_label_raises_eager(impl, bad_label):
+    heatmap = jnp.zeros((1, 4, 8, 12), jnp.float32)
+    centers = rb([[[4, 4], [6, 2]]], [2])
+    radii = rb([[1, 2]], [2])
+    labels = rb([[0, bad_label]], [2])
+    with pytest.raises(ValueError, match="labels out of range"):
+        draw_heatmap_batched(heatmap, centers, radii, labels=labels,
+                             implementation=impl)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_classwise_garbage_padding_labels_allowed(impl):
+    # only LIVE targets are validated: sample_sizes=1, the second slot is
+    # padding and may hold anything
+    heatmap = jnp.zeros((1, 4, 8, 12), jnp.float32)
+    centers = rb([[[4, 4], [6, 2]]], [1])
+    radii = rb([[1, 2]], [1])
+    labels = rb([[2, 99]], [1])
+    out = draw_heatmap_batched(heatmap, centers, radii, labels=labels,
+                               implementation=impl)
+    expected = golden_draw(np.zeros((8, 12), np.float32), 4, 4, 1)
+    np.testing.assert_allclose(np.asarray(out[0, 2]), expected, rtol=3e-5, atol=1e-6)
+    assert np.asarray(out[0, [0, 1, 3]]).max() == 0.0
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_classwise_out_of_range_label_masked_under_jit(impl):
+    import jax
+
+    heatmap = jnp.zeros((1, 4, 8, 12), jnp.float32)
+    centers = rb([[[4, 4], [6, 2]]], [2])
+    radii = rb([[1, 2]], [2])
+
+    @jax.jit
+    def f(lab_tensor):
+        labels = RaggedBatch(lab_tensor, sample_sizes=jnp.asarray([2], jnp.int32))
+        return draw_heatmap_batched(heatmap, centers, radii, labels=labels,
+                                    implementation=impl)
+
+    out = f(jnp.asarray([[1, 99]], jnp.int32))
+    expected = golden_draw(np.zeros((8, 12), np.float32), 4, 4, 1)
+    np.testing.assert_allclose(np.asarray(out[0, 1]), expected, rtol=3e-5, atol=1e-6)
+    assert np.asarray(out[0, [0, 2, 3]]).max() == 0.0  # bad target drew nothing

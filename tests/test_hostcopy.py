@@ -334,3 +334,57 @@ def test_d2h_chunking_small_max_chunk():
     out = start_copy(tree, device="cpu", max_packed_chunk_bytes=1024).get()
     for o, s in zip(out, srcs):
         np.testing.assert_array_equal(o, s)
+
+
+@pytest.mark.parametrize("align", [1, 16, 64, 256])
+def test_d2h_alignment_honored(align):
+    """min_packed_alignment_bytes shapes the packed D2H layout exactly like
+    the H2D side (reference: layout_packed_offsets alignment buckets,
+    multi_tensor_copier.cpp:513): odd-size arrays at every alignment still
+    round-trip exactly."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    srcs = [
+        rng.integers(0, 255, (n,)).astype(np.uint8) for n in (1, 3, 7, 13, 64, 129)
+    ]
+    tree = [jnp.asarray(s) for s in srcs]
+    out = start_copy(tree, device="cpu", min_packed_alignment_bytes=align).get()
+    for o, s in zip(out, srcs):
+        np.testing.assert_array_equal(o, s)
+
+
+def test_d2h_helper_cache_is_bounded():
+    """Varying tree shapes must not grow the jitted-helper caches without
+    bound (each spec is a distinct compiled program)."""
+    import jax.numpy as jnp
+
+    from accvlab_tpu.hostcopy import async_copy as ac
+
+    assert len(ac._d2h_packer_cache) <= ac._HELPER_CACHE_MAX
+    start = len(ac._d2h_packer_cache)
+    rng = np.random.default_rng(10)
+    for trial in range(6):
+        sizes = [int(rng.integers(1, 40)) for _ in range(4)]
+        tree = [jnp.asarray(np.arange(n, dtype=np.float32)) for n in sizes]
+        out = start_copy(tree, device="cpu").get()
+        for o, n in zip(out, sizes):
+            np.testing.assert_array_equal(o, np.arange(n, dtype=np.float32))
+    assert len(ac._d2h_packer_cache) <= ac._HELPER_CACHE_MAX
+    assert len(ac._slicer_cache) <= ac._HELPER_CACHE_MAX
+
+
+def test_d2h_alignment_with_chunk_split():
+    """Aligned element accounting must agree with the chunk-split bound."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    srcs = [rng.normal(size=(int(rng.integers(1, 60)),)).astype(np.float32)
+            for _ in range(24)]
+    tree = [jnp.asarray(s) for s in srcs]
+    out = start_copy(
+        tree, device="cpu", min_packed_alignment_bytes=64,
+        max_packed_chunk_bytes=512,
+    ).get()
+    for o, s in zip(out, srcs):
+        np.testing.assert_array_equal(o, s)

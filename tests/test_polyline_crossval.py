@@ -125,16 +125,59 @@ def test_lengths_match_scalar_walk():
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=0.0)
 
 
-@pytest.mark.skipif(not HAVE_SHAPELY, reason="shapely not installed")
-@pytest.mark.parametrize("batch,n_points,n_dists", SWEEP)
-def test_interpolate_matches_real_shapely(batch, n_points, n_dists):
-    from shapely import get_coordinates, line_interpolate_point, linestrings
+def vendored_geos_interpolate(points, distances):
+    """Vendored float64 VECTORIZED restatement of GEOS LengthIndexedLine
+    (the ~30 lines of shapely ``line_interpolate_point`` logic the reference
+    evaluation needs, ``shapely_evaluation.py:87-99``): cumulative segment
+    lengths + searchsorted + lerp, all in float64 numpy. A third independent
+    code path — distinct from both the scalar f64 walk above and the
+    library's vectorized f32 jax path."""
+    pts = np.asarray(points, np.float64)
+    d = np.asarray(distances, np.float64)
+    seg = np.linalg.norm(np.diff(pts, axis=1), axis=2)  # (B, N-1)
+    cum = np.concatenate(
+        [np.zeros((pts.shape[0], 1)), np.cumsum(seg, axis=1)], axis=1
+    )  # (B, N)
+    total = cum[:, -1]
+    dc = np.clip(d, 0.0, total[:, None])
+    out = np.empty((pts.shape[0], d.shape[1], pts.shape[2]), np.float64)
+    for s in range(pts.shape[0]):
+        i = np.clip(
+            np.searchsorted(cum[s, 1:], dc[s], side="left"), 0, seg.shape[1] - 1
+        )
+        seg_i = seg[s, i]
+        # zero-length segment => p0 == p1; frac 0 picks the shared point
+        frac = np.where(seg_i > 0, (dc[s] - cum[s, i]) / np.where(seg_i > 0, seg_i, 1.0), 0.0)
+        out[s] = pts[s, i] + frac[:, None] * (pts[s, i + 1] - pts[s, i])
+    return out
 
+
+@pytest.mark.parametrize("batch,n_points,n_dists", SWEEP)
+def test_interpolate_matches_shapely_or_vendored(batch, n_points, n_dists):
+    """Real shapely when importable; otherwise the vendored float64
+    line-interpolation above (same cases, never skipped — the reference bar
+    is ``lane_helpers/evaluation/shapely_evaluation.py:286-340``)."""
     seed = batch * 1_000_000 + n_points * 1_000 + n_dists
     points, dist = make_case(batch, n_points, n_dists, seed)
-    lines = linestrings(points)
-    want = get_coordinates(line_interpolate_point(lines[:, None], dist)).reshape(
-        batch, n_dists, 2
-    )
+    if HAVE_SHAPELY:
+        from shapely import get_coordinates, line_interpolate_point, linestrings
+
+        lines = linestrings(points)
+        want = get_coordinates(line_interpolate_point(lines[:, None], dist)).reshape(
+            batch, n_dists, 2
+        )
+    else:
+        want = vendored_geos_interpolate(points, dist)
     got = np.asarray(interpolate(jnp.asarray(points), jnp.asarray(dist)))
     np.testing.assert_allclose(got, want, atol=ATOL, rtol=0.0)
+
+
+@pytest.mark.parametrize("batch,n_points,n_dists", SWEEP[:3])
+def test_vendored_oracle_agrees_with_scalar_walk(batch, n_points, n_dists):
+    """The two independent float64 oracles must agree to near machine
+    precision — guards the vendored implementation itself."""
+    seed = batch * 3_000_000 + n_points * 1_000 + n_dists
+    points, dist = make_case(batch, n_points, n_dists, seed)
+    a = vendored_geos_interpolate(points, dist)
+    b = geos_reference(points, dist)
+    np.testing.assert_allclose(a, b, atol=1e-9, rtol=0.0)
