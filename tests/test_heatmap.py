@@ -401,3 +401,21 @@ def test_classwise_out_of_range_label_masked_under_jit(impl):
     expected = golden_draw(np.zeros((8, 12), np.float32), 4, 4, 1)
     np.testing.assert_allclose(np.asarray(out[0, 1]), expected, rtol=3e-5, atol=1e-6)
     assert np.asarray(out[0, [0, 2, 3]]).max() == 0.0  # bad target drew nothing
+
+
+def test_negative_k_scale_falls_back_and_matches_golden():
+    # k <= 0 cannot use the log-domain reduce (exp(.)*k flips order); the
+    # select fallback must still match the scalar reference semantics
+    h, w = 10, 14
+    heatmap = np.full((1, h, w), 0.25, np.float32)
+    centers = [[[5, 4], [9, 6]]]
+    radii = [[2, 3]]
+    expected = heatmap.copy()
+    for t in range(2):
+        expected[0] = golden_draw(expected[0], centers[0][t][0], centers[0][t][1],
+                                  radii[0][t], k=-0.5)
+    out = draw_heatmap_batched(
+        jnp.asarray(heatmap), rb(centers, [2]), rb(radii, [2]), k_scale=-0.5,
+        implementation="xla",
+    )
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=3e-5, atol=1e-6)
