@@ -490,6 +490,21 @@ int avx_stream_info(void* h, int64_t* out) {
     return 0;
 }
 
+// VFR detection (parity: the reference demuxer's variable-frame-rate
+// detection, FFmpegDemuxer.h:451 area): non-uniform deltas between
+// consecutive display-ordered pts. Returns 1 = VFR, 0 = CFR, -1 = unknown
+// (< 3 frames).
+int avx_is_vfr(void* h) {
+    auto* idx = static_cast<Indexer*>(h);
+    const auto& pts = idx->pts_sorted;
+    if (pts.size() < 3) return -1;
+    int64_t d0 = pts[1] - pts[0];
+    for (size_t i = 2; i < pts.size(); ++i) {
+        if (pts[i] - pts[i - 1] != d0) return 1;
+    }
+    return 0;
+}
+
 int avx_keyframe_of(void* h, int frame_id) {
     auto idx = static_cast<Indexer*>(h);
     if (frame_id < 0 || frame_id >= static_cast<int>(idx->keyframe_of_frame.size()))
@@ -538,6 +553,12 @@ bool validate_bundle(const uint8_t* buf, uint64_t size, BundleHeader* hdr) {
     if (hdr->extradata_size < 0 || hdr->num_packets < 0 || hdr->num_frames < 0 ||
         hdr->width <= 0 || hdr->height <= 0) {
         set_error("corrupt bundle header (negative/zero sizes)");
+        return false;
+    }
+    // untrusted dims size the CALLER's output allocation (frames * W * H * 3)
+    // — a flipped width byte must not become a multi-GiB allocation request
+    if (hdr->width > 16384 || hdr->height > 16384) {
+        set_error("corrupt bundle header (frame dimensions out of range)");
         return false;
     }
     // untrusted counts must not size allocations: a GOP never has more
@@ -840,6 +861,7 @@ int avx_encode_video2(const char* path, const uint8_t* rgb, int n_frames, int wi
     if (std::string(codec_name) == "libx264") {
         av_opt_set(ctx->priv_data, "preset", "veryfast", 0);
     }
+    bool vfr = false;  // "vfr=1": irregular pts deltas (variable frame rate)
     if (options && options[0]) {
         std::string s(options);
         size_t pos = 0;
@@ -856,11 +878,14 @@ int avx_encode_video2(const char* path, const uint8_t* rgb, int n_frames, int wi
                 if (pf != AV_PIX_FMT_NONE) ctx->pix_fmt = pf;
             } else if (k == "max_b_frames") {
                 ctx->max_b_frames = atoi(v.c_str());
+            } else if (k == "vfr") {
+                vfr = atoi(v.c_str()) != 0;
             } else {
                 av_opt_set(ctx->priv_data, k.c_str(), v.c_str(), 0);
             }
         }
     }
+    if (vfr) ctx->time_base = {1, fps * 8};  // room for irregular deltas
     int rc = 0;
     SwsContext* sws = nullptr;
     AVFrame* yuv = nullptr;
@@ -903,12 +928,22 @@ int avx_encode_video2(const char* path, const uint8_t* rgb, int n_frames, int wi
         };
 
         size_t frame_bytes = static_cast<size_t>(width) * height * 3;
+        // vfr: deterministic irregular presentation deltas (in the finer
+        // time_base) — a committed-asset analog of dropped/duplicated-
+        // timestamp camera footage for VFR tests
+        static const int64_t kVfrDeltas[] = {5, 13, 8, 21, 6, 11};
+        int64_t pts_acc = 0;
         for (int i = 0; i < n_frames; ++i) {
             const uint8_t* src[1] = {rgb + i * frame_bytes};
             int src_linesize[1] = {width * 3};
             av_frame_make_writable(yuv);
             sws_scale(sws, src, src_linesize, 0, height, yuv->data, yuv->linesize);
-            yuv->pts = i;
+            if (vfr) {
+                yuv->pts = pts_acc;
+                pts_acc += kVfrDeltas[i % 6];
+            } else {
+                yuv->pts = i;
+            }
             avcodec_send_frame(ctx, yuv);
             flush_packets();
         }

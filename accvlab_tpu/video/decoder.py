@@ -268,6 +268,15 @@ class GopDecoder:
         lib = get_lib()
         return lib.avx_height(h), lib.avx_width(h)
 
+    def GetIsVFR(self, filepath: str) -> Optional[bool]:
+        """Whether the stream has variable frame rate — non-uniform deltas
+        between consecutive display pts (parity: the reference demuxer's VFR
+        detection, ``FFmpegDemuxer.h:451`` area). ``None`` if the clip is too
+        short to tell (< 3 frames). Frame-id addressing is VFR-safe either
+        way: ids are ranks in pts order, never time/frame-rate quotients."""
+        rc = get_lib().avx_is_vfr(self._handle(filepath))
+        return None if rc < 0 else bool(rc)
+
     # -- demux (GOP extraction) ------------------------------------------ #
 
     def _get_gop_one(self, path: str, frame_id: int) -> Tuple[np.ndarray, int, int]:

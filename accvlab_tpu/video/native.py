@@ -32,6 +32,8 @@ def _build_and_load() -> ctypes.CDLL:
         getattr(lib, fn).restype = ctypes.c_int
     lib.avx_keyframe_of.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.avx_keyframe_of.restype = ctypes.c_int
+    lib.avx_is_vfr.argtypes = [ctypes.c_void_p]
+    lib.avx_is_vfr.restype = ctypes.c_int
     lib.avx_stream_info.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
     lib.avx_stream_info.restype = ctypes.c_int
     lib.avx_gop_bundle.restype = ctypes.POINTER(ctypes.c_uint8)

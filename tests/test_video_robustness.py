@@ -267,3 +267,113 @@ def test_header_count_bomb_errors_fast(h264_clip):
     bundle2[5 * 4 : 6 * 4] = np.frombuffer(_struct.pack("<i", -2**31 + 7), np.uint8)
     with pytest.raises((ValueError, RuntimeError)):
         GopDecoder._decode_bundle(bundle2.tobytes(), [17], False)
+
+
+# ------------------------- VFR (variable frame rate) -------------------- #
+# Parity: the reference demuxer detects VFR (FFmpegDemuxer.h:451 area).
+# Frame ids here are ranks in display-pts order, so addressing is VFR-safe
+# by construction — these tests prove it with genuinely irregular deltas.
+
+
+@pytest.fixture(scope="module")
+def vfr_clip(tmp_path_factory):
+    base = tmp_path_factory.mktemp("vfr")
+    frames = make_moving_shape_frames(30, hw=(64, 96), seed=21)
+    path = str(base / "vfr.mp4")
+    write_video(path, frames, fps=12, gop_size=10, options="vfr=1")
+    return path, frames
+
+
+def _best_match(img, frames):
+    dists = [
+        np.abs(np.asarray(img, np.int32) - np.asarray(f, np.int32)).mean()
+        for f in frames
+    ]
+    return int(np.argmin(dists))
+
+
+def test_vfr_detected(vfr_clip, h264_clip):
+    path, _ = vfr_clip
+    dec = GopDecoder()
+    assert dec.GetIsVFR(path) is True
+    assert dec.GetIsVFR(h264_clip[0]) is False
+
+
+def test_vfr_frame_id_pts_mapping(vfr_clip):
+    """Every frame id must map to ITS source frame (strict best-match) even
+    though pts deltas cycle irregularly — a time-quotient-based mapping
+    would alias under VFR."""
+    path, frames = vfr_clip
+    dec = GopDecoder()
+    assert dec.GetNumFrames(path) == len(frames)
+    ids = [0, 1, 7, 10, 15, 22, 29]
+    out = dec.Decode([path] * len(ids), ids)
+    for img, fid in zip(out, ids):
+        assert _best_match(img, frames) == fid, f"frame {fid}"
+
+
+def test_vfr_stream_reader_forward_and_reseek(vfr_clip):
+    from accvlab_tpu.video.readers import _StreamReader
+
+    path, frames = vfr_clip
+    r = _StreamReader(path)
+    try:
+        for fid in (0, 3, 4, 12, 5, 29):  # forward runs + backward re-seeks
+            img = r.read(fid)
+            assert _best_match(img, frames) == fid, f"frame {fid}"
+    finally:
+        r.close()
+
+
+def test_vfr_yuv_wire(vfr_clip):
+    path, frames = vfr_clip
+    dec = GopDecoder()
+    (yf,) = dec.DecodeYUV([path], [13])
+    assert _best_match(yf.to_rgb(), frames) == 13
+
+
+# -------------------- mid-stream payload corruption --------------------- #
+
+
+def test_midstream_payload_corruption_error_or_decode(h264_clip):
+    """Bit flips INSIDE packet payloads (not header/table truncation): the
+    decoder must either raise a Python error or return a frame — never
+    crash, hang, or read out of bounds. Model: reference
+    test_corrupt_gop_demux.py, extended beyond truncation."""
+    path, _ = h264_clip
+    dec = GopDecoder()
+    packets, (first,), (length,) = dec.GetGOP([path], [20])
+    buf = np.asarray(packets, np.uint8)
+    # payload region = after header+extradata+packet table; flip bytes at
+    # several depths including the keyframe's slice data
+    hdr_end = 40  # sizeof(BundleHeader)
+    rng = np.random.default_rng(0)
+    for offset in [hdr_end + 200, buf.nbytes // 2, buf.nbytes - 17]:
+        for flip in (0xFF, 0x55):
+            fuzzed = buf.copy()
+            fuzzed[offset] ^= flip
+            # a handful of random extra flips around the point
+            for j in rng.integers(max(hdr_end, offset - 64), offset, 4):
+                fuzzed[j] ^= 0xA5
+            try:
+                out = dec.DecodeFromGOPRGB(fuzzed, [path], [20])
+                assert out[0].shape[2] == 3  # decoded something frame-shaped
+            except (RuntimeError, ValueError):
+                pass  # error is acceptable; crash/hang is not
+
+
+def test_midstream_corruption_many_random_points(h264_clip):
+    path, _ = h264_clip
+    dec = GopDecoder()
+    packets, (first,), _ = dec.GetGOP([path], [5])
+    buf = np.asarray(packets, np.uint8)
+    rng = np.random.default_rng(1)
+    for _ in range(24):
+        fuzzed = buf.copy()
+        n_flips = int(rng.integers(1, 16))
+        idxs = rng.integers(0, buf.nbytes, n_flips)
+        fuzzed[idxs] ^= rng.integers(1, 256, n_flips).astype(np.uint8)
+        try:
+            dec.DecodeFromGOPRGB(fuzzed, [path], [5])
+        except (RuntimeError, ValueError):
+            pass
