@@ -59,4 +59,20 @@ def build_shared_lib(
     if res.returncode != 0:
         raise RuntimeError(f"{stem} build failed:\n{res.stderr[-2000:]}")
     os.replace(tmp_path, lib_path)  # atomic: concurrent builders race safely
+    _prune_stale(out_dir, stem, keep=os.path.basename(lib_path))
     return lib_path
+
+
+def _prune_stale(out_dir: str, stem: str, keep: str):
+    """Remove older content-hash builds of ``stem`` after a successful
+    rebuild (source edits otherwise accumulate one .so per hash, unbounded).
+    A concurrently-running process may hold an old .so open; unlink is safe
+    on Linux (the mapping survives until close)."""
+    import glob
+
+    for p in glob.glob(os.path.join(out_dir, f"{stem}-*.so")):
+        if os.path.basename(p) != keep:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass

@@ -164,7 +164,9 @@ class Stopwatch(SingletonBase):
         self._enabled = False
         self._bind_disabled()
 
+    @property
     def is_enabled(self) -> bool:
+        """Whether the stopwatch is enabled (a property, parity: ``stopwatch.py:191``)."""
         return self._enabled
 
     def get_num_nonwarmup_iters_measured(self) -> int:

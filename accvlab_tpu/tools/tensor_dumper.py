@@ -72,6 +72,8 @@ class TensorDumper(SingletonBase):
         self._enabled = False
         self._dump_dir: Optional[str] = None
         self._compare_dir: Optional[str] = None
+        self._dump_is_compare = False
+        self._compare_params: Dict[str, Any] = {}
         self._dump_count = 0
         self._range_stack: List[str] = []
         self._data: Dict[str, Any] = {}
@@ -88,7 +90,12 @@ class TensorDumper(SingletonBase):
     # ------------------------------------------------------------------ #
 
     def enable(self, dump_dir: str):
-        """Enable dumping into ``dump_dir`` (created if missing)."""
+        """Enable dumping into ``dump_dir`` (created if missing). Can only be
+        enabled once (parity: ``tensor_dumper.py:233`` raises on re-enable)."""
+        if self._enabled:
+            raise RuntimeError(
+                "`TensorDumper` is already enabled. Can only be enabled once."
+            )
         self._enabled = True
         self._dump_dir = dump_dir
         os.makedirs(dump_dir, exist_ok=True)
@@ -98,13 +105,43 @@ class TensorDumper(SingletonBase):
     def disable(self):
         self._enabled = False
 
+    @property
     def is_enabled(self) -> bool:
+        """Whether the TensorDumper is enabled (a property, like the
+        reference's ``:338``)."""
         return self._enabled
 
-    def set_dump_is_compare(self, compare_dir: str):
-        """Compare mode: :meth:`compare_to_dumped_data` diffs against
-        ``compare_dir`` (a directory produced by a previous run)."""
-        self._compare_dir = compare_dir
+    def set_dump_is_compare(
+        self,
+        eps_numerical_data: float = 1e-6,
+        num_errors_per_tensor_to_show: int = 1,
+        allow_missing_data_in_current: bool = False,
+        allow_missing_data_in_previous: bool = False,
+        as_warning: bool = False,
+        compare_dir: Optional[str] = None,
+    ) -> bool:
+        """Replace subsequent :meth:`dump` calls with
+        :meth:`compare_to_dumped_data` using these parameters (parity:
+        ``tensor_dumper.py:307`` — same signature and semantics).
+
+        ``compare_dir`` is an extension beyond the reference: compare against
+        a DIFFERENT directory than ``dump_dir`` (the reference always
+        compares against the enabled dump dir). A string first positional
+        argument is accepted as ``compare_dir`` for back-compat with the
+        round-1/2 API."""
+        if isinstance(eps_numerical_data, str):  # legacy (compare_dir) call
+            compare_dir = eps_numerical_data
+            eps_numerical_data = 1e-6
+        self._compare_dir = compare_dir or self._dump_dir
+        self._dump_is_compare = True
+        self._compare_params = dict(
+            eps_numerical_data=eps_numerical_data,
+            num_errors_per_tensor_to_show=num_errors_per_tensor_to_show,
+            allow_missing_data_in_current=allow_missing_data_in_current,
+            allow_missing_data_in_previous=allow_missing_data_in_previous,
+            as_warning=as_warning,
+        )
+        return True
 
     def run_if_enabled(self, func: Callable[[], None]):
         """Run ``func`` only when enabled (keeps prep code zero-cost)."""
@@ -312,7 +349,9 @@ class TensorDumper(SingletonBase):
         return f"[{json_name}]{safe}.{ext}"
 
     def dump(self, dump_if_empty: bool = True):
-        """Write the collected iteration data (parity: ``tensor_dumper.py:452``)."""
+        """Write the collected iteration data — or, after
+        :meth:`set_dump_is_compare`, compare it against the reference dump
+        instead (parity: ``tensor_dumper.py:452`` + ``:307``)."""
         if not self._enabled:
             return
         if not self._data and not dump_if_empty:
@@ -320,6 +359,17 @@ class TensorDumper(SingletonBase):
         assert not self._pending_grad_paths, (
             "add_grad_data was called but set_gradients was not"
         )
+        if self._dump_is_compare:
+            self.compare_to_dumped_data(
+                compare_if_empty=dump_if_empty, **self._compare_params
+            )
+            self._dump_count += 1
+            for count, action in list(self._after_count_actions):
+                if self._dump_count >= count:
+                    self._after_count_actions.remove((count, action))
+                    action()
+            self._clear_iteration()
+            return
         json_path = self._iter_json_path()
         json_name = os.path.basename(json_path)
         doc = {}
@@ -421,17 +471,25 @@ class TensorDumper(SingletonBase):
         self,
         eps_numerical_data: float = 1e-6,
         num_errors_per_tensor_to_show: int = 1,
+        allow_missing_data_in_current: bool = False,
+        allow_missing_data_in_previous: bool = False,
+        as_warning: bool = False,
+        compare_if_empty: bool = True,
         dump_count: Optional[int] = None,
-        raise_on_error: bool = False,
     ) -> List[str]:
         """Diff the current iteration's data against the compare directory.
 
-        Returns a list of human-readable error strings (empty = match).
-        Parity: ``tensor_dumper.py:467``.
+        Parity: ``tensor_dumper.py:467`` — same parameters and error
+        behavior: a mismatch raises ``ValueError`` with the detailed message,
+        or prints a warning instead when ``as_warning=True``. Additionally
+        returns the list of error strings (empty = match).
         """
         if not self._enabled:
             return []
-        assert self._compare_dir is not None, "set_dump_is_compare was not called"
+        if self._compare_dir is None:  # compare without prior set_dump_is_compare
+            self._compare_dir = self._dump_dir
+        if not self._data and not compare_if_empty:
+            return []
         count = self._dump_count if dump_count is None else dump_count
         ref_json = self._iter_json_path(count, base=self._compare_dir)
         errors: List[str] = []
@@ -442,10 +500,16 @@ class TensorDumper(SingletonBase):
                 ref_doc = json.load(f)
             ref_keys = set(ref_doc)
             cur_keys = set(self._data)
-            for missing in sorted(ref_keys - cur_keys):
-                errors.append(f"'{missing}' present in reference but not in current dump")
-            for extra in sorted(cur_keys - ref_keys):
-                errors.append(f"'{extra}' present in current dump but not in reference")
+            if not allow_missing_data_in_current:
+                for missing in sorted(ref_keys - cur_keys):
+                    errors.append(
+                        f"'{missing}' present in reference but not in current dump"
+                    )
+            if not allow_missing_data_in_previous:
+                for extra in sorted(cur_keys - ref_keys):
+                    errors.append(
+                        f"'{extra}' present in current dump but not in reference"
+                    )
             for key in sorted(ref_keys & cur_keys):
                 ref = self._load_entry(self._compare_dir, ref_doc[key])
                 cur = self._data[key]
@@ -477,6 +541,12 @@ class TensorDumper(SingletonBase):
                     errors.append(
                         f"'{key}': {len(bad)} mismatching elements, e.g. " + "; ".join(msgs)
                     )
-        if errors and raise_on_error:
-            raise AssertionError("TensorDumper comparison failed:\n" + "\n".join(errors))
+        if errors:
+            msg = "TensorDumper comparison failed:\n" + "\n".join(errors)
+            if as_warning:
+                import warnings
+
+                warnings.warn(msg)
+            else:
+                raise ValueError(msg)
         return errors

@@ -77,7 +77,9 @@ class TraceRangeWrapper(SingletonBase):
         self._enabled = False
         self._bind_disabled()
 
+    @property
     def is_enabled(self) -> bool:
+        """Whether the wrapper is enabled (a property, parity: ``nvtx_range_wrapper.py:114``)."""
         return self._enabled
 
     def _range_push_enabled(self, range_name: str):

@@ -24,7 +24,7 @@ def test_stopwatch_disabled_noop():
     sw.start_meas("x")
     sw.end_meas("x")
     sw.finish_iter()
-    assert not sw.is_enabled()
+    assert not sw.is_enabled  # property, like the reference
 
 
 def test_stopwatch_singleton():
@@ -103,8 +103,12 @@ def test_tensor_dumper_detects_mismatch(tmp_path):
     td.set_dump_is_compare(str(tmp_path))
     td.reset_dump_count()
     td.add_tensor_data("x", jnp.array([0.0, 0.1, 0.0]), TensorDumper.Type.JSON)
-    errors = td.compare_to_dumped_data(eps_numerical_data=1e-6)
-    assert len(errors) == 1 and "mismatching" in errors[0]
+    with pytest.raises(ValueError, match="mismatching"):
+        td.compare_to_dumped_data(eps_numerical_data=1e-6)
+    # as_warning: warn instead of raising, return the error list
+    with pytest.warns(UserWarning, match="mismatching"):
+        errors = td.compare_to_dumped_data(eps_numerical_data=1e-6, as_warning=True)
+    assert len(errors) == 1
 
 
 def test_tensor_dumper_tolerance(tmp_path):
