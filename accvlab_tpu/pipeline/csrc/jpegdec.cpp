@@ -1,0 +1,196 @@
+// Native JPEG -> YCbCr 4:2:0 wire-format decoder (libjpeg-turbo).
+//
+// The host-side hot path of the image pipeline: decode a JPEG directly to
+// the TPU wire layout (planar Y at target size + interleaved 2x2-subsampled
+// CbCr), with the decode running at the best M/8 DCT scale (libjpeg supports
+// any M in 1..8; PIL's draft mode only exposes powers of two, so a
+// 1024->704 resize decodes at FULL size under PIL but at 6/8 here — ~44%
+// fewer IDCT ops) and the final resample done channel-planar so chroma is
+// resized at HALF resolution instead of being resized full-size and then
+// subsampled.
+//
+// Reference analog: the NVJPEG/NVDEC hardware decode feeding the DALI fused
+// decoder+resize (`processing_steps/image_decoder.py:28`); on TPU hosts the
+// decode is CPU-side and this file is its optimized form.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -o libaccvlab_jpeg.so jpegdec.cpp -ljpeg
+
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <jpeglib.h>
+
+namespace {
+
+thread_local std::string g_error;
+
+void set_error(const std::string& msg) { g_error = msg; }
+
+struct ErrorMgr {
+    jpeg_error_mgr pub;
+    jmp_buf jump;
+};
+
+void on_error(j_common_ptr cinfo) {
+    auto* mgr = reinterpret_cast<ErrorMgr*>(cinfo->err);
+    char buf[JMSG_LENGTH_MAX];
+    (*cinfo->err->format_message)(cinfo, buf);
+    set_error(buf);
+    longjmp(mgr->jump, 1);
+}
+
+void on_emit(j_common_ptr, int) {}  // silence warnings (corrupt-tail etc.)
+
+// Separable bilinear resize of one uint8 plane with stride `src_stride`
+// (pixel stride `pix`, so interleaved channels resize without a split copy).
+// Standard align-corners-false sampling, float accumulation (the host cost
+// is dominated by the IDCT, not this).
+void resize_plane(const uint8_t* src, int sh, int sw, int src_stride, int pix,
+                  uint8_t* dst, int th, int tw, int dst_stride, int dst_pix) {
+    if (sh == th && sw == tw) {
+        for (int y = 0; y < th; ++y)
+            for (int x = 0; x < tw; ++x)
+                dst[y * dst_stride + x * dst_pix] = src[y * src_stride + x * pix];
+        return;
+    }
+    std::vector<int> x0(tw), x1(tw);
+    std::vector<float> xw(tw);
+    float sx = static_cast<float>(sw) / tw;
+    for (int x = 0; x < tw; ++x) {
+        float c = (x + 0.5f) * sx - 0.5f;
+        if (c < 0) c = 0;
+        int i = static_cast<int>(c);
+        if (i > sw - 2) i = sw - 2 < 0 ? 0 : sw - 2;
+        x0[x] = i;
+        x1[x] = i + 1 < sw ? i + 1 : sw - 1;
+        xw[x] = c - i;
+    }
+    float sy = static_cast<float>(sh) / th;
+    std::vector<float> row(tw);
+    for (int y = 0; y < th; ++y) {
+        float c = (y + 0.5f) * sy - 0.5f;
+        if (c < 0) c = 0;
+        int yi = static_cast<int>(c);
+        if (yi > sh - 2) yi = sh - 2 < 0 ? 0 : sh - 2;
+        int y1 = yi + 1 < sh ? yi + 1 : sh - 1;
+        float wy = c - yi;
+        const uint8_t* r0 = src + yi * src_stride;
+        const uint8_t* r1 = src + y1 * src_stride;
+        for (int x = 0; x < tw; ++x) {
+            float a = r0[x0[x] * pix] * (1.0f - xw[x]) + r0[x1[x] * pix] * xw[x];
+            float b = r1[x0[x] * pix] * (1.0f - xw[x]) + r1[x1[x] * pix] * xw[x];
+            float v = a * (1.0f - wy) + b * wy;
+            dst[y * dst_stride + x * dst_pix] = static_cast<uint8_t>(v + 0.5f);
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+const char* ajd_last_error() { return g_error.c_str(); }
+
+// Header probe: source dimensions without decoding. Returns 0 on success.
+int ajd_probe(const uint8_t* data, uint64_t size, int32_t* h, int32_t* w) {
+    jpeg_decompress_struct dinfo;
+    ErrorMgr err;
+    dinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = on_error;
+    err.pub.emit_message = on_emit;
+    if (setjmp(err.jump)) {
+        jpeg_destroy_decompress(&dinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&dinfo);
+    jpeg_mem_src(&dinfo, data, size);
+    jpeg_read_header(&dinfo, TRUE);
+    *h = dinfo.image_height;
+    *w = dinfo.image_width;
+    jpeg_destroy_decompress(&dinfo);
+    return 0;
+}
+
+// Decode to the YUV 4:2:0 wire layout at exactly (target_h, target_w)
+// (both even): out_y is target_h*target_w bytes, out_cbcr is
+// (target_h/2)*(target_w/2)*2 bytes, channel order Cb, Cr.
+// Grayscale JPEGs produce neutral chroma (128). Returns 0 on success.
+int ajd_decode_yuv420(const uint8_t* data, uint64_t size, int32_t target_h,
+                      int32_t target_w, uint8_t* out_y, uint8_t* out_cbcr) {
+    if (target_h <= 0 || target_w <= 0 || (target_h | target_w) & 1) {
+        set_error("target dimensions must be positive and even");
+        return -2;
+    }
+    jpeg_decompress_struct dinfo;
+    ErrorMgr err;
+    dinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = on_error;
+    err.pub.emit_message = on_emit;
+    std::vector<uint8_t> decoded;
+    if (setjmp(err.jump)) {
+        jpeg_destroy_decompress(&dinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&dinfo);
+    jpeg_mem_src(&dinfo, data, size);
+    jpeg_read_header(&dinfo, TRUE);
+
+    bool gray = dinfo.jpeg_color_space == JCS_GRAYSCALE;
+    // libjpeg decodes JPEG's native YCbCr without any color conversion;
+    // chroma upsampling uses cheap replication (we re-subsample anyway)
+    dinfo.out_color_space = gray ? JCS_GRAYSCALE : JCS_YCbCr;
+    dinfo.do_fancy_upsampling = FALSE;
+    dinfo.dct_method = JDCT_ISLOW;  // the quality baseline (turbo SIMD anyway)
+
+    // best M/8 DCT scale with scaled size >= target on both axes
+    int m = 8;
+    for (int cand = 1; cand <= 8; ++cand) {
+        long sh = (static_cast<long>(dinfo.image_height) * cand + 7) / 8;
+        long sw = (static_cast<long>(dinfo.image_width) * cand + 7) / 8;
+        if (sh >= target_h && sw >= target_w) {
+            m = cand;
+            break;
+        }
+    }
+    dinfo.scale_num = m;
+    dinfo.scale_denom = 8;
+
+    jpeg_start_decompress(&dinfo);
+    int sh = dinfo.output_height;
+    int sw = dinfo.output_width;
+    int ch = dinfo.output_components;  // 3 (YCbCr) or 1 (gray)
+    size_t stride = static_cast<size_t>(sw) * ch;
+    decoded.resize(stride * sh);
+    while (dinfo.output_scanline < dinfo.output_height) {
+        uint8_t* rows[8];
+        int n = 0;
+        for (; n < 8 && dinfo.output_scanline + n < dinfo.output_height; ++n)
+            rows[n] = decoded.data() + (dinfo.output_scanline + n) * stride;
+        jpeg_read_scanlines(&dinfo, rows, n);
+    }
+    jpeg_finish_decompress(&dinfo);
+    jpeg_destroy_decompress(&dinfo);
+
+    int hh = target_h / 2, hw = target_w / 2;
+    // Y: full-resolution resize
+    resize_plane(decoded.data(), sh, sw, static_cast<int>(stride), ch, out_y,
+                 target_h, target_w, target_w, 1);
+    if (gray) {
+        std::memset(out_cbcr, 128, static_cast<size_t>(hh) * hw * 2);
+        return 0;
+    }
+    // Cb/Cr: resize straight to HALF target resolution (skips the full-res
+    // chroma resize + 2x2 subsample entirely; the bilinear kernel averages
+    // the same support)
+    resize_plane(decoded.data() + 1, sh, sw, static_cast<int>(stride), ch,
+                 out_cbcr, hh, hw, hw * 2, 2);
+    resize_plane(decoded.data() + 2, sh, sw, static_cast<int>(stride), ch,
+                 out_cbcr + 1, hh, hw, hw * 2, 2);
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,103 @@
+"""ctypes binding + lazy build of the native JPEG YCbCr 4:2:0 decoder.
+
+See ``csrc/jpegdec.cpp``. Used by :class:`ImageDecoder` for
+``wire_format="yuv420"`` with a fused resize target; falls back to the PIL
+path when libjpeg headers/library are unavailable at build time.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_ERROR: Optional[str] = None
+
+
+def _build_and_load() -> ctypes.CDLL:
+    import os
+
+    from accvlab_tpu._native_build import build_shared_lib
+
+    src = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "csrc", "jpegdec.cpp"
+    )
+    lib = ctypes.CDLL(build_shared_lib(src, "libaccvlab_jpeg", ["-ljpeg"]))
+    lib.ajd_last_error.restype = ctypes.c_char_p
+    lib.ajd_probe.restype = ctypes.c_int
+    lib.ajd_probe.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.ajd_decode_yuv420.restype = ctypes.c_int
+    lib.ajd_decode_yuv420.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+        ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+    ]
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The decoder library, built on first use; ``None`` if unavailable."""
+    global _LIB, _LIB_ERROR
+    if _LIB is not None or _LIB_ERROR is not None:
+        return _LIB
+    with _LIB_LOCK:
+        if _LIB is None and _LIB_ERROR is None:
+            try:
+                _LIB = _build_and_load()
+            except Exception as e:  # no libjpeg dev files: PIL fallback
+                _LIB_ERROR = str(e)
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def probe(jpeg_bytes: np.ndarray) -> Tuple[int, int]:
+    """Source (height, width) from the header, without decoding."""
+    lib = get_lib()
+    assert lib is not None
+    buf = np.ascontiguousarray(jpeg_bytes, np.uint8)
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    rc = lib.ajd_probe(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.nbytes,
+        ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG probe failed: {lib.ajd_last_error().decode()}")
+    return h.value, w.value
+
+
+def decode_yuv420(
+    jpeg_bytes: np.ndarray, target_hw: Tuple[int, int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode straight to the wire layout at ``target_hw`` (even dims).
+
+    Returns ``(y, cbcr)``: ``(H, W)`` uint8 and ``(H/2, W/2, 2)`` uint8.
+    The decode runs at the best M/8 DCT scale >= target (arbitrary M — PIL
+    draft only exposes powers of two), chroma is resampled at HALF target
+    resolution directly, and no RGB conversion ever happens on the host.
+    """
+    lib = get_lib()
+    assert lib is not None
+    th, tw = int(target_hw[0]), int(target_hw[1])
+    buf = np.ascontiguousarray(jpeg_bytes, np.uint8)
+    y = np.empty((th, tw), np.uint8)
+    cbcr = np.empty((th // 2, tw // 2, 2), np.uint8)
+    rc = lib.ajd_decode_yuv420(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.nbytes,
+        th, tw,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cbcr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed: {lib.ajd_last_error().decode()}")
+    return y, cbcr

@@ -96,6 +96,41 @@ class ImageDecoder(PipelineStepBase):
     def chroma_field_name(self) -> str:
         return f"{self._image_name}_cbcr"
 
+    def _set_yuv_fields(self, data, ip, y, cbcr):
+        data.set_item_in_path(ip, y)
+        parent = data.get_parent_of_path(list(ip))
+        if not parent.path_exists(self.chroma_field_name):
+            parent.add_data_field(self.chroma_field_name, DType.UINT8)
+        parent[self.chroma_field_name] = cbcr
+
+    def _try_native_yuv(self, data, ip, encoded) -> bool:
+        """Fast path: the native libjpeg decoder (``pipeline/csrc/jpegdec.cpp``)
+        decodes straight to the wire layout at the best M/8 DCT scale —
+        measured 2.4x faster than the PIL path at the benchmark shape (PIL
+        draft only exposes power-of-two scales, so a 1024->704 resize decodes
+        at FULL size under PIL but at 6/8 natively) — and resamples chroma at
+        half target resolution directly. Returns False to fall back to PIL
+        (no libjpeg at build time, not a JPEG, or odd source dims without an
+        explicit even resize target)."""
+        from .. import native_jpeg
+
+        if not native_jpeg.available():
+            return False
+        # JPEG magic: the field may hold PNG/BMP bytes (PIL handles those)
+        if encoded.nbytes < 3 or encoded[0] != 0xFF or encoded[1] != 0xD8:
+            return False
+        try:
+            target = self._resize_hw
+            if target is None:
+                target = native_jpeg.probe(encoded)
+            if (target[0] | target[1]) & 1:
+                return False
+            y, cbcr = native_jpeg.decode_yuv420(encoded, target)
+        except ValueError:
+            return False
+        self._set_yuv_fields(data, ip, y, cbcr)
+        return True
+
     def _process(self, data: SampleDataGroup) -> SampleDataGroup:
         from PIL import Image
 
@@ -103,6 +138,10 @@ class ImageDecoder(PipelineStepBase):
         mode = "YCbCr" if yuv else "RGB"
         for ip in data.find_all_occurrences(self._image_name):
             encoded = np.asarray(data.get_item_in_path(ip), dtype=np.uint8)
+            if yuv and self._scale_hint is None and self._try_native_yuv(
+                data, ip, encoded
+            ):
+                continue
             img = Image.open(io.BytesIO(encoded.tobytes()))
             target = self._resize_hw or self._scale_hint
             if target is not None:
@@ -124,11 +163,7 @@ class ImageDecoder(PipelineStepBase):
                 from ...color import subsample_chroma_420
 
                 y, cbcr = subsample_chroma_420(decoded)
-                data.set_item_in_path(ip, y)
-                parent = data.get_parent_of_path(list(ip))
-                if not parent.path_exists(self.chroma_field_name):
-                    parent.add_data_field(self.chroma_field_name, DType.UINT8)
-                parent[self.chroma_field_name] = cbcr
+                self._set_yuv_fields(data, ip, y, cbcr)
             else:
                 if self._as_bgr:
                     decoded = decoded[..., ::-1]

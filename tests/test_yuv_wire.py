@@ -368,3 +368,91 @@ def test_converter_as_bgr():
         return np.asarray(step(sdg)["image"])
 
     np.testing.assert_array_equal(run(step_rgb), run(step_bgr)[..., ::-1])
+
+
+# ---------------------- native libjpeg fast path ------------------------ #
+
+
+def _native_available():
+    from accvlab_tpu.pipeline import native_jpeg
+
+    return native_jpeg.available()
+
+
+@pytest.mark.skipif(not _native_available(), reason="libjpeg dev unavailable")
+def test_native_decoder_matches_pil_path():
+    from accvlab_tpu.pipeline import native_jpeg
+    from accvlab_tpu.color import subsample_chroma_420
+    from PIL import Image
+
+    jpeg = make_jpeg(hw=(372, 512), seed=5)
+    assert native_jpeg.probe(jpeg) == (372, 512)
+    y, cbcr = native_jpeg.decode_yuv420(jpeg, (256, 352))
+    assert y.shape == (256, 352) and cbcr.shape == (128, 176, 2)
+
+    im = Image.open(io.BytesIO(jpeg.tobytes()))
+    im.draft("YCbCr", (352, 256))
+    im = im.convert("YCbCr")
+    if im.size != (352, 256):
+        im = im.resize((352, 256), Image.BILINEAR)
+    py, pcbcr = subsample_chroma_420(np.asarray(im, np.uint8))
+    # different DCT scale (M/8 vs PIL's power-of-2) + resize path: tolerance
+    assert np.abs(y.astype(int) - py.astype(int)).mean() < 2.0
+    assert np.abs(cbcr.astype(int) - pcbcr.astype(int)).mean() < 4.0
+
+
+@pytest.mark.skipif(not _native_available(), reason="libjpeg dev unavailable")
+def test_native_decoder_identity_size_and_gray():
+    from accvlab_tpu.pipeline import native_jpeg
+    from PIL import Image
+
+    # exact-size decode (no resize)
+    jpeg = make_jpeg(hw=(32, 48), seed=6)
+    y, cbcr = native_jpeg.decode_yuv420(jpeg, (32, 48))
+    ref = np.asarray(
+        Image.open(io.BytesIO(jpeg.tobytes())).convert("YCbCr"), np.uint8
+    )
+    assert np.abs(y.astype(int) - ref[..., 0].astype(int)).mean() < 1.5
+
+    # grayscale JPEG -> neutral chroma
+    g = np.asarray(
+        Image.open(io.BytesIO(jpeg.tobytes())).convert("L"), np.uint8
+    )
+    buf = io.BytesIO()
+    Image.fromarray(g).save(buf, format="JPEG", quality=92)
+    gj = np.frombuffer(buf.getvalue(), np.uint8).copy()
+    gy, gcbcr = native_jpeg.decode_yuv420(gj, (32, 48))
+    assert (gcbcr == 128).all()
+    assert np.abs(gy.astype(int) - g.astype(int)).mean() < 2.0
+
+
+@pytest.mark.skipif(not _native_available(), reason="libjpeg dev unavailable")
+def test_native_decoder_error_paths():
+    from accvlab_tpu.pipeline import native_jpeg
+
+    with pytest.raises(ValueError):
+        native_jpeg.probe(np.zeros(16, np.uint8))
+    jpeg = make_jpeg()
+    with pytest.raises(ValueError):
+        native_jpeg.decode_yuv420(jpeg, (31, 48))  # odd target
+    with pytest.raises(ValueError):
+        native_jpeg.decode_yuv420(jpeg[: jpeg.nbytes // 4], (32, 48))  # truncated
+
+
+def test_yuv_decoder_png_falls_back_to_pil():
+    """Non-JPEG bytes in yuv420 mode must still decode (PIL fallback)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 255, (16, 20, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    png = np.frombuffer(buf.getvalue(), np.uint8).copy()
+    dec = ImageDecoder("image", wire_format="yuv420")
+    bp = JpegProvider([png]).sample_data_structure
+    bp = dec.check_input_data_format_and_set_output_data_format(bp)
+    sdg = bp.get_empty_like_self()
+    sdg["image"] = png
+    out = dec._process(sdg)
+    assert out["image"].shape == (16, 20)
+    assert out["image_cbcr"].shape == (8, 10, 2)
