@@ -194,10 +194,13 @@ class SampleReader:
                 f"({self._max_readers})"
             )
 
-    def _read_batch(self, paths, frame_ids, as_bgr):
+    def _read_batch(self, paths, frame_ids, as_bgr, yuv=False):
+        def read_one(p, f):
+            r = self._map.get(p)
+            return r.read_yuv(f) if yuv else r.read(f, as_bgr)
+
         futures = [
-            self._pool.submit(lambda p=p, f=f: self._map.get(p).read(f, as_bgr))
-            for p, f in zip(paths, frame_ids)
+            self._pool.submit(read_one, p, f) for p, f in zip(paths, frame_ids)
         ]
         return [f.result() for f in futures]
 
@@ -209,33 +212,45 @@ class SampleReader:
         self._validate_request(paths, frame_ids)
         return self._read_batch(paths, frame_ids, as_bgr)
 
+    def run_yuv_out(self, paths: Sequence[str], frame_ids: Sequence[int]):
+        """Synchronous batch read in the YUV 4:2:0 wire layout — half the
+        host->device bytes of :meth:`run_rgb_out`, converted on device (see
+        :class:`accvlab_tpu.video.YuvFrame`)."""
+        paths, frame_ids = list(paths), list(frame_ids)
+        self._validate_request(paths, frame_ids)
+        return self._read_batch(paths, frame_ids, False, yuv=True)
+
     @staticmethod
-    def _request_key(paths, frame_ids, as_bgr):
-        return (tuple(paths), tuple(int(f) for f in frame_ids), bool(as_bgr))
+    def _request_key(paths, frame_ids, as_bgr, yuv=False):
+        return (tuple(paths), tuple(int(f) for f in frame_ids), bool(as_bgr),
+                bool(yuv))
 
     def DecodeAsync(
-        self, paths: Sequence[str], frame_ids: Sequence[int], as_bgr: bool = False
+        self, paths: Sequence[str], frame_ids: Sequence[int],
+        as_bgr: bool = False, yuv: bool = False,
     ):
         """Start an async batch read; at most one request may be in flight
-        (parity: ``DecodeN12ToRGBAsync``)."""
+        (parity: ``DecodeN12ToRGBAsync``). ``yuv=True`` returns
+        :class:`YuvFrame` wire-layout frames instead of RGB."""
         self._validate_request(list(paths), list(frame_ids))
-        key = self._request_key(paths, frame_ids, as_bgr)
+        key = self._request_key(paths, frame_ids, as_bgr, yuv)
         with self._lock:
             if self._inflight is not None:
                 raise RuntimeError(
                     "A decode request is already in flight; call GetBuffer first."
                 )
             future = self._dispatch.submit(
-                self._read_batch, list(paths), list(frame_ids), as_bgr
+                self._read_batch, list(paths), list(frame_ids), as_bgr, yuv
             )
             self._inflight = (key, future)
 
     def GetBuffer(
-        self, paths: Sequence[str], frame_ids: Sequence[int], as_bgr: bool = False
+        self, paths: Sequence[str], frame_ids: Sequence[int],
+        as_bgr: bool = False, yuv: bool = False,
     ) -> List[np.ndarray]:
         """Block for the in-flight request; the arguments must match it
         (parity: request-mismatch validation, ``PyNvSampleReader.hpp:159``)."""
-        key = self._request_key(paths, frame_ids, as_bgr)
+        key = self._request_key(paths, frame_ids, as_bgr, yuv)
         with self._lock:
             if self._inflight is None:
                 raise RuntimeError("No decode request in flight; call DecodeAsync first.")
@@ -330,18 +345,21 @@ class BatchAsyncStreamReader:
             )
 
     @staticmethod
-    def _request_key(paths, frame_ids, as_bgr):
+    def _request_key(paths, frame_ids, as_bgr, yuv=False):
         return (
             tuple(paths),
             tuple(tuple(int(f) for f in row) for row in frame_ids),
             bool(as_bgr),
+            bool(yuv),
         )
 
-    def _decode_all(self, paths, frame_ids, as_bgr):
+    def _decode_all(self, paths, frame_ids, as_bgr, yuv=False):
         # one task per video: frames of one video decode sequentially
         # (decoder-state continuity), videos decode in parallel
         def per_video(path, ids):
             reader = self._map.get(path)
+            if yuv:
+                return [reader.read_yuv(f) for f in ids]
             return [reader.read(f, as_bgr) for f in ids]
 
         futures = [
@@ -354,18 +372,20 @@ class BatchAsyncStreamReader:
         paths: Sequence[str],
         frame_ids: Sequence[Sequence[int]],
         as_bgr: bool = False,
+        yuv: bool = False,
     ):
         """Enqueue an async V x F decode (parity: ``Decode``; at most one in
-        flight)."""
+        flight). ``yuv=True`` returns :class:`YuvFrame` wire-layout frames."""
         self._validate_request(list(paths), [list(r) for r in frame_ids])
-        key = self._request_key(paths, frame_ids, as_bgr)
+        key = self._request_key(paths, frame_ids, as_bgr, yuv)
         with self._lock:
             if self._inflight is not None:
                 raise RuntimeError(
                     "A decode request is already in flight; call GetBuffer first."
                 )
             future = self._dispatch.submit(
-                self._decode_all, list(paths), [list(r) for r in frame_ids], as_bgr
+                self._decode_all, list(paths), [list(r) for r in frame_ids],
+                as_bgr, yuv
             )
             self._inflight = (key, future)
 
@@ -374,8 +394,9 @@ class BatchAsyncStreamReader:
         paths: Sequence[str],
         frame_ids: Sequence[Sequence[int]],
         as_bgr: bool = False,
+        yuv: bool = False,
     ) -> List[List[np.ndarray]]:
-        key = self._request_key(paths, frame_ids, as_bgr)
+        key = self._request_key(paths, frame_ids, as_bgr, yuv)
         with self._lock:
             if self._inflight is None:
                 raise RuntimeError("No decode request in flight; call Decode first.")

@@ -456,3 +456,47 @@ def test_yuv_decoder_png_falls_back_to_pil():
     out = dec._process(sdg)
     assert out["image"].shape == (16, 20)
     assert out["image_cbcr"].shape == (8, 10, 2)
+
+
+def test_sample_reader_yuv_sync_and_async(vclip):
+    from accvlab_tpu.video import CreateSampleReader
+
+    path, frames = vclip
+    r = CreateSampleReader(max_readers=4, num_workers=2)
+    try:
+        out = r.run_yuv_out([path, path], [3, 10])
+        for yf, fid in zip(out, (3, 10)):
+            assert yf.y.shape == (64, 96) and yf.cbcr.shape == (32, 48, 2)
+            d = np.abs(yf.to_rgb().astype(np.int32) - frames[fid].astype(np.int32))
+            assert d.mean() < 24.0
+        # async with the single-in-flight contract; key includes yuv
+        r.DecodeAsync([path], [5], yuv=True)
+        with pytest.raises(RuntimeError, match="does not match"):
+            r.GetBuffer([path], [5])  # rgb key != yuv key
+        (yf,) = r.GetBuffer([path], [5], yuv=True)
+        rgb_ref = r.run_rgb_out([path], [5])[0]
+        assert np.abs(
+            yf.to_rgb().astype(np.int32) - rgb_ref.astype(np.int32)
+        ).mean() < 4.0
+    finally:
+        r.ReleaseResources()
+
+
+def test_batch_async_reader_yuv(vclip):
+    from accvlab_tpu.video import CreateBatchAsyncStreamReader
+
+    path, frames = vclip
+    r = CreateBatchAsyncStreamReader(max_readers=4, num_workers=2)
+    try:
+        ids = [[2, 3], [8, 9]]
+        r.Decode([path, path], ids, yuv=True)
+        out = r.GetBuffer([path, path], ids, yuv=True)
+        assert len(out) == 2 and len(out[0]) == 2
+        for row, id_row in zip(out, ids):
+            for yf, fid in zip(row, id_row):
+                d = np.abs(
+                    yf.to_rgb().astype(np.int32) - frames[fid].astype(np.int32)
+                )
+                assert d.mean() < 24.0
+    finally:
+        r.ReleaseResources()
