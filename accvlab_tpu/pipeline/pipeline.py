@@ -370,8 +370,22 @@ class TPUPipeline:
             return jax.vmap(sample_fn)(batch_leaves, keys)
 
         # the freshly transferred batch buffers are never reused -> donate
-        # them so in-place-capable ops skip the copy
-        return jax.jit(device_fn, donate_argnums=(0,))
+        # them so in-place-capable ops skip the copy. Donation is best-effort:
+        # uint8 inputs with no same-shape uint8 output (e.g. the YUV wire
+        # planes, consumed into an RGB image) cannot be donated — expected,
+        # so the per-compile warning is suppressed.
+        fn = jax.jit(device_fn, donate_argnums=(0,))
+
+        def run(batch_leaves, batch_key):
+            import warnings as _warnings
+
+            with _warnings.catch_warnings():
+                _warnings.filterwarnings(
+                    "ignore", message="Some donated buffers were not usable"
+                )
+                return fn(batch_leaves, batch_key)
+
+        return run
 
     def _transfer(self, host_batch: tuple):
         """Host->device placement: packed multi-tensor transfer (hostcopy

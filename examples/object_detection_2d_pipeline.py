@@ -32,6 +32,7 @@ from accvlab_tpu.pipeline.processing_steps import (
     ImageMeanStdDevNormalizer,
     PhotoMetricDistorter,
     TensorSizeAdder,
+    YCbCrToRGBConverter,
 )
 from accvlab_tpu.parallel import host_shard_info
 from accvlab_tpu.tools import Stopwatch
@@ -104,7 +105,12 @@ def build_pipeline(batch_size=4):
         shuffle=True, seed=21,
     )
     steps = [
-        ImageDecoder("image"),
+        # YUV 4:2:0 wire: the host ships planar Y + subsampled CbCr
+        # (1.5 B/px; native libjpeg M/8-scaled decode when available) and the
+        # first device step fuses the color conversion — the TPU analog of
+        # the reference's NVDEC->ColorSpace.cu split
+        ImageDecoder("image", wire_format="yuv420"),
+        YCbCrToRGBConverter("image"),
         TensorSizeAdder("image", "_hw"),
         AffineTransformer(
             output_hw=OUT_HW,
