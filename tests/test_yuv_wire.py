@@ -500,3 +500,23 @@ def test_batch_async_reader_yuv(vclip):
                 assert d.mean() < 24.0
     finally:
         r.ReleaseResources()
+
+
+def test_cmyk_jpeg_falls_back_to_pil():
+    """CMYK JPEGs can't convert to YCbCr inside libjpeg — the native path
+    must decline and the PIL fallback must still produce wire planes."""
+    from PIL import Image
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 255, (16, 20, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).convert("CMYK").save(buf, format="JPEG", quality=90)
+    cmyk_jpeg = np.frombuffer(buf.getvalue(), np.uint8).copy()
+    dec = ImageDecoder("image", wire_format="yuv420")
+    bp = JpegProvider([cmyk_jpeg]).sample_data_structure
+    bp = dec.check_input_data_format_and_set_output_data_format(bp)
+    sdg = bp.get_empty_like_self()
+    sdg["image"] = cmyk_jpeg
+    out = dec._process(sdg)
+    assert out["image"].shape == (16, 20)
+    assert out["image_cbcr"].shape == (8, 10, 2)
