@@ -59,7 +59,13 @@ def build_shared_lib(
     if res.returncode != 0:
         raise RuntimeError(f"{stem} build failed:\n{res.stderr[-2000:]}")
     os.replace(tmp_path, lib_path)  # atomic: concurrent builders race safely
-    _prune_stale(out_dir, stem, keep=os.path.basename(lib_path))
+    if out_dir == src_dir:
+        # prune ONLY in the per-checkout source dir: a single source file
+        # means a single valid hash there. The shared user cache dir may
+        # legitimately hold builds from OTHER checkouts/versions — pruning
+        # there would ping-pong-delete across venvs and could race another
+        # process between its exists() check and dlopen.
+        _prune_stale(out_dir, stem, keep=os.path.basename(lib_path))
     return lib_path
 
 

@@ -19,20 +19,14 @@ from __future__ import annotations
 
 import numpy as np
 
+from ._array_ns import xp_for as _xp_for
+
 # Kr/Kb per standard (Kg = 1 - Kr - Kb)
 _MATRIX_KR_KB = {
     "bt601": (0.299, 0.114),
     "bt709": (0.2126, 0.0722),
+    "bt2020": (0.2627, 0.0593),  # non-constant-luminance (the common case)
 }
-
-
-def _xp_for(value):
-    import jax
-    import jax.numpy as jnp
-
-    if isinstance(value, (jax.Array, jax.core.Tracer)):
-        return jnp
-    return np
 
 
 def ycbcr_coefficients(matrix: str = "bt601", color_range: str = "full"):
@@ -80,7 +74,8 @@ def ycbcr420_to_rgb(y, cbcr, matrix: str = "bt601", color_range: str = "full"):
     Args:
         y: ``(..., H, W)`` uint8 luma plane (H, W even).
         cbcr: ``(..., H/2, W/2, 2)`` uint8 chroma, channel order (Cb, Cr).
-        matrix: ``"bt601"`` (JPEG / SD video) or ``"bt709"`` (HD video).
+        matrix: ``"bt601"`` (JPEG / SD video), ``"bt709"`` (HD video),
+            or ``"bt2020"`` (UHD/HDR video, non-constant-luminance).
         color_range: ``"full"`` (JPEG) or ``"limited"`` (typical video).
 
     Chroma is upsampled nearest-neighbor (each 2x2 luma block shares one

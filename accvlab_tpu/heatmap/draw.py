@@ -96,6 +96,19 @@ def _resolve_impl(implementation: str) -> str:
     return implementation
 
 
+def _static_positive(k_scale) -> bool:
+    """True when ``k_scale`` is a trace-time-known positive number — the
+    precondition for the log-domain formulation (``exp(.)*k`` preserves max
+    order only for k > 0). A TRACED ``k_scale`` conservatively selects the
+    sign-agnostic select fallback instead of raising at trace time."""
+    if isinstance(k_scale, jax.core.Tracer):
+        return False
+    try:
+        return float(k_scale) > 0
+    except TypeError:  # pragma: no cover - exotic scalar types
+        return False
+
+
 def _gauss_inv_var(radii_f32: Array, diameter_to_sigma_factor: float, exact: bool = True):
     """Reference arithmetic order (cuh:62-64,40): diameter -> sigma -> var in
     f32, then the kernel multiplies by ``var_inv = 1/var`` (NOT a division
@@ -149,7 +162,7 @@ def _draw_dense(heatmap, xs, ys, radii, valid, diameter_to_sigma_factor, k_scale
     inbox = (jnp.abs(dy) <= r) & (jnp.abs(dx) <= r) & valid[:, None]
     iv = _gauss_inv_var(radii.astype(jnp.float32), diameter_to_sigma_factor, exact)[:, None]
     q = -(dy * dy + dx * dx).astype(jnp.float32) * iv  # (T, P) log domain
-    if k_scale > 0:
+    if _static_positive(k_scale):
         big = jnp.float32(1e30)
         m = jnp.max(jnp.where(inbox, q, -big), axis=0, initial=-big)  # (P,)
         drawn = jnp.where(m <= -big / 2, -jnp.inf, _exp(m, exact) * k_scale)
@@ -550,7 +563,7 @@ def draw_heatmap_batched(
         # Requires k_scale > 0 (exp(.)*k order-preserving); the select
         # formulation remains as the fallback.
         big = jnp.float32(1e30)
-        use_log_domain = k_scale > 0
+        use_log_domain = _static_positive(k_scale)
 
         def per_sample(hm, xs, ys, rr, lab, n):
             t = rr.shape[0]

@@ -70,7 +70,6 @@ void resize_plane(const uint8_t* src, int sh, int sw, int src_stride, int pix,
         xw[x] = c - i;
     }
     float sy = static_cast<float>(sh) / th;
-    std::vector<float> row(tw);
     for (int y = 0; y < th; ++y) {
         float c = (y + 0.5f) * sy - 0.5f;
         if (c < 0) c = 0;

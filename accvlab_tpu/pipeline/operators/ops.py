@@ -11,13 +11,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 
-def _xp(x):
-    import jax
-    import jax.numpy as jnp
-
-    if isinstance(x, (jax.Array, jax.core.Tracer)):
-        return jnp
-    return np
+from ..._array_ns import xp_for as _xp  # shared numpy-vs-jnp dispatch
 
 
 def pad_to_size(data, size: int, fill_value=0.0):

@@ -373,19 +373,16 @@ class TPUPipeline:
         # them so in-place-capable ops skip the copy. Donation is best-effort:
         # uint8 inputs with no same-shape uint8 output (e.g. the YUV wire
         # planes, consumed into an RGB image) cannot be donated — expected,
-        # so the per-compile warning is suppressed.
-        fn = jax.jit(device_fn, donate_argnums=(0,))
-
-        def run(batch_leaves, batch_key):
-            import warnings as _warnings
-
-            with _warnings.catch_warnings():
-                _warnings.filterwarnings(
-                    "ignore", message="Some donated buffers were not usable"
-                )
-                return fn(batch_leaves, batch_key)
-
-        return run
+        # so the compile-time warning is suppressed ONCE with a narrow filter
+        # (a per-call catch_warnings would mutate the process-global filter
+        # list around every batch — not thread-safe against the producer
+        # thread and able to swallow its unrelated warnings).
+        warnings.filterwarnings(
+            "ignore",
+            message="Some donated buffers were not usable",
+            module=r"jax\..*",
+        )
+        return jax.jit(device_fn, donate_argnums=(0,))
 
     def _transfer(self, host_batch: tuple):
         """Host->device placement: packed multi-tensor transfer (hostcopy

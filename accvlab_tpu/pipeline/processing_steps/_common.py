@@ -9,18 +9,9 @@ import numpy as np
 Name = Union[str, int]
 
 
-def xp_for(value):
-    """Array namespace for a value: jnp for traced/device values, numpy else.
-
-    Lets a step with ``placement = "any"`` run identically on host (numpy)
-    and inside the fused device program (jnp).
-    """
-    import jax
-    import jax.numpy as jnp
-
-    if isinstance(value, (jax.Array, jax.core.Tracer)):
-        return jnp
-    return np
+from ..._array_ns import xp_for  # noqa: F401 — re-export: the shared
+# numpy-vs-jnp dispatcher lets a step with ``placement = "any"`` run
+# identically on host (numpy) and inside the fused device program (jnp)
 
 
 def as_name_list(names: Union[Name, Sequence[Name], None]):

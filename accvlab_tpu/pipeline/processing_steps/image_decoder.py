@@ -85,6 +85,13 @@ class ImageDecoder(PipelineStepBase):
                     "wire_format='yuv420' needs a string image_name (the "
                     "chroma travels in a derived '<image_name>_cbcr' field)"
                 )
+            if decode_resize_hw is not None and (
+                int(decode_resize_hw[0]) % 2 or int(decode_resize_hw[1]) % 2
+            ):
+                raise ValueError(
+                    "wire_format='yuv420' needs an even decode_resize_hw "
+                    f"(4:2:0 chroma is half-resolution), got {tuple(decode_resize_hw)}"
+                )
         self._image_name = image_name
         self._as_bgr = as_bgr
         self._wire_format = wire_format

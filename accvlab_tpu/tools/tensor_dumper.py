@@ -332,6 +332,16 @@ class TensorDumper(SingletonBase):
     # Dumping                                                            #
     # ------------------------------------------------------------------ #
 
+    def _finish_iteration(self):
+        """Shared epilogue of dump-mode and compare-mode iterations: bump the
+        count, fire due after-count actions, clear collected data."""
+        self._dump_count += 1
+        for count, action in list(self._after_count_actions):
+            if self._dump_count >= count:
+                self._after_count_actions.remove((count, action))
+                action()
+        self._clear_iteration()
+
     def _clear_iteration(self):
         self._data = {}
         self._entry_types = {}
@@ -363,12 +373,7 @@ class TensorDumper(SingletonBase):
             self.compare_to_dumped_data(
                 compare_if_empty=dump_if_empty, **self._compare_params
             )
-            self._dump_count += 1
-            for count, action in list(self._after_count_actions):
-                if self._dump_count >= count:
-                    self._after_count_actions.remove((count, action))
-                    action()
-            self._clear_iteration()
+            self._finish_iteration()
             return
         json_path = self._iter_json_path()
         json_name = os.path.basename(json_path)
@@ -403,12 +408,7 @@ class TensorDumper(SingletonBase):
                 raise ValueError(f"Unknown dump type {dt}")
         with open(json_path, "w") as f:
             json.dump(doc, f, indent=1)
-        self._dump_count += 1
-        for count, action in list(self._after_count_actions):
-            if self._dump_count >= count:
-                self._after_count_actions.remove((count, action))
-                action()
-        self._clear_iteration()
+        self._finish_iteration()
 
     def _write_image(self, path, arr, dt):
         from PIL import Image

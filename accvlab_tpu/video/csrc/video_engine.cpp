@@ -492,17 +492,24 @@ int avx_stream_info(void* h, int64_t* out) {
 
 // VFR detection (parity: the reference demuxer's variable-frame-rate
 // detection, FFmpegDemuxer.h:451 area): non-uniform deltas between
-// consecutive display-ordered pts. Returns 1 = VFR, 0 = CFR, -1 = unknown
-// (< 3 frames).
+// consecutive display-ordered pts. CFR in a coarse container timebase
+// quantizes unevenly (e.g. 30 fps in mkv's 1/1000: deltas 33,34,33,...),
+// so exact equality would false-positive — deltas are CFR when their
+// spread stays within max(1 tick, median/4). Returns 1 = VFR, 0 = CFR,
+// -1 = unknown (< 3 frames).
 int avx_is_vfr(void* h) {
     auto* idx = static_cast<Indexer*>(h);
     const auto& pts = idx->pts_sorted;
     if (pts.size() < 3) return -1;
-    int64_t d0 = pts[1] - pts[0];
-    for (size_t i = 2; i < pts.size(); ++i) {
-        if (pts[i] - pts[i - 1] != d0) return 1;
-    }
-    return 0;
+    std::vector<int64_t> deltas;
+    deltas.reserve(pts.size() - 1);
+    for (size_t i = 1; i < pts.size(); ++i) deltas.push_back(pts[i] - pts[i - 1]);
+    std::vector<int64_t> sorted = deltas;
+    std::sort(sorted.begin(), sorted.end());
+    int64_t median = sorted[sorted.size() / 2];
+    int64_t spread = sorted.back() - sorted.front();
+    int64_t tol = std::max<int64_t>(1, median / 4);
+    return spread > tol ? 1 : 0;
 }
 
 int avx_keyframe_of(void* h, int frame_id) {

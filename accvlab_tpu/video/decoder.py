@@ -33,14 +33,24 @@ _WIRE_RGB, _WIRE_BGR, _WIRE_YUV420 = 0, 1, 2
 
 # AVColorSpace / AVColorRange values relevant to matrix/range selection
 _AVCOL_SPC_BT709 = 1
+_AVCOL_SPC_BT2020_NCL = 9
+_AVCOL_SPC_BT2020_CL = 10
 _AVCOL_RANGE_JPEG = 2
 
 
 def _color_names(avcol_spc: int, avcol_range: int) -> Tuple[str, str]:
     """Map libav colorspace/range enums onto the converter's arguments.
-    Unspecified streams default to BT.601 limited — the convention for the
-    SD/automotive content this library targets (and libav's own default)."""
-    matrix = "bt709" if avcol_spc == _AVCOL_SPC_BT709 else "bt601"
+    BT.709 and BT.2020 streams select their own matrices (the NV12 wire
+    dithers 10-bit BT.2020 sources to 8-bit but the matrix still applies);
+    everything else — including unspecified — defaults to BT.601 limited,
+    the convention for the SD/automotive content this library targets (and
+    libav's own default)."""
+    if avcol_spc == _AVCOL_SPC_BT709:
+        matrix = "bt709"
+    elif avcol_spc in (_AVCOL_SPC_BT2020_NCL, _AVCOL_SPC_BT2020_CL):
+        matrix = "bt2020"
+    else:
+        matrix = "bt601"
     color_range = "full" if avcol_range == _AVCOL_RANGE_JPEG else "limited"
     return matrix, color_range
 

@@ -247,9 +247,12 @@ class SampleReader:
     def GetBuffer(
         self, paths: Sequence[str], frame_ids: Sequence[int],
         as_bgr: bool = False, yuv: bool = False,
-    ) -> List[np.ndarray]:
-        """Block for the in-flight request; the arguments must match it
-        (parity: request-mismatch validation, ``PyNvSampleReader.hpp:159``)."""
+    ) -> List:
+        """Block for the in-flight request; the arguments must match it —
+        including the format: a ``yuv=True`` request can only be collected
+        with ``yuv=True`` (parity: request-mismatch validation,
+        ``PyNvSampleReader.hpp:159``). Returns ``List[np.ndarray]`` RGB
+        frames, or ``List[YuvFrame]`` when the request was ``yuv=True``."""
         key = self._request_key(paths, frame_ids, as_bgr, yuv)
         with self._lock:
             if self._inflight is None:
@@ -395,7 +398,10 @@ class BatchAsyncStreamReader:
         frame_ids: Sequence[Sequence[int]],
         as_bgr: bool = False,
         yuv: bool = False,
-    ) -> List[List[np.ndarray]]:
+    ) -> List[List]:
+        """Block + validate (format included in the key). Returns
+        ``List[List[np.ndarray]]`` RGB frames per video, or
+        ``List[List[YuvFrame]]`` when the request was ``yuv=True``."""
         key = self._request_key(paths, frame_ids, as_bgr, yuv)
         with self._lock:
             if self._inflight is None:

@@ -123,9 +123,20 @@ def test_yuv420p_planes_to_wire_layout():
 
 def test_bad_matrix_and_range_raise():
     with pytest.raises(ValueError, match="matrix"):
-        ycbcr_coefficients("bt2020")
+        ycbcr_coefficients("smpte240m")
     with pytest.raises(ValueError, match="color_range"):
         ycbcr_coefficients("bt601", "extended")
+
+
+def test_bt2020_coefficients():
+    # Kr=0.2627, Kb=0.0593 (non-constant-luminance): spot-check the derived
+    # full-range cross terms
+    ys, yo, c_rr, c_gb, c_gr, c_bb = ycbcr_coefficients("bt2020", "full")
+    assert abs(c_rr - 2 * (1 - 0.2627)) < 1e-6
+    assert abs(c_bb - 2 * (1 - 0.0593)) < 1e-6
+    kg = 1 - 0.2627 - 0.0593
+    assert abs(c_gb - 2 * 0.0593 * (1 - 0.0593) / kg) < 1e-6
+    assert abs(c_gr - 2 * 0.2627 * (1 - 0.2627) / kg) < 1e-6
 
 
 # --------------------- pipeline integration ---------------------------- #
