@@ -119,6 +119,15 @@ def main():
     finally:
         store.cleanup()
 
+    # 9. YUV 4:2:0 wire decode (the NVDEC color-convert split): the host
+    # ships planar Y + half-res CbCr (1.5 B/px) and RGB happens on device
+    # with the frame's reported matrix/range (here converted on host only to
+    # validate against the source)
+    (yf,) = dec.DecodeYUV([path], [40])
+    assert yf.y.shape == frames[40].shape[:2]
+    assert yf.cbcr.shape == (frames[40].shape[0] // 2, frames[40].shape[1] // 2, 2)
+    check(f"yuv wire decode ({yf.matrix}/{yf.color_range})", yf.to_rgb(), frames[40])
+
     print("all access patterns ok")
 
 
