@@ -14,13 +14,14 @@ per-rank ``device_id`` + ``torch.distributed`` DDP (SURVEY §2.3/§5.8):
 """
 
 from .mesh import host_shard_info, make_mesh, make_mesh_nd, shard_batch, shard_like_batch
-from .pipeline_parallel import pipeline_apply
+from .pipeline_parallel import pipeline_apply, pipeline_loss
 
 __all__ = [
     "host_shard_info",
     "make_mesh",
     "make_mesh_nd",
     "pipeline_apply",
+    "pipeline_loss",
     "shard_batch",
     "shard_like_batch",
 ]
