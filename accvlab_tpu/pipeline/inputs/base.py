@@ -68,6 +68,24 @@ class IterableBase(ABC):
     def length(self) -> Optional[int]:
         return None
 
+    def get_state(self) -> dict:
+        """Cheap, JSON-serializable snapshot of the iterable position (see
+        :meth:`SamplerBase.get_state`). Optional: iterables that do not
+        implement it make the owning pipeline's ``get_state`` record ``None``
+        for the input and resume is counter-only (exact for stateless
+        inputs, unsupported for stateful ones)."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement the checkpoint/resume "
+            "protocol (get_state/set_state)."
+        )
+
+    def set_state(self, state: dict) -> None:
+        """Restore a position captured by :meth:`get_state`."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement the checkpoint/resume "
+            "protocol (get_state/set_state)."
+        )
+
 
 class DataProvider(ABC):
     """Random-access dataset adapter: index -> SampleDataGroup."""
@@ -107,3 +125,28 @@ class SamplerBase(ABC):
     def length(self) -> Optional[int]:
         """Batches per epoch, or ``None``."""
         return None
+
+    # -- checkpoint/resume protocol (beyond reference parity: the reference
+    # has no mid-run resume API anywhere, SURVEY §5.4; on preemptible TPU
+    # fleets the input pipeline must resume exactly or data is silently
+    # repeated/skipped after every preemption) ------------------------------
+
+    def get_state(self) -> dict:
+        """Cheap, JSON-serializable snapshot of the sampler position.
+
+        Restoring via :meth:`set_state` on a freshly constructed sampler with
+        the same constructor arguments must reproduce the draw stream exactly
+        (``get_next_batch_indices`` returns the same batches in the same
+        order as an uninterrupted run would have).
+        """
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement the checkpoint/resume "
+            "protocol (get_state/set_state)."
+        )
+
+    def set_state(self, state: dict) -> None:
+        """Restore a position captured by :meth:`get_state`."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement the checkpoint/resume "
+            "protocol (get_state/set_state)."
+        )

@@ -54,3 +54,12 @@ class SamplerInputIterable(IterableBase):
     @property
     def length(self) -> Optional[int]:
         return self._sampler.length
+
+    def get_state(self) -> dict:
+        """Resume snapshot: the wrapped sampler's state (the data provider is
+        stateless random access, so the sampler position IS the iterable
+        position)."""
+        return {"sampler": self._sampler.get_state()}
+
+    def set_state(self, state: dict) -> None:
+        self._sampler.set_state(state["sampler"])

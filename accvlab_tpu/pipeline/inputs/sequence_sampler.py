@@ -50,6 +50,7 @@ class SequenceSampler(SamplerBase):
         # Generators are created lazily so the sampler can be pickled into
         # worker processes before first use (same constraint as the reference).
         self._slot_generators = None
+        self._draws = 0  # batches drawn since construction (resume protocol)
 
     @property
     def length(self):
@@ -84,4 +85,26 @@ class SequenceSampler(SamplerBase):
             self._slot_generators = [
                 self._slot_generator(i) for i in range(self._total_batch_size)
             ]
+        self._draws += 1
         return [next(g) for g in self._slot_generators]
+
+    def get_state(self) -> dict:
+        """Resume snapshot: the number of batches drawn. O(1) to capture."""
+        return {"draws": self._draws}
+
+    def set_state(self, state: dict) -> None:
+        """Fast-forward a fresh (or in-use) sampler to ``state``.
+
+        The draw stream is a pure function of the constructor arguments, so
+        replaying ``draws`` batches of index arithmetic (no data access,
+        ~100 ns per slot per draw) reproduces the generator positions
+        exactly; the next ``get_next_batch_indices`` returns what the
+        uninterrupted run would have returned.
+        """
+        draws = int(state["draws"])
+        if self._slot_generators is not None and draws < self._draws:
+            # generators cannot rewind: restart the deterministic stream
+            self._slot_generators = None
+            self._draws = 0
+        for _ in range(draws - self._draws):
+            self.get_next_batch_indices()

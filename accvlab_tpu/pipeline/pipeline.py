@@ -210,6 +210,14 @@ class TPUPipeline:
         self._iteration = 0
         self._global_batch = 0
 
+        # consumed position (checkpoint/resume): what the caller has actually
+        # retrieved, as opposed to the producer counters above which run
+        # ahead by the prefetch depth
+        self._consumed_iteration = 0
+        self._consumed_global = 0
+        self._consumed_input_state = None
+        self._input_state_captured = False
+
         self._queue: "queue.Queue" = queue.Queue(maxsize=self._depth)
         self._producer: Optional[threading.Thread] = None
         self._producer_stop = threading.Event()
@@ -317,7 +325,25 @@ class TPUPipeline:
 
         self._iteration += 1
         self._global_batch += 1
-        return self._global_batch - 1, self._stack_samples(samples)
+        return (
+            self._global_batch - 1,
+            self._iteration,
+            self._capture_input_state(),
+            self._stack_samples(samples),
+        )
+
+    def _capture_input_state(self):
+        """Snapshot a stateful iterable input's resume state (cheap counter
+        dicts). ``None`` for callable inputs (pure functions of SampleInfo —
+        the pipeline counters alone resume them exactly) and for iterables
+        that do not implement the protocol."""
+        inp = self._definition._input
+        if not isinstance(inp, IterableBase):
+            return None
+        try:
+            return inp.get_state()
+        except NotImplementedError:
+            return None
 
     def _stack_samples(self, samples: List[SampleDataGroup]):
         names = self._host_out_blueprint.field_names_flat
@@ -434,7 +460,7 @@ class TPUPipeline:
         # convoy collapses throughput ~8x when service RPC latency rises).
         while not self._producer_stop.is_set():
             try:
-                batch_idx, host_batch = self._produce_host_batch()
+                item = self._produce_host_batch()
             except StopIteration:
                 self._queue.put(self._END)
                 return
@@ -442,11 +468,17 @@ class TPUPipeline:
                 # consumer must never block forever
                 self._queue.put(e)
                 return
-            self._queue.put((batch_idx, host_batch))
+            self._queue.put(item)
 
     def _ensure_producer(self):
         if self._producer is None or not self._producer.is_alive():
             if not self._exhausted:
+                # capture the input's at-rest state BEFORE the producer can
+                # advance it: until the first batch of this run is consumed,
+                # this is the position get_state() must report
+                if not self._input_state_captured:
+                    self._consumed_input_state = self._capture_input_state()
+                    self._input_state_captured = True
                 self._producer_stop.clear()
                 self._producer = threading.Thread(
                     target=self._producer_loop, daemon=True, name="accvlab-prefetch"
@@ -480,20 +512,25 @@ class TPUPipeline:
         if isinstance(item, Exception):
             self._exhausted = True
             raise item
-        batch_idx, host_batch = item
+        batch_idx, iter_after, input_state_after, host_batch = item
         try:
             out = self._run_device_stage(host_batch, batch_idx)
         except Exception:
             self._exhausted = True
             raise
+        # batch delivered: advance the consumed position (resume point)
+        self._consumed_global = batch_idx + 1
+        self._consumed_iteration = iter_after
+        self._consumed_input_state = input_state_after
         return [dict(zip(self._output_names, out))]
 
     def run(self):
         """Fetch one batch as a name-keyed dict (convenience around __next__)."""
         return self.__next__()[0]
 
-    def reset(self):
-        """Start the next epoch (parity with DALI iterator reset)."""
+    def _halt_producer(self):
+        """Stop + join the producer thread and discard any prefetched
+        batches; leaves the queue fresh."""
         self._producer_stop.set()
         if self._producer is not None and self._producer.is_alive():
             # drain so the producer can exit
@@ -504,11 +541,79 @@ class TPUPipeline:
                 pass
             self._producer.join(timeout=5.0)
         self._queue = queue.Queue(maxsize=self._depth)
+        self._producer = None
+
+    def reset(self):
+        """Start the next epoch (parity with DALI iterator reset)."""
+        self._halt_producer()
         if self._exhausted or self._iteration > 0:
             self._epoch += 1
         self._iteration = 0
         self._exhausted = False
-        self._producer = None
+        # prefetched-but-unconsumed batches were dropped above; the producer
+        # counters (incl. any stateful input's position) stand wherever
+        # production got to, so the consumed position re-syncs to them and
+        # the input state is re-captured at the next producer start
+        self._consumed_iteration = 0
+        self._consumed_global = self._global_batch
+        self._input_state_captured = False
+
+    # ------------------------------------------------------------------ #
+    # Checkpoint / resume                                                #
+    # ------------------------------------------------------------------ #
+
+    def get_state(self) -> dict:
+        """JSON-serializable snapshot of the *consumed* pipeline position.
+
+        Put the dict into the training checkpoint next to the model state;
+        after a preemption, rebuild the pipeline (same constructor arguments,
+        same input object in its initial state) and call :meth:`set_state`
+        before the first ``__next__`` — the stream of batches then continues
+        bit-identically (host/device augmentation RNG included) from the
+        first batch the interrupted run never consumed. Prefetched-but-
+        unconsumed batches are re-produced, not skipped.
+
+        Beyond reference parity: the reference input framework has no resume
+        API (SURVEY §5.4); on preemptible TPU fleets this is the difference
+        between exact data accounting and silently repeating/skipping
+        samples after every preemption.
+        """
+        if not self._input_state_captured:
+            self._consumed_input_state = self._capture_input_state()
+            self._input_state_captured = True
+        return {
+            "version": 1,
+            "epoch": self._epoch,
+            "iteration": self._consumed_iteration,
+            "global_batch": self._consumed_global,
+            "input_state": self._consumed_input_state,
+        }
+
+    def set_state(self, state: dict):
+        """Restore a position captured by :meth:`get_state` (stops any
+        running producer; prefetched batches are discarded)."""
+        if state.get("version") != 1:
+            raise ValueError(f"Unknown pipeline state version: {state.get('version')!r}")
+        self._halt_producer()
+        self._epoch = int(state["epoch"])
+        self._iteration = int(state["iteration"])
+        self._global_batch = int(state["global_batch"])
+        self._consumed_iteration = self._iteration
+        self._consumed_global = self._global_batch
+        self._exhausted = False
+        input_state = state.get("input_state")
+        if input_state is not None:
+            self._definition._input.set_state(input_state)
+        elif isinstance(self._definition._input, IterableBase):
+            warnings.warn(
+                "Resuming a pipeline over an iterable input without a saved "
+                "input state: the pipeline counters are restored, but the "
+                "iterable continues from its current position — exact resume "
+                "is only guaranteed for stateless inputs or iterables "
+                "implementing get_state/set_state."
+            )
+        self._consumed_input_state = input_state
+        self._input_state_captured = True
 
     def stop(self):
         """Shut down the producer thread and worker pool."""

@@ -78,6 +78,14 @@ class StructuredOutputIterator:
     def reset(self):
         self._pipeline.reset()
 
+    def get_state(self) -> dict:
+        """Checkpoint/resume passthrough to :meth:`TPUPipeline.get_state`."""
+        return self._pipeline.get_state()
+
+    def set_state(self, state: dict):
+        """Checkpoint/resume passthrough to :meth:`TPUPipeline.set_state`."""
+        self._pipeline.set_state(state)
+
     @property
     def sample_data_structure_blueprint(self) -> SampleDataGroup:
         return self._blueprint.get_empty_like_self()

@@ -1,0 +1,312 @@
+"""Checkpoint/resume of the input pipeline (get_state/set_state).
+
+Beyond reference parity: the reference has no mid-run resume API anywhere
+(SURVEY §5.4 — samplers are seeded/deterministic but cannot be restored to a
+mid-epoch position). On preemptible TPU fleets the input pipeline must resume
+exactly or data is silently repeated/skipped after every preemption. The
+contract verified here: ``state = pipe.get_state()`` after consuming K
+batches, then a FRESH pipeline (fresh input objects, same constructor
+arguments) with ``set_state(state)`` yields batch K+1, K+2, ... bit-identical
+to an uninterrupted run — including host/device augmentation randomness and
+regardless of how far the prefetch producer had run ahead.
+"""
+
+import json
+import warnings
+
+import numpy as np
+import pytest
+
+from accvlab_tpu.pipeline import PipelineDefinition, StructuredOutputIterator
+from accvlab_tpu.pipeline.inputs import (
+    IterableBase,
+    SamplerInputIterable,
+    SequenceSampler,
+    ShuffledShardedInputCallable,
+)
+from accvlab_tpu.pipeline.processing_steps import (
+    ImageDecoder,
+    ImageRange01Normalizer,
+    ImageToTileSizePadder,
+    PhotoMetricDistorter,
+)
+
+from test_pipeline_end_to_end import SyntheticProvider
+
+
+def _augmented_steps():
+    return [
+        ImageDecoder("image"),
+        ImageToTileSizePadder("image", 8),
+        ImageRange01Normalizer("image"),
+        # randomized device step: proves the device RNG stream (keyed on the
+        # global batch index) survives the resume
+        PhotoMetricDistorter(
+            "image",
+            min_max_brightness=(0.6, 1.4),
+            min_max_hue=(-0.1, 0.1),
+            min_max_contrast=(0.6, 1.4),
+            min_max_saturation=(0.6, 1.4),
+        ),
+    ]
+
+
+def _build(batch_size=4, depth=2, steps=None):
+    provider = SyntheticProvider()
+    inp = ShuffledShardedInputCallable(provider, batch_size=batch_size, shuffle=True)
+    definition = PipelineDefinition(
+        inp,
+        _augmented_steps() if steps is None else steps,
+        copy_external_source_passthrough_outputs=False,
+    )
+    return definition.get_pipeline(
+        batch_size=batch_size, num_threads=2, seed=7, prefetch_queue_depth=depth
+    )
+
+
+def _batch_arrays(batch):
+    return {k: np.asarray(v) for k, v in batch.items()}
+
+
+def _assert_batches_equal(a, b):
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=f"field {k}")
+
+
+class TestSequenceSamplerState:
+    def test_roundtrip_fresh_sampler(self):
+        lengths = [5, 3, 7, 4, 6, 2]
+        s1 = SequenceSampler(2, lengths, seed=11)
+        for _ in range(9):
+            s1.get_next_batch_indices()
+        state = s1.get_state()
+        assert state == {"draws": 9}
+
+        s2 = SequenceSampler(2, lengths, seed=11)
+        s2.set_state(state)
+        for _ in range(8):
+            assert s2.get_next_batch_indices() == s1.get_next_batch_indices()
+
+    def test_rewind_restarts_stream(self):
+        lengths = [5, 3, 7, 4]
+        s1 = SequenceSampler(2, lengths, seed=3)
+        draws = [s1.get_next_batch_indices() for _ in range(10)]
+        s1.set_state({"draws": 4})  # rewind an in-use sampler
+        assert [s1.get_next_batch_indices() for _ in range(6)] == draws[4:]
+
+    def test_state_is_jsonable(self):
+        s = SequenceSampler(1, [4, 4], seed=0)
+        s.get_next_batch_indices()
+        restored = json.loads(json.dumps(s.get_state()))
+        s2 = SequenceSampler(1, [4, 4], seed=0)
+        s2.set_state(restored)
+        assert s2.get_next_batch_indices() == s.get_next_batch_indices()
+
+
+class TestCallablePipelineResume:
+    def test_mid_epoch_resume_bitwise(self):
+        pipe = _build()
+        _ = pipe.run()  # consume batch 0
+        state = pipe.get_state()
+        expected = _batch_arrays(pipe.run())  # batch 1 of the original run
+        pipe.stop()
+
+        assert state["epoch"] == 0 and state["iteration"] == 1
+        assert state["global_batch"] == 1 and state["input_state"] is None
+
+        fresh = _build()
+        fresh.set_state(state)
+        resumed = _batch_arrays(fresh.run())
+        fresh.stop()
+        _assert_batches_equal(expected, resumed)
+
+    def test_resume_unaffected_by_prefetch_depth(self):
+        # deep prefetch: the producer runs far ahead of consumption; the
+        # state must reflect the CONSUMED position, not the produced one
+        pipe = _build(batch_size=2, depth=4)
+        _ = pipe.run()
+        state = pipe.get_state()
+        expected = [_batch_arrays(pipe.run()) for _ in range(2)]
+        pipe.stop()
+        assert state["iteration"] == 1
+
+        fresh = _build(batch_size=2, depth=1)  # different depth on resume
+        fresh.set_state(state)
+        resumed = [_batch_arrays(fresh.run()) for _ in range(2)]
+        fresh.stop()
+        for e, r in zip(expected, resumed):
+            _assert_batches_equal(e, r)
+
+    def test_resume_across_epoch_boundary(self):
+        pipe = _build()
+        list(pipe)  # drain epoch 0 (2 batches of 4 over 8 samples)
+        pipe.reset()
+        _ = pipe.run()  # batch 0 of epoch 1 (new shuffle)
+        state = pipe.get_state()
+        expected = _batch_arrays(pipe.run())
+        pipe.stop()
+        assert state["epoch"] == 1 and state["iteration"] == 1
+
+        fresh = _build()
+        fresh.set_state(state)
+        resumed = _batch_arrays(fresh.run())
+        fresh.stop()
+        _assert_batches_equal(expected, resumed)
+
+    def test_state_before_first_batch(self):
+        pipe = _build()
+        state = pipe.get_state()
+        expected = _batch_arrays(pipe.run())
+        pipe.stop()
+        assert state["iteration"] == 0 and state["global_batch"] == 0
+
+        fresh = _build()
+        fresh.set_state(state)
+        resumed = _batch_arrays(fresh.run())
+        fresh.stop()
+        _assert_batches_equal(expected, resumed)
+
+    def test_state_json_roundtrip(self):
+        pipe = _build()
+        _ = pipe.run()
+        state = json.loads(json.dumps(pipe.get_state()))
+        expected = _batch_arrays(pipe.run())
+        pipe.stop()
+
+        fresh = _build()
+        fresh.set_state(state)
+        resumed = _batch_arrays(fresh.run())
+        fresh.stop()
+        _assert_batches_equal(expected, resumed)
+
+    def test_process_worker_mode_resume(self):
+        # spawned workers are driven by (iteration, epoch) per batch, so the
+        # counter restore resumes them exactly
+        def build_proc():
+            provider = SyntheticProvider()
+            inp = ShuffledShardedInputCallable(provider, batch_size=4, shuffle=True)
+            definition = PipelineDefinition(
+                inp,
+                [ImageDecoder("image"), ImageRange01Normalizer("image")],
+                copy_external_source_passthrough_outputs=False,
+            )
+            return definition.get_pipeline(
+                batch_size=4, num_threads=2, seed=7, worker_mode="process"
+            )
+
+        pipe = build_proc()
+        _ = pipe.run()
+        state = pipe.get_state()
+        expected = _batch_arrays(pipe.run())
+        pipe.stop()
+
+        fresh = build_proc()
+        fresh.set_state(state)
+        resumed = _batch_arrays(fresh.run())
+        fresh.stop()
+        _assert_batches_equal(expected, resumed)
+
+    def test_unknown_version_rejected(self):
+        pipe = _build()
+        with pytest.raises(ValueError, match="state version"):
+            pipe.set_state({"version": 99})
+        pipe.stop()
+
+
+def _build_iterable_pipeline(depth=2):
+    provider = SyntheticProvider()
+    sampler = SequenceSampler(4, [2, 2, 2, 2], seed=5)
+    inp = SamplerInputIterable(provider, sampler)
+    definition = PipelineDefinition(
+        inp,
+        [
+            ImageDecoder("image"),
+            ImageToTileSizePadder("image", 8),
+            ImageRange01Normalizer("image"),
+        ],
+        copy_external_source_passthrough_outputs=False,
+    )
+    pipe = definition.get_pipeline(
+        batch_size=4, num_threads=2, seed=7, prefetch_queue_depth=depth
+    )
+    return pipe
+
+
+class TestIterablePipelineResume:
+    def test_stateful_iterable_resume(self):
+        # prefetch depth 2: by the time batch 2 is consumed the sampler has
+        # been drawn from up to ~4 times; the captured input state must be
+        # the one matching the consumed batch
+        pipe = _build_iterable_pipeline(depth=2)
+        for _ in range(2):
+            _ = pipe.run()
+        state = pipe.get_state()
+        expected = [_batch_arrays(pipe.run()) for _ in range(3)]
+        pipe.stop()
+        assert state["input_state"] == {"sampler": {"draws": 2}}
+
+        fresh = _build_iterable_pipeline(depth=1)
+        fresh.set_state(state)
+        resumed = [_batch_arrays(fresh.run()) for _ in range(3)]
+        fresh.stop()
+        for e, r in zip(expected, resumed):
+            _assert_batches_equal(e, r)
+
+    def test_stateless_iterable_warns_on_resume(self):
+        provider = SyntheticProvider()
+
+        class PlainIterable(IterableBase):
+            @property
+            def used_sample_data_structure(self):
+                res = provider.sample_data_structure
+                res.set_apply_mapping(False)
+                return res
+
+            def __next__(self):
+                per_sample = [provider.get_data(i).get_data() for i in range(4)]
+                nf = len(per_sample[0])
+                return tuple([s[f] for s in per_sample] for f in range(nf))
+
+        def build():
+            definition = PipelineDefinition(
+                PlainIterable(),
+                [ImageDecoder("image"), ImageRange01Normalizer("image")],
+                copy_external_source_passthrough_outputs=False,
+            )
+            return definition.get_pipeline(batch_size=4, num_threads=2, seed=7)
+
+        pipe = build()
+        _ = pipe.run()
+        state = pipe.get_state()
+        pipe.stop()
+        assert state["input_state"] is None
+
+        fresh = build()
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            fresh.set_state(state)
+        fresh.stop()
+        assert any("exact resume" in str(w.message) for w in caught)
+
+
+def test_structured_output_iterator_passthrough():
+    pipe = _build()
+    it = StructuredOutputIterator(2, pipe, pipe.output_blueprint)
+    views = iter(it)
+    _ = next(views)
+    state = it.get_state()
+    expected = next(views)
+    pipe.stop()
+    assert state["iteration"] == 1
+
+    fresh_pipe = _build()
+    fresh_it = StructuredOutputIterator(2, fresh_pipe, fresh_pipe.output_blueprint)
+    fresh_it.set_state(state)
+    resumed = fresh_it._next()
+    fresh_pipe.stop()
+    assert expected.keys() == resumed.keys()
+    for k in expected:
+        np.testing.assert_array_equal(
+            np.asarray(expected[k]), np.asarray(resumed[k]), err_msg=f"field {k}"
+        )
