@@ -346,6 +346,12 @@ def main():
                 "input_idle_frac": round(idle, 3),
                 "upload_MB_per_batch": round(upload_mb, 1),
                 "effective_wire_MBps": round(eff_wire_mbps, 1),
+                # transport efficiency: frames delivered per MB/s of tunnel
+                # bandwidth — the session-weather-independent, code-
+                # attributable number (3.69-3.71 across every round-3 watch
+                # run = the YUV-wire design's 1/0.271 frames/MB; read the
+                # headline against this + docs/bench_watch_r03.jsonl)
+                "fps_per_wire_MBps": round(fps / eff_wire_mbps, 2),
             }
         )
     )

@@ -160,6 +160,20 @@ def main(num_steps: int = 6, batch_drives: int = 2):
             losses.append(float(metrics["loss"]))
             indices = next_indices
         dt = time.time() - t0
+
+        # preemption-safe resume: the sampler position is a tiny JSON-able
+        # dict — persist it next to the params/opt_state/memory checkpoint
+        # (e.g. in the orbax tree) and a restarted job continues the drive
+        # walk exactly where training stopped (no repeated/skipped clips).
+        # The stream readers need no state: they re-seek from any frame id.
+        sampler_ckpt = sampler.get_state()
+        resumed = SequenceSampler(
+            total_batch_size=batch_drives,
+            sequence_lengths=[FRAMES_PER_CLIP] * len(drives),
+            seed=0,
+        )
+        resumed.set_state(sampler_ckpt)
+        assert resumed.get_next_batch_indices() == sampler.get_next_batch_indices()
         print(
             f"{num_steps} stream-PETR steps in {dt:.1f}s "
             f"({num_steps * batch_drives * NUM_CAMS / dt:.1f} camera-frames/s); "
