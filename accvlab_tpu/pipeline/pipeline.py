@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 import warnings
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence, Union
@@ -222,6 +223,14 @@ class TPUPipeline:
         self._producer: Optional[threading.Thread] = None
         self._producer_stop = threading.Event()
         self._exhausted = False
+
+        # observability counters (see stats()); written by one thread each
+        self._stat_produced = 0
+        self._stat_consumed = 0
+        self._stat_producer_busy_s = 0.0
+        self._stat_producer_blocked_s = 0.0
+        self._stat_consumer_wait_s = 0.0
+        self._stat_device_stage_s = 0.0
 
     # ------------------------------------------------------------------ #
     # Host stage                                                         #
@@ -459,6 +468,7 @@ class TPUPipeline:
         # producer, the decode pool, and the main thread (measured: the
         # convoy collapses throughput ~8x when service RPC latency rises).
         while not self._producer_stop.is_set():
+            t0 = time.monotonic()
             try:
                 item = self._produce_host_batch()
             except StopIteration:
@@ -468,10 +478,20 @@ class TPUPipeline:
                 # consumer must never block forever
                 self._queue.put(e)
                 return
+            t1 = time.monotonic()
             self._queue.put(item)
+            self._stat_producer_busy_s += t1 - t0
+            self._stat_producer_blocked_s += time.monotonic() - t1
+            self._stat_produced += 1
 
     def _ensure_producer(self):
-        if self._producer is None or not self._producer.is_alive():
+        # spawn only when no producer exists for this run (reset()/set_state
+        # clear it via _halt_producer). A producer that already RAN and died
+        # has delivered its terminal item (_END / Exception) into the queue —
+        # respawning it at epoch end would enqueue redundant sentinels and,
+        # for auto-resetting iterable inputs, silently consume (then discard)
+        # the next epoch's first batch.
+        if self._producer is None:
             if not self._exhausted:
                 # capture the input's at-rest state BEFORE the producer can
                 # advance it: until the first batch of this run is consumed,
@@ -492,6 +512,7 @@ class TPUPipeline:
         if self._exhausted:
             raise StopIteration
         self._ensure_producer()
+        t_wait0 = time.monotonic()
         while True:
             try:
                 item = self._queue.get(timeout=5.0)
@@ -513,11 +534,15 @@ class TPUPipeline:
             self._exhausted = True
             raise item
         batch_idx, iter_after, input_state_after, host_batch = item
+        t_dev0 = time.monotonic()
+        self._stat_consumer_wait_s += t_dev0 - t_wait0
         try:
             out = self._run_device_stage(host_batch, batch_idx)
         except Exception:
             self._exhausted = True
             raise
+        self._stat_device_stage_s += time.monotonic() - t_dev0
+        self._stat_consumed += 1
         # batch delivered: advance the consumed position (resume point)
         self._consumed_global = batch_idx + 1
         self._consumed_iteration = iter_after
@@ -614,6 +639,52 @@ class TPUPipeline:
             )
         self._consumed_input_state = input_state
         self._input_state_captured = True
+
+    def stats(self) -> dict:
+        """Live throughput/occupancy counters — the in-process
+        "am I input-bound?" signal (complements the decoder-cache
+        observability; reference's equivalent is external nsys traces,
+        SURVEY §5.1/§5.5).
+
+        Returns a dict of monotonically growing counters:
+
+        * ``produced`` / ``consumed`` — host batches built vs delivered.
+        * ``producer_busy_s`` — wall time the producer spent building host
+          batches (input callable + host steps + stacking).
+        * ``producer_blocked_s`` — time the producer waited for queue space
+          (large ⇒ the consumer/device is the bottleneck).
+        * ``consumer_wait_s`` — time ``__next__`` waited for a host batch
+          (large ⇒ the host input stage is the bottleneck: add workers, use
+          ``worker_mode="process"``, or cut per-sample host work).
+        * ``device_stage_s`` — time in H2D transfer + device dispatch.
+          Dispatch is asynchronous, so this is the *synchronous cost* of the
+          device stage (transfer + trace/cache lookup), not device compute.
+        * ``queue_depth`` / ``queue_size`` — prefetch ring capacity and its
+          current occupancy (persistently 0 ⇒ input-bound, persistently
+          full ⇒ device-bound).
+        * ``input_bound_frac`` — ``consumer_wait_s`` as a fraction of
+          consumer wall time (wait + device stage); ~0 means the prefetch
+          ring fully hides host work, ~1 means the device starves.
+
+        Each counter is written by exactly one thread (producer or
+        consumer) and read racily here — values are monotone and
+        self-consistent enough for monitoring; do not diff across threads
+        at microsecond resolution.
+        """
+        wait = self._stat_consumer_wait_s
+        dev = self._stat_device_stage_s
+        denom = wait + dev
+        return {
+            "produced": self._stat_produced,
+            "consumed": self._stat_consumed,
+            "producer_busy_s": self._stat_producer_busy_s,
+            "producer_blocked_s": self._stat_producer_blocked_s,
+            "consumer_wait_s": wait,
+            "device_stage_s": dev,
+            "queue_depth": self._depth,
+            "queue_size": self._queue.qsize(),
+            "input_bound_frac": (wait / denom) if denom > 0.0 else 0.0,
+        }
 
     def stop(self):
         """Shut down the producer thread and worker pool."""

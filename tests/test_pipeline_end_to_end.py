@@ -436,3 +436,39 @@ def test_pipeline_determinism_across_instances():
             np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
     p1.stop()
     p2.stop()
+
+
+def test_stats_counters():
+    _, pipe = build_pipeline()
+    s0 = pipe.stats()
+    assert s0["consumed"] == 0 and s0["produced"] == 0
+    assert s0["queue_depth"] >= 1
+    list(pipe)  # full epoch: 2 batches
+    s = pipe.stats()
+    assert s["produced"] == 2
+    assert s["consumed"] == 2
+    assert s["producer_busy_s"] > 0.0
+    assert s["device_stage_s"] > 0.0
+    assert 0.0 <= s["input_bound_frac"] <= 1.0
+    # counters survive reset (monotone across epochs)
+    pipe.reset()
+    list(pipe)
+    s2 = pipe.stats()
+    assert s2["produced"] == 4 and s2["consumed"] == 4
+    assert s2["producer_busy_s"] >= s["producer_busy_s"]
+    pipe.stop()
+
+
+def test_no_spurious_producer_restart_at_epoch_end():
+    # each __next__ used to respawn the finished producer, leaving redundant
+    # _END sentinels queued (and, for auto-resetting iterables, consuming a
+    # batch the reset would then silently discard)
+    _, pipe = build_pipeline()
+    list(pipe)
+    s = pipe.stats()
+    assert s["queue_size"] == 0, s
+    assert s["produced"] == 2, s
+    pipe.reset()
+    assert len(list(pipe)) == 2
+    assert pipe.stats()["queue_size"] == 0
+    pipe.stop()
