@@ -558,8 +558,10 @@ def draw_heatmap_batched(
         #   a segmented cummax scan measured 5x slower (HBM-bound).
         #
         # Measured on v5e at the reference 48x20x20x50 T=50 headline:
-        # 0.047 ms vs the A100's work-proportional atomic kernel at
-        # 0.059 ms (x1.26) — select-based one-hot was 0.059-0.064.
+        # parity with the A100's work-proportional atomic kernel (0.059 ms;
+        # observed band 0.060-0.087 with the honest instrument, x1.12-1.25
+        # faster than the select-based one-hot in same-session A/B — see
+        # docs/performance.md "draw_heatmap" and scripts/bench_heatmap.py).
         # Requires k_scale > 0 (exp(.)*k order-preserving); the select
         # formulation remains as the fallback.
         big = jnp.float32(1e30)
