@@ -40,7 +40,10 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def build_dataset(num_samples=640, num_unique=16, hw=(372, 1024), num_cams=6, max_objects=32):
+def build_dataset(num_samples=6400, num_unique=16, hw=(372, 1024), num_cams=6, max_objects=32):
+    # num_samples bounds the epoch; samples are synthesized per index, so a
+    # large epoch is free and keeps the adaptive best-of-N pass loop (up to
+    # ~120 batches incl. warmup + idle measurement) well inside one epoch
     from PIL import Image
 
     from accvlab_tpu.pipeline import DType, SampleDataGroup
