@@ -120,6 +120,7 @@ def pipeline_apply(
     pipe_axis: str = "pipe",
     data_spec: P = P(),
     remat: bool = True,
+    param_specs=None,
 ):
     """Run ``stage_fn`` as an ``n_stages``-deep pipeline over microbatches.
 
@@ -136,6 +137,14 @@ def pipeline_apply(
             backward pass keeps only inter-stage activations (GPipe memory).
             Forward values are unchanged; set ``False`` to trade memory for
             skipping the recompute.
+        param_specs: optional pytree of :class:`PartitionSpec` matching
+            ``stage_params`` for COMPOSING pipeline with tensor parallelism:
+            every leaf spec must keep ``pipe_axis`` on the leading stage dim
+            and may shard other dims over further mesh axes (e.g.
+            ``P('pipe', None, 'model')`` for a column-parallel kernel);
+            ``stage_fn`` then sees per-device shards and owns the matching
+            collectives (``lax.psum(..., 'model')`` for row-parallel
+            contractions). Default: every leaf ``P(pipe_axis)``.
 
     Returns:
         ``(n_micro, micro_batch, ...)`` outputs of the final stage. The
@@ -146,7 +155,8 @@ def pipeline_apply(
     n_stages = mesh.shape[pipe_axis]
     n_micro = xs.shape[0]
 
-    param_specs = jax.tree_util.tree_map(lambda _: P(pipe_axis), stage_params)
+    if param_specs is None:
+        param_specs = jax.tree_util.tree_map(lambda _: P(pipe_axis), stage_params)
     xs_spec = P(None, *data_spec)  # PartitionSpec is publicly iterable
     out_spec = P(pipe_axis, None, *data_spec)
 
@@ -192,6 +202,7 @@ def pipeline_loss(
     pipe_axis: str = "pipe",
     data_spec: P = P(),
     remat: bool = True,
+    param_specs=None,
 ):
     """Pipelined forward + per-microbatch loss, fused into the tick loop.
 
@@ -210,6 +221,9 @@ def pipeline_loss(
             zeroed activations during bubble ticks (masked out of the
             result) — keep it finite at zero inputs, as standard losses
             are.
+        param_specs: see :func:`pipeline_apply` — shard stage-parameter
+            dims over further mesh axes to run tensor-parallel stages
+            inside the pipeline (``stage_fn`` owns the tp collectives).
 
     Returns:
         Scalar mean loss over all microbatches (and over the data axes in
@@ -218,7 +232,8 @@ def pipeline_loss(
     n_stages = mesh.shape[pipe_axis]
     n_micro = xs.shape[0]
 
-    param_specs = jax.tree_util.tree_map(lambda _: P(pipe_axis), stage_params)
+    if param_specs is None:
+        param_specs = jax.tree_util.tree_map(lambda _: P(pipe_axis), stage_params)
     xs_spec = P(None, *data_spec)
     tgt_specs = jax.tree_util.tree_map(lambda _: xs_spec, targets)
     data_axes = _data_axis_names(data_spec)

@@ -538,3 +538,74 @@ def test_pipeline_loss_matches_sequential_and_accumulates_grads():
                 np.testing.assert_allclose(
                     np.asarray(grads[k]), np.asarray(ref_g[k]), rtol=2e-4, atol=1e-6
                 )
+
+
+def test_pipeline_loss_composed_with_tensor_parallel_stages():
+    """param_specs lets each pipeline stage run TENSOR-parallel over a
+    'model' mesh axis (column-parallel W1, row-parallel W2 + psum): the
+    composed dp x pp x tp loss AND grads match the plain sequential stack."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from accvlab_tpu.parallel import pipeline_loss
+
+    S, M, MB, D, H = 2, 4, 4, 8, 16
+    mesh = Mesh(mesh_utils.create_device_mesh((2, S, 2)),
+                axis_names=("data", "pipe", "model"))
+    k1, k2, kx, kt = jax.random.split(jax.random.PRNGKey(9), 4)
+    params = {
+        "w1": jax.random.normal(k1, (S, D, H)) * 0.3,
+        "b1": jax.random.normal(jax.random.PRNGKey(10), (S, H)) * 0.1,
+        "w2": jax.random.normal(k2, (S, H, D)) * 0.3,
+        "b2": jnp.zeros((S, D)),
+    }
+    param_specs = {
+        "w1": P("pipe", None, "model"),
+        "b1": P("pipe", "model"),
+        "w2": P("pipe", "model", None),
+        "b2": P("pipe"),
+    }
+    xs = jax.random.normal(kx, (M, MB, D))
+    tgts = jax.random.normal(kt, (M, MB, D))
+
+    def stage_fn(p, x):
+        h = jnp.tanh(x @ p["w1"] + p["b1"])
+        return jnp.tanh(lax.psum(h @ p["w2"], "model") + p["b2"])
+
+    def stage_ref(p, x):  # same math without the tp collective
+        h = jnp.tanh(x @ p["w1"] + p["b1"])
+        return jnp.tanh(h @ p["w2"] + p["b2"])
+
+    def ref_loss(p, x, t):
+        y = x
+        for s in range(S):
+            y = stage_ref(jax.tree_util.tree_map(lambda a: a[s], p), y)
+        return jnp.mean((y - t) ** 2)
+
+    ref_l, ref_g = jax.value_and_grad(ref_loss)(params, xs, tgts)
+
+    params_sh = {
+        k: jax.device_put(v, NamedSharding(mesh, param_specs[k]))
+        for k, v in params.items()
+    }
+    xs_sh = jax.device_put(xs, NamedSharding(mesh, P(None, "data")))
+    tg_sh = jax.device_put(tgts, NamedSharding(mesh, P(None, "data")))
+
+    with mesh:
+        fn = jax.jit(jax.value_and_grad(
+            lambda p, x, t: pipeline_loss(
+                p, x, t, stage_fn, lambda y, tg: jnp.mean((y - tg) ** 2),
+                mesh=mesh, data_spec=P("data"), param_specs=param_specs,
+            )
+        ))
+        loss, grads = fn(params_sh, xs_sh, tg_sh)
+        jax.block_until_ready(loss)
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=2e-5)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(grads[k]), np.asarray(ref_g[k]), rtol=2e-4, atol=1e-6
+        )
