@@ -267,6 +267,7 @@ struct Decoder {
     AVCodecContext* ctx = nullptr;
     SwsContext* sws = nullptr;
     int sws_w = 0, sws_h = 0;
+    int sws_ow = 0, sws_oh = 0;
     AVPixelFormat sws_fmt = AV_PIX_FMT_NONE;
     AVPixelFormat sws_dst = AV_PIX_FMT_NONE;
 
@@ -305,40 +306,52 @@ struct Decoder {
 
     // convert a decoded frame into dst in the requested wire format; if
     // color_out is non-null, writes {AVColorSpace, AVColorRange} so the
-    // device-side conversion can pick the right matrix/range
-    bool to_wire(AVFrame* frame, uint8_t* dst, int out_fmt, int32_t* color_out) {
+    // device-side conversion can pick the right matrix/range. out_w/out_h
+    // (0 = source size) fuse a swscale resize into the same pass — the
+    // host analog of DALI's fused decode+resize: decoding AT the model's
+    // input size cuts wire bytes by the area ratio before transfer.
+    bool to_wire(AVFrame* frame, uint8_t* dst, int out_fmt, int32_t* color_out,
+                 int out_w = 0, int out_h = 0) {
+        int ow = out_w > 0 ? out_w : frame->width;
+        int oh = out_h > 0 ? out_h : frame->height;
         AVPixelFormat dst_fmt = out_fmt == kWireBgr   ? AV_PIX_FMT_BGR24
                                 : out_fmt == kWireRgb ? AV_PIX_FMT_RGB24
                                                       : AV_PIX_FMT_NV12;
         AVPixelFormat src_fmt = static_cast<AVPixelFormat>(frame->format);
-        if (out_fmt == kWireYuv420 && ((frame->width | frame->height) & 1)) {
+        if (out_fmt == kWireYuv420 && ((ow | oh) & 1)) {
             set_error("yuv420 wire output needs even frame dimensions");
             return false;
         }
         if (!sws || sws_w != frame->width || sws_h != frame->height ||
-            sws_fmt != src_fmt || sws_dst != dst_fmt) {
+            sws_ow != ow || sws_oh != oh || sws_fmt != src_fmt ||
+            sws_dst != dst_fmt) {
             if (sws) sws_freeContext(sws);
-            sws = sws_getContext(frame->width, frame->height, src_fmt, frame->width,
-                                 frame->height, dst_fmt, SWS_BILINEAR, nullptr,
-                                 nullptr, nullptr);
+            // SWS_AREA for downscale (anti-aliased, the DALI resize default);
+            // SWS_BILINEAR otherwise (matches the established RGB path)
+            int flags = (ow < frame->width || oh < frame->height) ? SWS_AREA
+                                                                  : SWS_BILINEAR;
+            sws = sws_getContext(frame->width, frame->height, src_fmt, ow, oh,
+                                 dst_fmt, flags, nullptr, nullptr, nullptr);
             sws_w = frame->width;
             sws_h = frame->height;
+            sws_ow = ow;
+            sws_oh = oh;
             sws_fmt = src_fmt;
             sws_dst = dst_fmt;
         }
         if (out_fmt == kWireYuv420) {
             // NV12: dst plane 0 = Y, plane 1 = interleaved CbCr right after.
-            // For 8-bit yuv420p sources this is a copy + interleave (no
-            // colorspace math on the host at all); 10-bit sources are
-            // dithered down to 8 by swscale.
-            size_t y_bytes = static_cast<size_t>(frame->width) * frame->height;
+            // For 8-bit yuv420p sources at native size this is a copy +
+            // interleave (no colorspace math on the host at all); 10-bit
+            // sources are dithered down to 8 by swscale.
+            size_t y_bytes = static_cast<size_t>(ow) * oh;
             uint8_t* dst_data[4] = {dst, dst + y_bytes, nullptr, nullptr};
-            int dst_linesize[4] = {frame->width, frame->width, 0, 0};
+            int dst_linesize[4] = {ow, ow, 0, 0};
             sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
                       dst_linesize);
         } else {
             uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
-            int dst_linesize[4] = {frame->width * 3, 0, 0, 0};
+            int dst_linesize[4] = {ow * 3, 0, 0, 0};
             sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
                       dst_linesize);
         }
@@ -626,13 +639,22 @@ int avx_bundle_info(const uint8_t* buf, uint64_t size, int32_t* first_frame_id,
 // into out (row-major, n_targets frames of wire_frame_bytes(out_fmt) each;
 // fmt 0/1 = RGB24/BGR24, fmt 2 = YUV420 wire: planar Y + interleaved CbCr).
 // color_out (nullable): {AVColorSpace, AVColorRange} of the decoded frames.
+// out_w/out_h (0 = native): fused decode+resize — frames land in `out` at
+// the target size, wire_frame_bytes(out_fmt, out_w, out_h) each.
 // Returns 0 on success.
-int avx_decode_bundle_fmt(const uint8_t* buf, uint64_t size,
-                          const int32_t* target_ids, int32_t n_targets,
-                          uint8_t* out_rgb, int out_fmt, int32_t* color_out) {
+int avx_decode_bundle_sized(const uint8_t* buf, uint64_t size,
+                            const int32_t* target_ids, int32_t n_targets,
+                            uint8_t* out_rgb, int out_fmt, int32_t* color_out,
+                            int32_t out_w, int32_t out_h) {
     BundleHeader hdr;
     if (!validate_bundle(buf, size, &hdr)) return -1;
-    if (out_fmt == Decoder::kWireYuv420 && ((hdr.width | hdr.height) & 1)) {
+    if (out_w < 0 || out_h < 0 || (out_w > 0) != (out_h > 0)) {
+        set_error("out_w/out_h must both be 0 (native) or both positive");
+        return -8;
+    }
+    int ow = out_w > 0 ? out_w : hdr.width;
+    int oh = out_h > 0 ? out_h : hdr.height;
+    if (out_fmt == Decoder::kWireYuv420 && ((ow | oh) & 1)) {
         set_error("yuv420 wire output needs even frame dimensions");
         return -8;
     }
@@ -662,7 +684,7 @@ int avx_decode_bundle_fmt(const uint8_t* buf, uint64_t size,
         max_rel = std::max(max_rel, rel);
     }
 
-    size_t frame_bytes = wire_frame_bytes(out_fmt, hdr.width, hdr.height);
+    size_t frame_bytes = wire_frame_bytes(out_fmt, ow, oh);
     AVPacket* pkt = av_packet_alloc();
     AVFrame* frame = av_frame_alloc();
     int decoded = 0;
@@ -696,7 +718,7 @@ int avx_decode_bundle_fmt(const uint8_t* buf, uint64_t size,
             for (int slot : want[rel]) {
                 if (!dec.to_wire(frame,
                                  out_rgb + static_cast<size_t>(slot) * frame_bytes,
-                                 out_fmt, color_out)) {
+                                 out_fmt, color_out, out_w, out_h)) {
                     rc = -8;
                     remaining = 0;
                     return;
@@ -738,6 +760,13 @@ int avx_decode_bundle_fmt(const uint8_t* buf, uint64_t size,
     return rc;
 }
 
+int avx_decode_bundle_fmt(const uint8_t* buf, uint64_t size,
+                          const int32_t* target_ids, int32_t n_targets,
+                          uint8_t* out_rgb, int out_fmt, int32_t* color_out) {
+    return avx_decode_bundle_sized(buf, size, target_ids, n_targets, out_rgb,
+                                   out_fmt, color_out, 0, 0);
+}
+
 int avx_decode_bundle(const uint8_t* buf, uint64_t size, const int32_t* target_ids,
                       int32_t n_targets, uint8_t* out_rgb, int as_bgr) {
     return avx_decode_bundle_fmt(buf, size, target_ids, n_targets, out_rgb,
@@ -775,14 +804,18 @@ int avx_reader_num_frames(void* h) {
 // Read one frame by display id. Forward-decodes from the current position
 // when possible (decoder-state continuity, PyNvVideoReader.hpp:89-104);
 // otherwise seeks to the containing keyframe and decodes forward.
-// out_fmt / color_out as in avx_decode_bundle_fmt.
-int avx_reader_read_fmt(void* h, int frame_id, uint8_t* out_rgb, int out_fmt,
-                        int32_t* color_out) {
+// out_fmt / color_out / out_w / out_h as in avx_decode_bundle_sized.
+int avx_reader_read_sized(void* h, int frame_id, uint8_t* out_rgb, int out_fmt,
+                          int32_t* color_out, int32_t out_w, int32_t out_h) {
     auto* r = static_cast<StreamReader*>(h);
     int n = static_cast<int>(r->idx->pts_sorted.size());
     if (frame_id < 0 || frame_id >= n) {
         set_error("frame id out of range");
         return -1;
+    }
+    if (out_w < 0 || out_h < 0 || (out_w > 0) != (out_h > 0)) {
+        set_error("out_w/out_h must both be 0 (native) or both positive");
+        return -6;
     }
     bool forward = r->next_display >= 0 && frame_id >= r->next_display &&
                    r->idx->keyframe_of_frame[frame_id] < r->next_display;
@@ -814,7 +847,7 @@ int avx_reader_read_fmt(void* h, int frame_id, uint8_t* out_rgb, int out_fmt,
                 av_frame_free(&frame);
                 return -4;
             }
-            if (!r->dec.to_wire(frame, out_rgb, out_fmt, color_out)) {
+            if (!r->dec.to_wire(frame, out_rgb, out_fmt, color_out, out_w, out_h)) {
                 av_frame_free(&frame);
                 return -5;
             }
@@ -824,6 +857,11 @@ int avx_reader_read_fmt(void* h, int frame_id, uint8_t* out_rgb, int out_fmt,
     }
     av_frame_free(&frame);
     return rc;
+}
+
+int avx_reader_read_fmt(void* h, int frame_id, uint8_t* out_rgb, int out_fmt,
+                        int32_t* color_out) {
+    return avx_reader_read_sized(h, frame_id, out_rgb, out_fmt, color_out, 0, 0);
 }
 
 int avx_reader_read(void* h, int frame_id, uint8_t* out_rgb, int as_bgr) {

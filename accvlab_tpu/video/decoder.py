@@ -55,6 +55,17 @@ def _color_names(avcol_spc: int, avcol_range: int) -> Tuple[str, str]:
     return matrix, color_range
 
 
+def _check_out_hw(out_hw) -> Tuple[int, int]:
+    """Validate a fused decode+resize target: (height, width), both even
+    positive ints (the 4:2:0 wire needs even dims)."""
+    h, w = int(out_hw[0]), int(out_hw[1])
+    if h <= 0 or w <= 0 or (h % 2) or (w % 2):
+        raise ValueError(
+            f"out_hw must be positive even (height, width), got {out_hw!r}"
+        )
+    return h, w
+
+
 class YuvFrame(NamedTuple):
     """A decoded frame in the YUV 4:2:0 wire layout (1.5 B/px).
 
@@ -510,14 +521,17 @@ class GopDecoder:
     # -- decode ---------------------------------------------------------- #
 
     @staticmethod
-    def _decode_bundle_yuv(bundle: np.ndarray, frame_ids: Sequence[int]):
+    def _decode_bundle_yuv(bundle: np.ndarray, frame_ids: Sequence[int],
+                           out_hw=None):
         lib = get_lib()
         first, nf, w, h, cid = _bundle_info(bundle)
+        if out_hw is not None:
+            h, w = _check_out_hw(out_hw)
         ids = np.asarray(frame_ids, np.int32)
         out = np.empty((len(ids), h * w * 3 // 2), np.uint8)
         color = np.zeros(2, np.int32)
         buf = np.ascontiguousarray(bundle, np.uint8)
-        rc = lib.avx_decode_bundle_fmt(
+        rc = lib.avx_decode_bundle_sized(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             buf.nbytes,
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -525,6 +539,8 @@ class GopDecoder:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             _WIRE_YUV420,
             color.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            0 if out_hw is None else w,
+            0 if out_hw is None else h,
         )
         if rc != 0:
             raise RuntimeError(f"decode failed (rc={rc}): {last_error()}")
@@ -606,6 +622,7 @@ class GopDecoder:
         packets: np.ndarray,
         filepaths: Sequence[str] = (),
         frame_ids: Sequence[int] = (),
+        out_hw=None,
     ) -> List["YuvFrame"]:
         """Decode one target frame per sub-bundle, stopping at the stream's
         native YUV 4:2:0 (1.5 B/px: planar Y + interleaved half-res CbCr).
@@ -615,14 +632,19 @@ class GopDecoder:
         :func:`accvlab_tpu.color.ycbcr420_to_rgb` using each frame's reported
         ``matrix``/``color_range`` — the TPU analog of the reference's
         NVDEC-then-``ColorSpace.cu`` split, at half the host->device bytes of
-        the RGB APIs."""
+        the RGB APIs.
+
+        ``out_hw``: optional ``(height, width)`` (even) fused decode+resize
+        target — the video analog of ``ImageDecoder(decode_resize_hw=...)``:
+        frames are swscale-resized (anti-aliased SWS_AREA) inside the decode
+        pass, cutting wire bytes by the area ratio BEFORE transfer."""
         del filepaths
         bundles = _split_bundles(np.asarray(packets))
         assert len(bundles) == len(frame_ids), (
             f"{len(bundles)} bundles but {len(frame_ids)} frame ids"
         )
         futures = [
-            self._pool.submit(self._decode_bundle_yuv, b, [fid])
+            self._pool.submit(self._decode_bundle_yuv, b, [fid], out_hw)
             for b, fid in zip(bundles, frame_ids)
         ]
         return [f.result()[0] for f in futures]
@@ -631,23 +653,24 @@ class GopDecoder:
         self,
         packets: np.ndarray,
         frame_ids_per_file: Sequence[Sequence[int]],
+        out_hw=None,
     ) -> List[List["YuvFrame"]]:
         """Several target frames per sub-bundle, YUV wire output (see
-        :meth:`DecodeFromGOPYUV`)."""
+        :meth:`DecodeFromGOPYUV`; ``out_hw`` = fused decode+resize)."""
         bundles = _split_bundles(np.asarray(packets))
         assert len(bundles) == len(frame_ids_per_file)
         futures = [
-            self._pool.submit(self._decode_bundle_yuv, b, ids)
+            self._pool.submit(self._decode_bundle_yuv, b, ids, out_hw)
             for b, ids in zip(bundles, frame_ids_per_file)
         ]
         return [f.result() for f in futures]
 
     def DecodeYUV(
-        self, filepaths: Sequence[str], frame_ids: Sequence[int]
+        self, filepaths: Sequence[str], frame_ids: Sequence[int], out_hw=None
     ) -> List["YuvFrame"]:
-        """One-shot demux + YUV-wire decode."""
+        """One-shot demux + YUV-wire decode (``out_hw`` = fused resize)."""
         merged, _, _ = self.GetGOP(filepaths, frame_ids)
-        return self.DecodeFromGOPYUV(merged, filepaths, frame_ids)
+        return self.DecodeFromGOPYUV(merged, filepaths, frame_ids, out_hw=out_hw)
 
 
 class CachedGopDecoder:

@@ -61,6 +61,13 @@ def _build_and_load() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.avx_decode_bundle_sized.restype = ctypes.c_int
+    lib.avx_decode_bundle_sized.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+    ]
     lib.avx_reader_open.restype = ctypes.c_void_p
     lib.avx_reader_open.argtypes = [ctypes.c_char_p]
     lib.avx_reader_close.argtypes = [ctypes.c_void_p]
@@ -75,6 +82,11 @@ def _build_and_load() -> ctypes.CDLL:
     lib.avx_reader_read_fmt.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.avx_reader_read_sized.restype = ctypes.c_int
+    lib.avx_reader_read_sized.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
     ]
     lib.avx_encode_video.restype = ctypes.c_int
     lib.avx_encode_video.argtypes = [

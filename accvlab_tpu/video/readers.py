@@ -60,13 +60,19 @@ class _StreamReader:
             )
         return out
 
-    def read_yuv(self, frame_id: int):
+    def read_yuv(self, frame_id: int, out_hw=None):
         """Read one frame in the YUV 4:2:0 wire layout (see
         :class:`accvlab_tpu.video.YuvFrame`): no host colorspace math, half
-        the bytes of :meth:`read` on the way to the device."""
-        from .decoder import YuvFrame, _WIRE_YUV420, _color_names
+        the bytes of :meth:`read` on the way to the device. ``out_hw``:
+        optional even ``(height, width)`` fused decode+resize target (the
+        video analog of ``ImageDecoder(decode_resize_hw=...)``) — wire bytes
+        drop by the area ratio before transfer."""
+        from .decoder import YuvFrame, _WIRE_YUV420, _check_out_hw, _color_names
 
-        h, w = self.height, self.width
+        if out_hw is None:
+            h, w = self.height, self.width
+        else:
+            h, w = _check_out_hw(out_hw)
         if (h | w) & 1:
             raise RuntimeError(
                 f"yuv420 wire output needs even frame dimensions, got {w}x{h}"
@@ -76,12 +82,14 @@ class _StreamReader:
         with self._read_lock:
             if not self._h:
                 raise RuntimeError(f"reader for '{self.path}' is closed")
-            rc = self._lib.avx_reader_read_fmt(
+            rc = self._lib.avx_reader_read_sized(
                 self._h,
                 int(frame_id),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 _WIRE_YUV420,
                 color.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                0 if out_hw is None else w,
+                0 if out_hw is None else h,
             )
         if rc != 0:
             raise RuntimeError(
@@ -194,10 +202,10 @@ class SampleReader:
                 f"({self._max_readers})"
             )
 
-    def _read_batch(self, paths, frame_ids, as_bgr, yuv=False):
+    def _read_batch(self, paths, frame_ids, as_bgr, yuv=False, out_hw=None):
         def read_one(p, f):
             r = self._map.get(p)
-            return r.read_yuv(f) if yuv else r.read(f, as_bgr)
+            return r.read_yuv(f, out_hw) if yuv else r.read(f, as_bgr)
 
         futures = [
             self._pool.submit(read_one, p, f) for p, f in zip(paths, frame_ids)
@@ -212,48 +220,54 @@ class SampleReader:
         self._validate_request(paths, frame_ids)
         return self._read_batch(paths, frame_ids, as_bgr)
 
-    def run_yuv_out(self, paths: Sequence[str], frame_ids: Sequence[int]):
+    def run_yuv_out(self, paths: Sequence[str], frame_ids: Sequence[int],
+                    out_hw=None):
         """Synchronous batch read in the YUV 4:2:0 wire layout — half the
         host->device bytes of :meth:`run_rgb_out`, converted on device (see
-        :class:`accvlab_tpu.video.YuvFrame`)."""
+        :class:`accvlab_tpu.video.YuvFrame`). ``out_hw``: optional even
+        ``(height, width)`` fused decode+resize target (wire bytes drop by
+        the area ratio)."""
         paths, frame_ids = list(paths), list(frame_ids)
         self._validate_request(paths, frame_ids)
-        return self._read_batch(paths, frame_ids, False, yuv=True)
+        return self._read_batch(paths, frame_ids, False, yuv=True, out_hw=out_hw)
 
     @staticmethod
-    def _request_key(paths, frame_ids, as_bgr, yuv=False):
+    def _request_key(paths, frame_ids, as_bgr, yuv=False, out_hw=None):
         return (tuple(paths), tuple(int(f) for f in frame_ids), bool(as_bgr),
-                bool(yuv))
+                bool(yuv), None if out_hw is None else tuple(out_hw))
 
     def DecodeAsync(
         self, paths: Sequence[str], frame_ids: Sequence[int],
-        as_bgr: bool = False, yuv: bool = False,
+        as_bgr: bool = False, yuv: bool = False, out_hw=None,
     ):
         """Start an async batch read; at most one request may be in flight
         (parity: ``DecodeN12ToRGBAsync``). ``yuv=True`` returns
-        :class:`YuvFrame` wire-layout frames instead of RGB."""
+        :class:`YuvFrame` wire-layout frames instead of RGB; ``out_hw``
+        fuses a resize into the decode (YUV wire only)."""
         self._validate_request(list(paths), list(frame_ids))
-        key = self._request_key(paths, frame_ids, as_bgr, yuv)
+        key = self._request_key(paths, frame_ids, as_bgr, yuv, out_hw)
         with self._lock:
             if self._inflight is not None:
                 raise RuntimeError(
                     "A decode request is already in flight; call GetBuffer first."
                 )
             future = self._dispatch.submit(
-                self._read_batch, list(paths), list(frame_ids), as_bgr, yuv
+                self._read_batch, list(paths), list(frame_ids), as_bgr, yuv,
+                out_hw,
             )
             self._inflight = (key, future)
 
     def GetBuffer(
         self, paths: Sequence[str], frame_ids: Sequence[int],
-        as_bgr: bool = False, yuv: bool = False,
+        as_bgr: bool = False, yuv: bool = False, out_hw=None,
     ) -> List:
         """Block for the in-flight request; the arguments must match it —
-        including the format: a ``yuv=True`` request can only be collected
-        with ``yuv=True`` (parity: request-mismatch validation,
-        ``PyNvSampleReader.hpp:159``). Returns ``List[np.ndarray]`` RGB
-        frames, or ``List[YuvFrame]`` when the request was ``yuv=True``."""
-        key = self._request_key(paths, frame_ids, as_bgr, yuv)
+        including the format AND ``out_hw``: a ``yuv=True`` request can only
+        be collected with the same ``yuv``/``out_hw`` (parity:
+        request-mismatch validation, ``PyNvSampleReader.hpp:159``). Returns
+        ``List[np.ndarray]`` RGB frames, or ``List[YuvFrame]`` when the
+        request was ``yuv=True``."""
+        key = self._request_key(paths, frame_ids, as_bgr, yuv, out_hw)
         with self._lock:
             if self._inflight is None:
                 raise RuntimeError("No decode request in flight; call DecodeAsync first.")
@@ -348,21 +362,22 @@ class BatchAsyncStreamReader:
             )
 
     @staticmethod
-    def _request_key(paths, frame_ids, as_bgr, yuv=False):
+    def _request_key(paths, frame_ids, as_bgr, yuv=False, out_hw=None):
         return (
             tuple(paths),
             tuple(tuple(int(f) for f in row) for row in frame_ids),
             bool(as_bgr),
             bool(yuv),
+            None if out_hw is None else tuple(out_hw),
         )
 
-    def _decode_all(self, paths, frame_ids, as_bgr, yuv=False):
+    def _decode_all(self, paths, frame_ids, as_bgr, yuv=False, out_hw=None):
         # one task per video: frames of one video decode sequentially
         # (decoder-state continuity), videos decode in parallel
         def per_video(path, ids):
             reader = self._map.get(path)
             if yuv:
-                return [reader.read_yuv(f) for f in ids]
+                return [reader.read_yuv(f, out_hw) for f in ids]
             return [reader.read(f, as_bgr) for f in ids]
 
         futures = [
@@ -376,11 +391,13 @@ class BatchAsyncStreamReader:
         frame_ids: Sequence[Sequence[int]],
         as_bgr: bool = False,
         yuv: bool = False,
+        out_hw=None,
     ):
         """Enqueue an async V x F decode (parity: ``Decode``; at most one in
-        flight). ``yuv=True`` returns :class:`YuvFrame` wire-layout frames."""
+        flight). ``yuv=True`` returns :class:`YuvFrame` wire-layout frames;
+        ``out_hw`` fuses a resize into the decode (YUV wire only)."""
         self._validate_request(list(paths), [list(r) for r in frame_ids])
-        key = self._request_key(paths, frame_ids, as_bgr, yuv)
+        key = self._request_key(paths, frame_ids, as_bgr, yuv, out_hw)
         with self._lock:
             if self._inflight is not None:
                 raise RuntimeError(
@@ -388,7 +405,7 @@ class BatchAsyncStreamReader:
                 )
             future = self._dispatch.submit(
                 self._decode_all, list(paths), [list(r) for r in frame_ids],
-                as_bgr, yuv
+                as_bgr, yuv, out_hw
             )
             self._inflight = (key, future)
 
@@ -398,11 +415,12 @@ class BatchAsyncStreamReader:
         frame_ids: Sequence[Sequence[int]],
         as_bgr: bool = False,
         yuv: bool = False,
+        out_hw=None,
     ) -> List[List]:
-        """Block + validate (format included in the key). Returns
-        ``List[List[np.ndarray]]`` RGB frames per video, or
+        """Block + validate (format and ``out_hw`` included in the key).
+        Returns ``List[List[np.ndarray]]`` RGB frames per video, or
         ``List[List[YuvFrame]]`` when the request was ``yuv=True``."""
-        key = self._request_key(paths, frame_ids, as_bgr, yuv)
+        key = self._request_key(paths, frame_ids, as_bgr, yuv, out_hw)
         with self._lock:
             if self._inflight is None:
                 raise RuntimeError("No decode request in flight; call Decode first.")

@@ -531,3 +531,73 @@ def test_cmyk_jpeg_falls_back_to_pil():
     out = dec._process(sdg)
     assert out["image"].shape == (16, 20)
     assert out["image_cbcr"].shape == (8, 10, 2)
+
+
+def test_video_fused_decode_resize_yuv(vclip):
+    """out_hw fuses an SWS_AREA resize into the decode pass — the video
+    analog of ImageDecoder(decode_resize_hw=...): wire bytes drop by the
+    area ratio, content matches an area-average of the full-res planes."""
+    from accvlab_tpu.video import GopDecoder
+    from accvlab_tpu.video.readers import BatchAsyncStreamReader, SampleReader
+
+    path, frames = vclip
+    dec = GopDecoder()
+    ids = [0, 5, 13]
+    full = dec.DecodeYUV([path] * len(ids), ids)
+    half = dec.DecodeYUV([path] * len(ids), ids, out_hw=(32, 48))
+    for h, f in zip(half, full):
+        assert h.y.shape == (32, 48) and h.cbcr.shape == (16, 24, 2)
+        assert h.y.nbytes + h.cbcr.nbytes == (64 * 96 * 3 // 2) // 4
+        # luma ~ 2x2 area average of the full-res plane (SWS_AREA)
+        ref = f.y.reshape(32, 2, 48, 2).mean(axis=(1, 3))
+        assert np.abs(ref - h.y.astype(np.float64)).mean() < 4.0
+        assert h.matrix == f.matrix and h.color_range == f.color_range
+    # content check against the source frames
+    for h, fid in zip(half, ids):
+        src = frames[fid].reshape(32, 2, 48, 2, 3).mean(axis=(1, 3))
+        d = np.abs(h.to_rgb().astype(np.float64) - src)
+        assert d.mean() < 24.0
+
+    # explicit native size == default path, bit-identical
+    same = dec.DecodeYUV([path] * len(ids), ids, out_hw=(64, 96))
+    for a, b in zip(same, full):
+        np.testing.assert_array_equal(a.y, b.y)
+        np.testing.assert_array_equal(a.cbcr, b.cbcr)
+
+    # GOP-list + reader paths agree with the bundle path
+    bundles, _, _ = dec.GetGOP([path] * len(ids), ids)
+    lst = dec.DecodeFromGOPListYUV(bundles, [[i] for i in ids], out_hw=(32, 48))
+    r = SampleReader()
+    try:
+        via_reader = r.run_yuv_out([path] * len(ids), ids, out_hw=(32, 48))
+        for (a,), b, c in zip(lst, half, via_reader):
+            np.testing.assert_array_equal(a.y, b.y)
+            np.testing.assert_array_equal(c.y, b.y)
+            np.testing.assert_array_equal(a.cbcr, b.cbcr)
+            np.testing.assert_array_equal(c.cbcr, b.cbcr)
+        # async request key includes out_hw: mismatched collect rejected
+        r.DecodeAsync([path], [3], yuv=True, out_hw=(32, 48))
+        with pytest.raises(RuntimeError, match="does not match"):
+            r.GetBuffer([path], [3], yuv=True, out_hw=(16, 24))
+        [yf] = r.GetBuffer([path], [3], yuv=True, out_hw=(32, 48))
+        assert yf.y.shape == (32, 48)
+    finally:
+        r.ReleaseResources()
+
+    b = BatchAsyncStreamReader()
+    try:
+        b.Decode([path], [[2, 7]], yuv=True, out_hw=(16, 24))
+        [row] = b.GetBuffer([path], [[2, 7]], yuv=True, out_hw=(16, 24))
+        assert [f.y.shape for f in row] == [(16, 24), (16, 24)]
+    finally:
+        b.ReleaseResources()
+
+    # invalid targets rejected before any native call
+    with pytest.raises(ValueError, match="even"):
+        dec.DecodeYUV([path], [0], out_hw=(33, 48))
+    with pytest.raises(ValueError, match="even"):
+        r2 = SampleReader()
+        try:
+            r2.run_yuv_out([path], [0], out_hw=(0, 48))
+        finally:
+            r2.ReleaseResources()
