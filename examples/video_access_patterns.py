@@ -128,6 +128,15 @@ def main():
     assert yf.cbcr.shape == (frames[40].shape[0] // 2, frames[40].shape[1] // 2, 2)
     check(f"yuv wire decode ({yf.matrix}/{yf.color_range})", yf.to_rgb(), frames[40])
 
+    # 10. Fused decode+resize on the YUV wire: frames land at the model's
+    # input size (even dims) straight out of the decode pass — wire bytes
+    # drop by the area ratio BEFORE the host->device transfer (the video
+    # analog of ImageDecoder(decode_resize_hw=...))
+    (hf,) = dec.DecodeYUV([path], [40], out_hw=(48, 64))
+    assert hf.y.shape == (48, 64) and hf.cbcr.shape == (24, 32, 2)
+    src_half = frames[40].reshape(48, 2, 64, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+    check("fused decode+resize yuv (quarter bytes)", hf.to_rgb(), src_half)
+
     print("all access patterns ok")
 
 
