@@ -223,6 +223,28 @@ def main(num_steps=6, preempt_after=3, workdir=None):
             f"bit-identical to the uninterrupted run "
             f"(losses {['%.6f' % l for l in res_losses]})"
         )
+
+        # ELASTIC resume: after a preemption the replacement slice may be a
+        # different size — the checkpoint (replicated params + the consumed
+        # stream position) restores onto ANY mesh. The batch stream is
+        # bit-identical (host-side); training continues numerically
+        # equivalently (gradients differ only by the data-axis psum
+        # reduction order, so this check is allclose, not bit-equal).
+        if n_dev >= 2:
+            import jax as _jax
+
+            half_mesh = make_mesh(devices=_jax.devices()[: n_dev // 2])
+            el_losses, _ = train(half_mesh, batch_size, num_steps,
+                                 resume_from=ckpt)
+            np.testing.assert_allclose(
+                np.asarray(ref_losses[preempt_after:], np.float64),
+                np.asarray(el_losses, np.float64),
+                rtol=1e-5,
+            )
+            print(
+                f"elastic resume on a {n_dev // 2}-device mesh: same stream, "
+                f"losses match the {n_dev}-device run to 1e-5"
+            )
         return ref_losses, res_losses
     finally:
         if owns_dir:
