@@ -55,13 +55,14 @@ def _color_names(avcol_spc: int, avcol_range: int) -> Tuple[str, str]:
     return matrix, color_range
 
 
-def _check_out_hw(out_hw) -> Tuple[int, int]:
-    """Validate a fused decode+resize target: (height, width), both even
-    positive ints (the 4:2:0 wire needs even dims)."""
+def _check_out_hw(out_hw, require_even: bool = True) -> Tuple[int, int]:
+    """Validate a fused decode+resize target: (height, width), positive
+    ints; the 4:2:0 wire additionally needs even dims (``require_even``)."""
     h, w = int(out_hw[0]), int(out_hw[1])
-    if h <= 0 or w <= 0 or (h % 2) or (w % 2):
+    if h <= 0 or w <= 0 or (require_even and ((h % 2) or (w % 2))):
         raise ValueError(
-            f"out_hw must be positive even (height, width), got {out_hw!r}"
+            f"out_hw must be positive{' even' if require_even else ''} "
+            f"(height, width), got {out_hw!r}"
         )
     return h, w
 
@@ -553,19 +554,25 @@ class GopDecoder:
         return res
 
     @staticmethod
-    def _decode_bundle(bundle: np.ndarray, frame_ids: Sequence[int], as_bgr: bool):
+    def _decode_bundle(bundle: np.ndarray, frame_ids: Sequence[int], as_bgr: bool,
+                       out_hw=None):
         lib = get_lib()
         first, nf, w, h, cid = _bundle_info(bundle)
+        if out_hw is not None:
+            h, w = _check_out_hw(out_hw, require_even=False)
         ids = np.asarray(frame_ids, np.int32)
         out = np.empty((len(ids), h, w, 3), np.uint8)
         buf = np.ascontiguousarray(bundle, np.uint8)
-        rc = lib.avx_decode_bundle(
+        rc = lib.avx_decode_bundle_sized(
             buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             buf.nbytes,
             ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(ids),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            int(as_bgr),
+            _WIRE_BGR if as_bgr else _WIRE_RGB,
+            None,
+            0 if out_hw is None else w,
+            0 if out_hw is None else h,
         )
         if rc != 0:
             raise RuntimeError(f"decode failed (rc={rc}): {last_error()}")
@@ -577,17 +584,20 @@ class GopDecoder:
         filepaths: Sequence[str] = (),
         frame_ids: Sequence[int] = (),
         as_bgr: bool = False,
+        out_hw=None,
     ) -> List[np.ndarray]:
         """Decode one target frame per sub-bundle to RGB (parity:
         ``DecodeFromGOPRGB``). ``filepaths`` is accepted for API parity (the
-        bundles are self-describing)."""
+        bundles are self-describing). ``out_hw``: optional ``(height,
+        width)`` fused decode+resize target (anti-aliased swscale resize
+        inside the decode pass, like ``ImageDecoder(decode_resize_hw=...)``)."""
         del filepaths
         bundles = _split_bundles(np.asarray(packets))
         assert len(bundles) == len(frame_ids), (
             f"{len(bundles)} bundles but {len(frame_ids)} frame ids"
         )
         futures = [
-            self._pool.submit(self._decode_bundle, b, [fid], as_bgr)
+            self._pool.submit(self._decode_bundle, b, [fid], as_bgr, out_hw)
             for b, fid in zip(bundles, frame_ids)
         ]
         return [f.result()[0] for f in futures]
@@ -597,23 +607,26 @@ class GopDecoder:
         packets: np.ndarray,
         frame_ids_per_file: Sequence[Sequence[int]],
         as_bgr: bool = False,
+        out_hw=None,
     ) -> List[List[np.ndarray]]:
         """Decode several target frames per sub-bundle (parity:
-        ``DecodeFromGOPList``)."""
+        ``DecodeFromGOPList``; ``out_hw`` = fused decode+resize)."""
         bundles = _split_bundles(np.asarray(packets))
         assert len(bundles) == len(frame_ids_per_file)
         futures = [
-            self._pool.submit(self._decode_bundle, b, ids, as_bgr)
+            self._pool.submit(self._decode_bundle, b, ids, as_bgr, out_hw)
             for b, ids in zip(bundles, frame_ids_per_file)
         ]
         return [f.result() for f in futures]
 
     def Decode(
-        self, filepaths: Sequence[str], frame_ids: Sequence[int], as_bgr: bool = False
+        self, filepaths: Sequence[str], frame_ids: Sequence[int],
+        as_bgr: bool = False, out_hw=None,
     ) -> List[np.ndarray]:
-        """One-shot demux + decode (parity: ``decode_from_video``)."""
+        """One-shot demux + decode (parity: ``decode_from_video``;
+        ``out_hw`` = fused decode+resize)."""
         merged, firsts, lens = self.GetGOP(filepaths, frame_ids)
-        return self.DecodeFromGOPRGB(merged, filepaths, frame_ids, as_bgr)
+        return self.DecodeFromGOPRGB(merged, filepaths, frame_ids, as_bgr, out_hw)
 
     # -- YUV wire decode (device-side color conversion) ------------------ #
 

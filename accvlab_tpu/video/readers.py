@@ -43,16 +43,28 @@ class _StreamReader:
         # (readers for DIFFERENT files still decode in parallel)
         self._read_lock = threading.Lock()
 
-    def read(self, frame_id: int, as_bgr: bool = False) -> np.ndarray:
-        out = np.empty((self.height, self.width, 3), np.uint8)
+    def read(self, frame_id: int, as_bgr: bool = False, out_hw=None) -> np.ndarray:
+        """Read one RGB (or BGR) frame. ``out_hw``: optional ``(height,
+        width)`` fused decode+resize target — the frame is swscale-resized
+        inside the decode pass (see :meth:`read_yuv`)."""
+        from .decoder import _WIRE_BGR, _WIRE_RGB, _check_out_hw
+
+        if out_hw is None:
+            h, w = self.height, self.width
+        else:
+            h, w = _check_out_hw(out_hw, require_even=False)
+        out = np.empty((h, w, 3), np.uint8)
         with self._read_lock:
             if not self._h:
                 raise RuntimeError(f"reader for '{self.path}' is closed")
-            rc = self._lib.avx_reader_read(
+            rc = self._lib.avx_reader_read_sized(
                 self._h,
                 int(frame_id),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                int(as_bgr),
+                _WIRE_BGR if as_bgr else _WIRE_RGB,
+                None,
+                0 if out_hw is None else w,
+                0 if out_hw is None else h,
             )
         if rc != 0:
             raise RuntimeError(
@@ -205,7 +217,7 @@ class SampleReader:
     def _read_batch(self, paths, frame_ids, as_bgr, yuv=False, out_hw=None):
         def read_one(p, f):
             r = self._map.get(p)
-            return r.read_yuv(f, out_hw) if yuv else r.read(f, as_bgr)
+            return r.read_yuv(f, out_hw) if yuv else r.read(f, as_bgr, out_hw)
 
         futures = [
             self._pool.submit(read_one, p, f) for p, f in zip(paths, frame_ids)
@@ -213,12 +225,14 @@ class SampleReader:
         return [f.result() for f in futures]
 
     def run_rgb_out(
-        self, paths: Sequence[str], frame_ids: Sequence[int], as_bgr: bool = False
+        self, paths: Sequence[str], frame_ids: Sequence[int],
+        as_bgr: bool = False, out_hw=None,
     ) -> List[np.ndarray]:
-        """Synchronous batch read (parity: ``run_rgb_out``)."""
+        """Synchronous batch read (parity: ``run_rgb_out``). ``out_hw``:
+        optional ``(height, width)`` fused decode+resize target."""
         paths, frame_ids = list(paths), list(frame_ids)
         self._validate_request(paths, frame_ids)
-        return self._read_batch(paths, frame_ids, as_bgr)
+        return self._read_batch(paths, frame_ids, as_bgr, out_hw=out_hw)
 
     def run_yuv_out(self, paths: Sequence[str], frame_ids: Sequence[int],
                     out_hw=None):
@@ -243,7 +257,8 @@ class SampleReader:
         """Start an async batch read; at most one request may be in flight
         (parity: ``DecodeN12ToRGBAsync``). ``yuv=True`` returns
         :class:`YuvFrame` wire-layout frames instead of RGB; ``out_hw``
-        fuses a resize into the decode (YUV wire only)."""
+        fuses a resize into the decode (both formats; the YUV wire needs
+        even dims)."""
         self._validate_request(list(paths), list(frame_ids))
         key = self._request_key(paths, frame_ids, as_bgr, yuv, out_hw)
         with self._lock:
@@ -378,7 +393,7 @@ class BatchAsyncStreamReader:
             reader = self._map.get(path)
             if yuv:
                 return [reader.read_yuv(f, out_hw) for f in ids]
-            return [reader.read(f, as_bgr) for f in ids]
+            return [reader.read(f, as_bgr, out_hw) for f in ids]
 
         futures = [
             self._pool.submit(per_video, p, ids) for p, ids in zip(paths, frame_ids)
@@ -395,7 +410,8 @@ class BatchAsyncStreamReader:
     ):
         """Enqueue an async V x F decode (parity: ``Decode``; at most one in
         flight). ``yuv=True`` returns :class:`YuvFrame` wire-layout frames;
-        ``out_hw`` fuses a resize into the decode (YUV wire only)."""
+        ``out_hw`` fuses a resize into the decode (both formats; the YUV
+        wire needs even dims)."""
         self._validate_request(list(paths), [list(r) for r in frame_ids])
         key = self._request_key(paths, frame_ids, as_bgr, yuv, out_hw)
         with self._lock:

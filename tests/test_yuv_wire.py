@@ -601,3 +601,74 @@ def test_video_fused_decode_resize_yuv(vclip):
             r2.run_yuv_out([path], [0], out_hw=(0, 48))
         finally:
             r2.ReleaseResources()
+
+
+def test_video_fused_decode_resize_rgb(vclip):
+    """out_hw on the RGB paths (Decode/DecodeFromGOP*RGB/readers): same
+    fused swscale resize as the YUV wire, no 4:2:0 even-dims constraint."""
+    from accvlab_tpu.video import GopDecoder
+    from accvlab_tpu.video.readers import BatchAsyncStreamReader, SampleReader
+
+    path, frames = vclip
+    dec = GopDecoder()
+    ids = [0, 5, 13]
+    full = dec.Decode([path] * len(ids), ids)
+    half = dec.Decode([path] * len(ids), ids, out_hw=(32, 48))
+    for h, f in zip(half, full):
+        assert h.shape == (32, 48, 3) and h.dtype == np.uint8
+        # SWS_AREA downscale ~ 2x2 area average of the full-res decode
+        ref = f.reshape(32, 2, 48, 2, 3).astype(np.float64).mean(axis=(1, 3))
+        assert np.abs(ref - h.astype(np.float64)).mean() < 4.0
+    for h, fid in zip(half, ids):
+        src = frames[fid].reshape(32, 2, 48, 2, 3).mean(axis=(1, 3))
+        assert np.abs(h.astype(np.float64) - src).mean() < 24.0
+
+    # explicit native size == default path, bit-identical
+    same = dec.Decode([path] * len(ids), ids, out_hw=(64, 96))
+    for a, b in zip(same, full):
+        np.testing.assert_array_equal(a, b)
+
+    # odd targets are fine on the RGB path (no 4:2:0 constraint)
+    odd = dec.Decode([path], [5], out_hw=(31, 47))
+    assert odd[0].shape == (31, 47, 3)
+
+    # GOP-list path agrees with the one-shot path
+    bundles, _, _ = dec.GetGOP([path] * len(ids), ids)
+    lst = dec.DecodeFromGOPListRGB(bundles, [[i] for i in ids], out_hw=(32, 48))
+    for (a,), b in zip(lst, half):
+        np.testing.assert_array_equal(a, b)
+
+    r = SampleReader()
+    try:
+        via_reader = r.run_rgb_out([path] * len(ids), ids, out_hw=(32, 48))
+        for a, b in zip(via_reader, half):
+            np.testing.assert_array_equal(a, b)
+        # async request key includes out_hw on the RGB path too
+        r.DecodeAsync([path], [3], out_hw=(32, 48))
+        with pytest.raises(RuntimeError, match="does not match"):
+            r.GetBuffer([path], [3])  # native-size key != resized key
+        [rf] = r.GetBuffer([path], [3], out_hw=(32, 48))
+        assert rf.shape == (32, 48, 3)
+    finally:
+        r.ReleaseResources()
+
+    b = BatchAsyncStreamReader()
+    try:
+        b.Decode([path], [[2, 7]], out_hw=(16, 24))
+        [row] = b.GetBuffer([path], [[2, 7]], out_hw=(16, 24))
+        assert [f.shape for f in row] == [(16, 24, 3), (16, 24, 3)]
+        # as_bgr composes with the fused resize (swscale's RGB24 and BGR24
+        # converters round independently: channel-swapped outputs agree to
+        # within a couple of codes, not bitwise)
+        b.Decode([path], [[2]], as_bgr=True, out_hw=(16, 24))
+        [[bgr]] = b.GetBuffer([path], [[2]], as_bgr=True, out_hw=(16, 24))
+        d_bgr = np.abs(
+            bgr[..., ::-1].astype(np.int32) - row[0].astype(np.int32)
+        )
+        assert d_bgr.mean() < 2.0 and d_bgr.max() <= 8
+    finally:
+        b.ReleaseResources()
+
+    # invalid targets rejected before any native call
+    with pytest.raises(ValueError, match="positive"):
+        dec.Decode([path], [0], out_hw=(0, 48))
