@@ -218,6 +218,10 @@ class TPUPipeline:
         self._consumed_global = 0
         self._consumed_input_state = None
         self._input_state_captured = False
+        # set_state arms this so that one iterator-front reset() (DALI
+        # SimpleIterator resets on construction) does not discard the
+        # restored position; cleared on first use
+        self._resume_armed = False
 
         self._queue: "queue.Queue" = queue.Queue(maxsize=self._depth)
         self._producer: Optional[threading.Thread] = None
@@ -493,6 +497,9 @@ class TPUPipeline:
         # the next epoch's first batch.
         if self._producer is None:
             if not self._exhausted:
+                # iteration is starting: a later reset() is a genuine epoch
+                # boundary again, not the iterator-front reset after resume
+                self._resume_armed = False
                 # capture the input's at-rest state BEFORE the producer can
                 # advance it: until the first batch of this run is consumed,
                 # this is the position get_state() must report
@@ -555,21 +562,48 @@ class TPUPipeline:
 
     def _halt_producer(self):
         """Stop + join the producer thread and discard any prefetched
-        batches; leaves the queue fresh."""
+        batches; leaves the queue fresh.
+
+        Waits until the thread actually exits (draining the queue so a
+        blocked ``put`` can finish): proceeding while the old producer is
+        still mid-batch would let it overwrite counters restored by
+        ``set_state``, advance the stateful input past the restored
+        position, and race the replacement producer on ``next(input)`` —
+        silently breaking the bit-identical resume guarantee. The producer
+        can only be between two states — inside finite host work, or
+        blocked on queue space (which the drain releases) — so this loop
+        terminates once the in-flight batch completes."""
         self._producer_stop.set()
-        if self._producer is not None and self._producer.is_alive():
-            # drain so the producer can exit
-            try:
-                while True:
-                    self._queue.get_nowait()
-            except queue.Empty:
-                pass
-            self._producer.join(timeout=5.0)
+        t = self._producer
+        if t is not None and t.is_alive():
+            warn_at = time.monotonic() + 15.0
+            while t.is_alive():
+                try:
+                    while True:
+                        self._queue.get_nowait()
+                except queue.Empty:
+                    pass
+                t.join(timeout=0.25)
+                if t.is_alive() and time.monotonic() >= warn_at:
+                    warnings.warn(
+                        "pipeline producer is still finishing its in-flight "
+                        "host batch; waiting for it to stop cleanly"
+                    )
+                    warn_at = float("inf")
         self._queue = queue.Queue(maxsize=self._depth)
         self._producer = None
 
     def reset(self):
-        """Start the next epoch (parity with DALI iterator reset)."""
+        """Start the next epoch (parity with DALI iterator reset).
+
+        The first ``reset()`` after :meth:`set_state` is a no-op: iterator
+        fronts (``StructuredOutputIterator.SimpleIterator``, DALI parity)
+        reset on construction, which would otherwise bump the epoch and
+        discard the just-restored position before a single batch of the
+        resumed run was consumed."""
+        if self._resume_armed:
+            self._resume_armed = False
+            return
         self._halt_producer()
         if self._exhausted or self._iteration > 0:
             self._epoch += 1
@@ -639,6 +673,9 @@ class TPUPipeline:
             )
         self._consumed_input_state = input_state
         self._input_state_captured = True
+        # the next reset() (an iterator front constructing its epoch view)
+        # must not discard this restored position — see reset()
+        self._resume_armed = True
 
     def stats(self) -> dict:
         """Live throughput/occupancy counters — the in-process

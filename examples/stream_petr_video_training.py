@@ -118,15 +118,7 @@ def main(num_steps: int = 6, batch_drives: int = 2):
 
         prep_cache = {}
 
-        def to_batch(frame_lists):
-            # (batch*cams) x 1 YuvFrames -> (B, N_cam, H, W, 3) float in [0, 1]
-            y = np.stack([f[0].y for f in frame_lists]).reshape(
-                batch_drives, NUM_CAMS, *HW
-            )
-            cbcr = np.stack([f[0].cbcr for f in frame_lists]).reshape(
-                batch_drives, NUM_CAMS, HW[0] // 2, HW[1] // 2, 2
-            )
-            key = (frame_lists[0][0].matrix, frame_lists[0][0].color_range)
+        def _conv(key):
             if key not in prep_cache:
                 mtx, crange = key
                 prep_cache[key] = jax.jit(
@@ -135,7 +127,32 @@ def main(num_steps: int = 6, batch_drives: int = 2):
                     )
                     * (1.0 / 255.0)
                 )
-            return prep_cache[key](jnp.asarray(y), jnp.asarray(cbcr))
+            return prep_cache[key]
+
+        def to_batch(frame_lists):
+            # (batch*cams) x 1 YuvFrames -> (B, N_cam, H, W, 3) float in [0, 1].
+            # Each frame reports its own colorspace; convert per distinct
+            # (matrix, range) group so a batch mixing bt601/bt709 or
+            # full/limited clips gets the right coefficients per frame (the
+            # homogeneous case — one clip set, one colorspace — stays a
+            # single jitted call).
+            flat = [f[0] for f in frame_lists]
+            y = np.stack([f.y for f in flat])
+            cbcr = np.stack([f.cbcr for f in flat])
+            keys = sorted({(f.matrix, f.color_range) for f in flat})
+            if len(keys) == 1:
+                rgb = _conv(keys[0])(jnp.asarray(y), jnp.asarray(cbcr))
+            else:
+                rgb = jnp.zeros((len(flat), *HW, 3), jnp.float32)
+                for key in keys:
+                    idx = np.array(
+                        [i for i, f in enumerate(flat)
+                         if (f.matrix, f.color_range) == key]
+                    )
+                    rgb = rgb.at[idx].set(
+                        _conv(key)(jnp.asarray(y[idx]), jnp.asarray(cbcr[idx]))
+                    )
+            return rgb.reshape(batch_drives, NUM_CAMS, *HW, 3)
 
         # prime params + double buffering: issue Decode for batch 0
         example = make_petr_example_batch(

@@ -27,10 +27,11 @@ Usage: python scripts/bench_heatmap.py [--exact] [--k 256] [--reps 12]
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -23,10 +23,11 @@ Usage: python scripts/bench_polyline.py [--k 64] [--reps 5]
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

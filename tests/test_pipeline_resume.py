@@ -303,10 +303,77 @@ def test_structured_output_iterator_passthrough():
     fresh_pipe = _build()
     fresh_it = StructuredOutputIterator(2, fresh_pipe, fresh_pipe.output_blueprint)
     fresh_it.set_state(state)
-    resumed = fresh_it._next()
+    # the DOCUMENTED DataLoader usage: iter() constructs a SimpleIterator,
+    # which resets on construction — that reset must not discard the
+    # restored position (it used to bump the epoch and restart the shuffle)
+    resumed = next(iter(fresh_it))
+    assert fresh_pipe.get_state()["epoch"] == state["epoch"]
     fresh_pipe.stop()
     assert expected.keys() == resumed.keys()
     for k in expected:
         np.testing.assert_array_equal(
             np.asarray(expected[k]), np.asarray(resumed[k]), err_msg=f"field {k}"
         )
+
+
+def test_reset_after_resume_is_armed_once():
+    """set_state arms exactly ONE no-op reset (the iterator-front reset);
+    a reset after iteration resumed is a genuine epoch boundary again."""
+    pipe = _build()
+    _ = pipe.run()
+    state = pipe.get_state()
+    expected = _batch_arrays(pipe.run())
+    pipe.stop()
+
+    fresh = _build()
+    fresh.set_state(state)
+    fresh.reset()  # iterator-front reset: must be a no-op
+    assert fresh.get_state() == state
+    got = _batch_arrays(fresh.run())
+    _assert_batches_equal(expected, got)
+    epoch_before = fresh.get_state()["epoch"]
+    fresh.reset()  # armed flag was consumed: this one starts a new epoch
+    assert fresh.get_state()["epoch"] == epoch_before + 1
+    assert fresh.get_state()["iteration"] == 0
+    fresh.stop()
+
+
+def test_set_state_waits_out_inflight_producer():
+    """set_state while the producer is mid-batch: the halt must wait for the
+    in-flight host batch instead of letting a zombie producer overwrite the
+    restored counters / advance the input behind the restored position."""
+    import time as _time
+
+    class SlowProvider(SyntheticProvider):
+        def get_data(self, sample_index):
+            _time.sleep(0.05)
+            return super().get_data(sample_index)
+
+    def build():
+        inp = ShuffledShardedInputCallable(
+            SlowProvider(), batch_size=4, shuffle=True
+        )
+        definition = PipelineDefinition(
+            inp,
+            [ImageDecoder("image"), ImageRange01Normalizer("image")],
+            copy_external_source_passthrough_outputs=False,
+        )
+        return definition.get_pipeline(
+            batch_size=4, num_threads=1, seed=7, prefetch_queue_depth=2
+        )
+
+    pipe = build()
+    _ = pipe.run()
+    state = pipe.get_state()
+    expected = _batch_arrays(pipe.run())
+    pipe.stop()
+
+    fresh = build()
+    _ = fresh.run()  # producer sprints ahead into the next slow batch
+    fresh.set_state(state)
+    # no producer thread may survive the restore
+    assert fresh._producer is None
+    assert fresh.get_state() == state
+    got = _batch_arrays(fresh.run())
+    _assert_batches_equal(expected, got)
+    fresh.stop()
