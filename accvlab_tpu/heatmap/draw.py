@@ -68,7 +68,13 @@ def _validate_ids_eager(ids, num_valid: int, what: str, live_mask=None):
     inspected, so under ``jit`` out-of-range ids are *masked out* — the
     target draws NOTHING (never a silent draw into a clamped real channel).
     ``live_mask`` restricts the check to live targets (padding is
-    unconstrained by contract)."""
+    unconstrained by contract).
+
+    Cost note: for eager jax-array inputs the ``np.asarray`` reads force a
+    small device->host transfer per call (the id arrays only). This mirrors
+    the reference plugin, which re-validates every batch in ``SetupImpl``;
+    hot training loops should jit the draw (recommended for TPU dispatch
+    anyway), which skips the read and gets the mask-out semantics."""
     import numpy as np
 
     if isinstance(ids, jax.core.Tracer) or isinstance(live_mask, jax.core.Tracer):
@@ -589,7 +595,10 @@ def draw_heatmap_batched(
             if use_log_domain:
                 qm = jnp.where(inbox, q, -big)
                 off = jnp.where(sel, 0.0, -big).astype(jnp.float32)  # (C, T)
-                m = jnp.max(qm[None] + off[:, :, None], axis=1)  # (C, P)
+                # initial= gives the reduce an identity so T == 0 (a batch
+                # where no sample has any objects — routine in detection
+                # datasets) is a no-op instead of a zero-size-reduce error
+                m = jnp.max(qm[None] + off[:, :, None], axis=1, initial=-big)  # (C, P)
                 # q is bounded (>= -(H^2+W^2)*iv >> -big/2), so m <= -big/2
                 # iff no live in-box same-class target reached this pixel
                 drawn = jnp.where(m <= -big / 2, -jnp.inf, _exp(m, exact) * k_scale)

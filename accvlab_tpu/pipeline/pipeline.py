@@ -390,7 +390,7 @@ class TPUPipeline:
     # Device stage                                                       #
     # ------------------------------------------------------------------ #
 
-    def _build_device_fn(self):
+    def _build_device_fn(self, example_batch, example_key):
         import jax
 
         host_bp = self._host_out_blueprint
@@ -404,24 +404,56 @@ class TPUPipeline:
                 sdg = step(sdg) if self._check else step._process(sdg)
             return tuple(sdg.get_data())
 
-        def device_fn(batch_leaves, batch_key):
+        def device_fn_all(batch_leaves, batch_key):
             keys = jax.random.split(batch_key, batch_leaves[0].shape[0])
             return jax.vmap(sample_fn)(batch_leaves, keys)
 
-        # the freshly transferred batch buffers are never reused -> donate
-        # them so in-place-capable ops skip the copy. Donation is best-effort:
-        # uint8 inputs with no same-shape uint8 output (e.g. the YUV wire
-        # planes, consumed into an RGB image) cannot be donated — expected,
-        # so the compile-time warning is suppressed ONCE with a narrow filter
-        # (a per-call catch_warnings would mutate the process-global filter
-        # list around every batch — not thread-safe against the producer
-        # thread and able to swallow its unrelated warnings).
-        warnings.filterwarnings(
-            "ignore",
-            message="Some donated buffers were not usable",
-            module=r"jax\..*",
-        )
-        return jax.jit(device_fn, donate_argnums=(0,))
+        # The freshly transferred batch buffers are never reused -> donate
+        # them so in-place-capable ops skip the copy. Donation is per-
+        # argument in jax, and some leaves are never reusable (e.g. the YUV
+        # wire planes, consumed into a differently-shaped RGB image), which
+        # would make XLA warn on every compile. Instead of suppressing the
+        # warning (a process-global filter would also swallow the user's own
+        # donation diagnostics elsewhere), donate precisely the leaves whose
+        # (shape, dtype) has a matching output buffer: a cheap abstract
+        # trace (eval_shape) gives the output spec, and the inputs split
+        # into a donated tuple and a kept tuple. The multiset matching
+        # mirrors XLA's own input-output aliasing rule, so the donation
+        # warning only ever fires for a genuine, actionable reason (and for
+        # batches whose re-traced shapes — e.g. string fields padded to a
+        # new batch max — shifted the matching; harmless).
+        out_spec = jax.eval_shape(device_fn_all, example_batch, example_key)
+        available: dict = {}
+        for leaf in jax.tree_util.tree_leaves(out_spec):
+            k = (tuple(leaf.shape), np.dtype(leaf.dtype))
+            available[k] = available.get(k, 0) + 1
+        donate_idx, keep_idx = [], []
+        for i, leaf in enumerate(example_batch):
+            k = (tuple(leaf.shape), np.dtype(leaf.dtype))
+            if available.get(k, 0) > 0:
+                available[k] -= 1
+                donate_idx.append(i)
+            else:
+                keep_idx.append(i)
+        donate_idx, keep_idx = tuple(donate_idx), tuple(keep_idx)
+        n_leaves = len(example_batch)
+
+        def device_fn(donated, kept, batch_key):
+            leaves: list = [None] * n_leaves
+            for j, i in enumerate(donate_idx):
+                leaves[i] = donated[j]
+            for j, i in enumerate(keep_idx):
+                leaves[i] = kept[j]
+            return device_fn_all(tuple(leaves), batch_key)
+
+        fn = jax.jit(device_fn, donate_argnums=(0,))
+
+        def run(batch_leaves, batch_key):
+            donated = tuple(batch_leaves[i] for i in donate_idx)
+            kept = tuple(batch_leaves[i] for i in keep_idx)
+            return fn(donated, kept, batch_key)
+
+        return run
 
     def _transfer(self, host_batch: tuple):
         """Host->device placement: packed multi-tensor transfer (hostcopy
@@ -446,12 +478,12 @@ class TPUPipeline:
         host_batch = self._transfer(host_batch)
         if not self._device_steps:
             return host_batch
-        if self._device_fn is None:
-            self._device_fn = self._build_device_fn()
         # the key derives from the batch's own index (carried through the
         # prefetch queue), NOT the producer's live counter — deterministic
         # regardless of prefetch timing
         key = jax.random.fold_in(jax.random.PRNGKey(self._seed), batch_idx)
+        if self._device_fn is None:
+            self._device_fn = self._build_device_fn(host_batch, key)
         if self._mesh is not None:
             with self._mesh:
                 return self._device_fn(host_batch, key)

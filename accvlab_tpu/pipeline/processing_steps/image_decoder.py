@@ -68,8 +68,10 @@ class ImageDecoder(PipelineStepBase):
         on the GPU (``ColorSpace.cu:227-283``); JPEG chroma is stored at this
         resolution anyway, so the wire carries the file's full information.
         Host decode is also cheaper: libjpeg emits YCbCr natively (PIL draft
-        mode), skipping the host RGB conversion entirely. Requires an even
-        output height/width and a string ``image_name``."""
+        mode), skipping the host RGB conversion entirely. Requires a string
+        ``image_name`` and an even ``decode_resize_hw``; odd decoded sizes
+        (odd sources, DCT-scale-hint decodes) are edge-replicated by one
+        row/column to even before subsampling."""
         super().__init__()
         if wire_format not in ("rgb", "yuv420"):
             raise ValueError(f"wire_format must be 'rgb' or 'yuv420', got {wire_format!r}")
@@ -169,6 +171,20 @@ class ImageDecoder(PipelineStepBase):
             if yuv:
                 from ...color import subsample_chroma_420
 
+                hgt, wid = decoded.shape[:2]
+                if (hgt | wid) & 1:
+                    # 4:2:0 needs even dims; odd sizes reach here from
+                    # odd-dimension sources or DCT-scale-hint decodes
+                    # (decode_resize_hw is validated even at construction).
+                    # Edge-replicate one bottom row / right column: content
+                    # preserved, chroma of the padded strip matches the
+                    # border, and geometry keys off the original-size
+                    # metadata field anyway.
+                    decoded = np.pad(
+                        decoded,
+                        ((0, hgt & 1), (0, wid & 1), (0, 0)),
+                        mode="edge",
+                    )
                 y, cbcr = subsample_chroma_420(decoded)
                 self._set_yuv_fields(data, ip, y, cbcr)
             else:

@@ -370,10 +370,16 @@ class TensorDumper(SingletonBase):
             "add_grad_data was called but set_gradients was not"
         )
         if self._dump_is_compare:
-            self.compare_to_dumped_data(
-                compare_if_empty=dump_if_empty, **self._compare_params
-            )
-            self._finish_iteration()
+            # finally: a comparison mismatch raises (reference semantics),
+            # but the iteration must still advance and clear — otherwise a
+            # caller that catches the error to log-and-continue re-compares
+            # the accumulated data against the SAME reference index forever
+            try:
+                self.compare_to_dumped_data(
+                    compare_if_empty=dump_if_empty, **self._compare_params
+                )
+            finally:
+                self._finish_iteration()
             return
         json_path = self._iter_json_path()
         json_name = os.path.basename(json_path)
@@ -476,6 +482,7 @@ class TensorDumper(SingletonBase):
         as_warning: bool = False,
         compare_if_empty: bool = True,
         dump_count: Optional[int] = None,
+        raise_on_error: Optional[bool] = None,
     ) -> List[str]:
         """Diff the current iteration's data against the compare directory.
 
@@ -483,6 +490,12 @@ class TensorDumper(SingletonBase):
         behavior: a mismatch raises ``ValueError`` with the detailed message,
         or prints a warning instead when ``as_warning=True``. Additionally
         returns the list of error strings (empty = match).
+
+        ``raise_on_error`` is the pre-parity keyword of this method's first
+        two releases (mismatches returned as a list; raise only when
+        ``True``): passing it — either value — selects that legacy contract
+        so existing ``errors = td.compare_to_dumped_data()`` call sites keep
+        their no-raise behavior by adding ``raise_on_error=False``.
         """
         if not self._enabled:
             return []
@@ -543,7 +556,10 @@ class TensorDumper(SingletonBase):
                     )
         if errors:
             msg = "TensorDumper comparison failed:\n" + "\n".join(errors)
-            if as_warning:
+            if raise_on_error is not None:  # legacy contract (see docstring)
+                if raise_on_error:
+                    raise ValueError(msg)
+            elif as_warning:
                 import warnings
 
                 warnings.warn(msg)

@@ -165,6 +165,19 @@ class FixedSizeReaderMap:
             self._order.clear()
 
 
+def _reject_yuv_bgr(yuv, as_bgr):
+    """``as_bgr`` orders host-produced RGB bytes; the YUV wire produces no
+    RGB on the host at all — the combination is a silent channel-order bug
+    waiting to happen (parity: ``ImageDecoder`` rejects ``as_bgr`` with
+    ``wire_format='yuv420'`` for the same reason)."""
+    if yuv and as_bgr:
+        raise ValueError(
+            "as_bgr with yuv=True: the YUV wire ships YCbCr planes; pass "
+            "as_bgr to the device-side conversion "
+            "(YCbCrToRGBConverter / YuvFrame.to_rgb) instead"
+        )
+
+
 def _validate_sizing(**kwargs):
     """Non-positive sizing arguments are rejected at construction (parity:
     the reference factories reject num_of_set/num_of_file/
@@ -259,6 +272,7 @@ class SampleReader:
         :class:`YuvFrame` wire-layout frames instead of RGB; ``out_hw``
         fuses a resize into the decode (both formats; the YUV wire needs
         even dims)."""
+        _reject_yuv_bgr(yuv, as_bgr)
         self._validate_request(list(paths), list(frame_ids))
         key = self._request_key(paths, frame_ids, as_bgr, yuv, out_hw)
         with self._lock:
@@ -412,6 +426,7 @@ class BatchAsyncStreamReader:
         flight). ``yuv=True`` returns :class:`YuvFrame` wire-layout frames;
         ``out_hw`` fuses a resize into the decode (both formats; the YUV
         wire needs even dims)."""
+        _reject_yuv_bgr(yuv, as_bgr)
         self._validate_request(list(paths), [list(r) for r in frame_ids])
         key = self._request_key(paths, frame_ids, as_bgr, yuv, out_hw)
         with self._lock:

@@ -317,6 +317,15 @@ def test_zero_targets_noop(impl):
     outb = draw_heatmap_batched(hmb, cb, rb, implementation=impl)
     np.testing.assert_array_equal(np.asarray(outb), np.asarray(hmb))
 
+    # classwise T=0 (was: zero-size reduce in the log-domain path — the
+    # k_scale>0 branch lacked the reduce identity the fallback branch had)
+    lb = RaggedBatch(jnp.zeros((2, 0), jnp.int32), sample_sizes=jnp.zeros((2,), jnp.int32))
+    hmc = jnp.asarray(np.random.default_rng(2).normal(size=(2, 4, 8, 8)), jnp.float32)
+    outc = draw_heatmap_batched(hmc, cb, rb, labels=lb, implementation=impl)
+    np.testing.assert_array_equal(np.asarray(outc), np.asarray(hmc))
+    outc0 = draw_heatmap_batched(hmc, cb, rb, labels=lb, k_scale=0.0, implementation=impl)
+    np.testing.assert_array_equal(np.asarray(outc0), np.asarray(hmc))
+
 
 # --------------- out-of-range destination validation ------------------- #
 # Parity: the reference's DALI plugin validates class ids at setup

@@ -188,3 +188,56 @@ def test_allow_missing_parameters(tmp_path):
         )
         == []
     )
+
+
+def test_compare_mismatch_still_advances_iteration(tmp_path):
+    """A caller catching the mismatch error to log-and-continue must see the
+    NEXT iteration compared against the NEXT reference dump with fresh data
+    (was: _finish_iteration skipped on raise -> stale data accumulated and
+    the reference index never advanced)."""
+    import numpy as np
+
+    td = TensorDumper()
+    td.enable(str(tmp_path))
+    td.add_tensor_data("x", np.zeros(3, np.float32), TensorDumper.Type.JSON)
+    td.dump()
+    td.add_tensor_data("x", np.full(3, 7.0, np.float32), TensorDumper.Type.JSON)
+    td.dump()
+
+    TensorDumper._reset_singleton()
+    td = TensorDumper()
+    td.enable(str(tmp_path))
+    td.set_dump_is_compare()
+    td.add_tensor_data("x", np.ones(3, np.float32), TensorDumper.Type.JSON)
+    with pytest.raises(ValueError, match="mismatching"):
+        td.dump()  # iteration 0 mismatches
+    assert td.get_dump_count() == 1  # advanced despite the raise
+    # iteration 1: fresh data only, compared against dump_000001 — clean
+    td.add_tensor_data("x", np.full(3, 7.0, np.float32), TensorDumper.Type.JSON)
+    td.dump()
+    assert td.get_dump_count() == 2
+    TensorDumper._reset_singleton()
+
+
+def test_compare_legacy_raise_on_error_contract(tmp_path):
+    """Passing raise_on_error (the pre-parity keyword) selects the legacy
+    contract: mismatches come back as the returned list, raising only when
+    True."""
+    import numpy as np
+
+    td = TensorDumper()
+    td.enable(str(tmp_path))
+    td.add_tensor_data("x", np.zeros(3, np.float32), TensorDumper.Type.JSON)
+    td.dump()
+
+    TensorDumper._reset_singleton()
+    td = TensorDumper()
+    td.enable(str(tmp_path))
+    td.set_dump_is_compare()
+    td.reset_dump_count()
+    td.add_tensor_data("x", np.ones(3, np.float32), TensorDumper.Type.JSON)
+    errors = td.compare_to_dumped_data(raise_on_error=False)
+    assert len(errors) == 1 and "mismatching" in errors[0]
+    with pytest.raises(ValueError, match="mismatching"):
+        td.compare_to_dumped_data(raise_on_error=True)
+    TensorDumper._reset_singleton()

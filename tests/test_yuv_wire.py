@@ -672,3 +672,57 @@ def test_video_fused_decode_resize_rgb(vclip):
     # invalid targets rejected before any native call
     with pytest.raises(ValueError, match="positive"):
         dec.Decode([path], [0], out_hw=(0, 48))
+
+
+def test_yuv_odd_decode_sizes_edge_padded():
+    """Odd decoded sizes (odd sources; DCT-scale-hint decodes) must not
+    crash the 4:2:0 wire mid-epoch: the decoder edge-replicates one
+    row/column to even before subsampling."""
+    # odd-dimension source, no resize target
+    jpeg = make_jpeg(hw=(33, 47), seed=9)
+    dec = ImageDecoder("image", wire_format="yuv420")
+    bp = JpegProvider([jpeg]).sample_data_structure
+    bp = dec.check_input_data_format_and_set_output_data_format(bp)
+    sdg = bp.get_empty_like_self()
+    sdg["image"] = jpeg
+    out = dec._process(sdg)
+    assert out["image"].shape == (34, 48)
+    assert out["image_cbcr"].shape == (17, 24, 2)
+    # padded strip replicates the border row/column
+    np.testing.assert_array_equal(out["image"][33], out["image"][32])
+    np.testing.assert_array_equal(out["image"][:, 47], out["image"][:, 46])
+
+    # scale-hint decode landing on an odd DCT scale (372x512 at ~1/4)
+    jpeg2 = make_jpeg(hw=(372, 512), seed=10)
+    dec2 = ImageDecoder(
+        "image", wire_format="yuv420", decode_scale_hint_hw=(93, 128)
+    )
+    bp2 = JpegProvider([jpeg2]).sample_data_structure
+    bp2 = dec2.check_input_data_format_and_set_output_data_format(bp2)
+    sdg2 = bp2.get_empty_like_self()
+    sdg2["image"] = jpeg2
+    out2 = dec2._process(sdg2)
+    h, w = out2["image"].shape
+    assert h % 2 == 0 and w % 2 == 0
+    assert out2["image_cbcr"].shape == (h // 2, w // 2, 2)
+
+
+def test_reader_yuv_rejects_as_bgr(vclip):
+    """yuv=True ships YCbCr planes — as_bgr would be silently dropped, so
+    the combination is rejected (parity: ImageDecoder rejects as_bgr with
+    wire_format='yuv420')."""
+    from accvlab_tpu.video import CreateBatchAsyncStreamReader, CreateSampleReader
+
+    path, _ = vclip
+    r = CreateSampleReader(max_readers=2, num_workers=1)
+    try:
+        with pytest.raises(ValueError, match="as_bgr with yuv"):
+            r.DecodeAsync([path], [0], as_bgr=True, yuv=True)
+    finally:
+        r.ReleaseResources()
+    b = CreateBatchAsyncStreamReader(max_readers=2, num_workers=1)
+    try:
+        with pytest.raises(ValueError, match="as_bgr with yuv"):
+            b.Decode([path], [[0]], as_bgr=True, yuv=True)
+    finally:
+        b.ReleaseResources()
