@@ -121,6 +121,7 @@ class PipelineDefinition:
         prefetch_queue_depth: Optional[int] = None,
         worker_mode: str = "thread",
         mesh=None,
+        echo_factor: int = 1,
     ) -> "TPUPipeline":
         """Build the executable pipeline (parity: ``get_dali_pipeline``,
         ``pipeline.py:180``).
@@ -128,6 +129,15 @@ class PipelineDefinition:
         ``worker_mode``: "thread" (default; host steps that release the GIL)
         or "process" (spawned workers, DALI parallel-external-source
         equivalent — requires the input callable and host steps to pickle).
+
+        ``echo_factor``: data echoing (beyond reference parity; Choi et al.
+        2019, "Faster Neural Network Training with Data Echoing"). Each host
+        batch is delivered ``echo_factor`` times — transferred to the device
+        ONCE, with a distinct device-side augmentation RNG stream per replay
+        — multiplying delivered batches per epoch by the factor. Use when
+        training is input-bound (host decode or host->device bandwidth is
+        the gate and the accelerator idles): replays cost only device
+        compute. Checkpoint/resume accounts echo sub-positions exactly.
         """
         return TPUPipeline(
             self,
@@ -144,6 +154,7 @@ class PipelineDefinition:
             check_data_format=self._check_data_format,
             worker_mode=worker_mode,
             mesh=mesh,
+            echo_factor=echo_factor,
         )
 
     # API-compat alias for call sites written against the reference name.
@@ -170,6 +181,7 @@ class TPUPipeline:
         check_data_format: bool,
         worker_mode: str = "thread",
         mesh=None,
+        echo_factor: int = 1,
     ):
         assert worker_mode in ("thread", "process")
         self._mesh = mesh  # optional jax.sharding.Mesh: shard batches over 'data'
@@ -222,6 +234,25 @@ class TPUPipeline:
         # SimpleIterator resets on construction) does not discard the
         # restored position; cleared on first use
         self._resume_armed = False
+
+        # data echoing (beyond reference parity; Choi et al. 2019): each
+        # host batch is delivered echo_factor times, transferred ONCE, with
+        # a distinct device-side augmentation RNG stream per replay — when
+        # the pipeline is input-bound (host decode or host->device wire),
+        # replays cost only device compute
+        self._echo_factor = int(echo_factor)
+        if self._echo_factor < 1:
+            raise ValueError(f"echo_factor must be >= 1, got {echo_factor}")
+        if self._echo_factor > 1 and not self._device_steps:
+            warnings.warn(
+                "echo_factor > 1 without any device-placed step replays "
+                "identical batches (no augmentation to diversify them); "
+                "example echoing still helps input-bound training but "
+                "consider a device-side augmentation step."
+            )
+        self._echo_item = None  # ((idx, iter, state, transferred), next_echo)
+        self._echo_start = 0  # first echo index of the next popped batch
+        self._consumed_echo_next = 0
 
         self._queue: "queue.Queue" = queue.Queue(maxsize=self._depth)
         self._producer: Optional[threading.Thread] = None
@@ -390,7 +421,7 @@ class TPUPipeline:
     # Device stage                                                       #
     # ------------------------------------------------------------------ #
 
-    def _build_device_fn(self, example_batch, example_key):
+    def _build_device_fn(self, example_batch, example_key, donate: bool = True):
         import jax
 
         host_bp = self._host_out_blueprint
@@ -422,6 +453,8 @@ class TPUPipeline:
         # warning only ever fires for a genuine, actionable reason (and for
         # batches whose re-traced shapes — e.g. string fields padded to a
         # new batch max — shifted the matching; harmless).
+        if not donate:  # echo replays reuse the transferred buffers
+            return jax.jit(device_fn_all)
         out_spec = jax.eval_shape(device_fn_all, example_batch, example_key)
         available: dict = {}
         for leaf in jax.tree_util.tree_leaves(out_spec):
@@ -472,22 +505,34 @@ class TPUPipeline:
         )
         return tuple(handle.get())
 
-    def _run_device_stage(self, host_batch: tuple, batch_idx: int):
+    def _run_device_stage(self, host_batch: tuple, batch_idx: int, echo_i: int = 0):
+        """One device pass over a (possibly already-transferred) batch.
+        Returns ``(outputs, transferred_batch)`` so echo replays reuse the
+        device-resident buffers without a second host->device transfer."""
         import jax
 
-        host_batch = self._transfer(host_batch)
+        if isinstance(host_batch[0], np.ndarray):
+            host_batch = self._transfer(host_batch)
         if not self._device_steps:
-            return host_batch
+            return host_batch, host_batch
         # the key derives from the batch's own index (carried through the
         # prefetch queue), NOT the producer's live counter — deterministic
-        # regardless of prefetch timing
+        # regardless of prefetch timing. Echo replays fold the echo index on
+        # top, giving each replay its own augmentation stream (the echo_factor
+        # == 1 derivation is unchanged for bit-compat with existing runs).
         key = jax.random.fold_in(jax.random.PRNGKey(self._seed), batch_idx)
+        if self._echo_factor > 1:
+            key = jax.random.fold_in(key, echo_i)
         if self._device_fn is None:
-            self._device_fn = self._build_device_fn(host_batch, key)
+            # donation consumes the input buffers — with echo replays the
+            # transferred batch must stay alive across E device calls
+            self._device_fn = self._build_device_fn(
+                host_batch, key, donate=self._echo_factor == 1
+            )
         if self._mesh is not None:
             with self._mesh:
-                return self._device_fn(host_batch, key)
-        return self._device_fn(host_batch, key)
+                return self._device_fn(host_batch, key), host_batch
+        return self._device_fn(host_batch, key), host_batch
 
     # ------------------------------------------------------------------ #
     # Prefetching iterator protocol                                      #
@@ -550,42 +595,58 @@ class TPUPipeline:
     def __next__(self):
         if self._exhausted:
             raise StopIteration
-        self._ensure_producer()
-        t_wait0 = time.monotonic()
-        while True:
-            try:
-                item = self._queue.get(timeout=5.0)
-                break
-            except queue.Empty:
-                # defense in depth: if the producer thread died without
-                # delivering (it shouldn't — all failure paths enqueue), fail
-                # loudly instead of blocking forever
-                if self._producer is None or not self._producer.is_alive():
-                    self._exhausted = True
-                    raise RuntimeError(
-                        "pipeline producer thread died without delivering a "
-                        "batch or an error"
-                    )
-        if item is self._END:
-            self._exhausted = True
-            raise StopIteration
-        if isinstance(item, Exception):
-            self._exhausted = True
-            raise item
-        batch_idx, iter_after, input_state_after, host_batch = item
+        if self._echo_item is None:
+            self._ensure_producer()
+            t_wait0 = time.monotonic()
+            while True:
+                try:
+                    item = self._queue.get(timeout=5.0)
+                    break
+                except queue.Empty:
+                    # defense in depth: if the producer thread died without
+                    # delivering (it shouldn't — all failure paths enqueue),
+                    # fail loudly instead of blocking forever
+                    if self._producer is None or not self._producer.is_alive():
+                        self._exhausted = True
+                        raise RuntimeError(
+                            "pipeline producer thread died without delivering "
+                            "a batch or an error"
+                        )
+            if item is self._END:
+                self._exhausted = True
+                raise StopIteration
+            if isinstance(item, Exception):
+                self._exhausted = True
+                raise item
+            self._stat_consumer_wait_s += time.monotonic() - t_wait0
+            # start this host batch at echo 0, or mid-echo after a resume
+            self._echo_item = (item, self._echo_start)
+            self._echo_start = 0
+        (batch_idx, iter_after, input_state_after, host_batch), echo_i = self._echo_item
         t_dev0 = time.monotonic()
-        self._stat_consumer_wait_s += t_dev0 - t_wait0
         try:
-            out = self._run_device_stage(host_batch, batch_idx)
+            out, host_batch = self._run_device_stage(host_batch, batch_idx, echo_i)
         except Exception:
             self._exhausted = True
+            self._echo_item = None
             raise
         self._stat_device_stage_s += time.monotonic() - t_dev0
         self._stat_consumed += 1
         # batch delivered: advance the consumed position (resume point)
-        self._consumed_global = batch_idx + 1
-        self._consumed_iteration = iter_after
-        self._consumed_input_state = input_state_after
+        if echo_i + 1 < self._echo_factor:
+            # keep the (now device-resident) host batch for its next echo
+            self._echo_item = (
+                (batch_idx, iter_after, input_state_after, host_batch),
+                echo_i + 1,
+            )
+            self._consumed_global = batch_idx
+            self._consumed_echo_next = echo_i + 1
+        else:
+            self._echo_item = None
+            self._consumed_global = batch_idx + 1
+            self._consumed_echo_next = 0
+            self._consumed_iteration = iter_after
+            self._consumed_input_state = input_state_after
         return [dict(zip(self._output_names, out))]
 
     def run(self):
@@ -624,6 +685,10 @@ class TPUPipeline:
                     warn_at = float("inf")
         self._queue = queue.Queue(maxsize=self._depth)
         self._producer = None
+        # in-progress echo replays are prefetched state too: discard
+        self._echo_item = None
+        self._echo_start = 0
+        self._consumed_echo_next = 0
 
     def reset(self):
         """Start the next epoch (parity with DALI iterator reset).
@@ -672,20 +737,38 @@ class TPUPipeline:
         if not self._input_state_captured:
             self._consumed_input_state = self._capture_input_state()
             self._input_state_captured = True
-        return {
+        state = {
             "version": 1,
             "epoch": self._epoch,
             "iteration": self._consumed_iteration,
             "global_batch": self._consumed_global,
             "input_state": self._consumed_input_state,
         }
+        if self._echo_factor > 1:
+            # mid-echo position: global_batch points at the host batch to
+            # re-produce; 'next' is the first undelivered replay of it
+            state["echo"] = {
+                "factor": self._echo_factor,
+                "next": self._consumed_echo_next,
+            }
+        return state
 
     def set_state(self, state: dict):
         """Restore a position captured by :meth:`get_state` (stops any
         running producer; prefetched batches are discarded)."""
         if state.get("version") != 1:
             raise ValueError(f"Unknown pipeline state version: {state.get('version')!r}")
+        echo = state.get("echo")
+        state_factor = 1 if echo is None else int(echo["factor"])
+        if state_factor != self._echo_factor:
+            raise ValueError(
+                f"Checkpoint was taken with echo_factor={state_factor}; this "
+                f"pipeline has echo_factor={self._echo_factor} — the delivered "
+                "batch streams would diverge. Rebuild with the matching factor."
+            )
         self._halt_producer()
+        self._echo_start = 0 if echo is None else int(echo["next"])
+        self._consumed_echo_next = self._echo_start
         self._epoch = int(state["epoch"])
         self._iteration = int(state["iteration"])
         self._global_batch = int(state["global_batch"])
@@ -717,7 +800,9 @@ class TPUPipeline:
 
         Returns a dict of monotonically growing counters:
 
-        * ``produced`` / ``consumed`` — host batches built vs delivered.
+        * ``produced`` / ``consumed`` — host batches built vs batches
+          delivered (with ``echo_factor`` E, consumed grows E per host
+          batch).
         * ``producer_busy_s`` — wall time the producer spent building host
           batches (input callable + host steps + stacking).
         * ``producer_blocked_s`` — time the producer waited for queue space
