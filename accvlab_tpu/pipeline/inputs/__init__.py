@@ -5,6 +5,10 @@ TPU-native equivalent of ``dali_pipeline_framework/accvlab/.../inputs``
 """
 
 from .base import CallableBase, DataProvider, IterableBase, SampleInfo, SamplerBase
+from .elastic_sharded_input_callable import (
+    ElasticShardedInputCallable,
+    elastic_reshard,
+)
 from .sampler_input_callable import SamplerInputCallable
 from .sampler_input_iterable import SamplerInputIterable
 from .sequence_sampler import SequenceSampler
@@ -13,6 +17,7 @@ from .shuffled_sharded_input_callable import ShuffledShardedInputCallable
 __all__ = [
     "CallableBase",
     "DataProvider",
+    "ElasticShardedInputCallable",
     "IterableBase",
     "SampleInfo",
     "SamplerBase",
@@ -20,4 +25,5 @@ __all__ = [
     "SamplerInputIterable",
     "SequenceSampler",
     "ShuffledShardedInputCallable",
+    "elastic_reshard",
 ]
