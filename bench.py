@@ -102,7 +102,8 @@ def build_dataset(num_samples=6400, num_unique=16, hw=(372, 1024), num_cams=6, m
     return Provider()
 
 
-def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw=(64, 176)):
+def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw=(64, 176),
+                   echo_factor=1):
     from accvlab_tpu.pipeline import PipelineDefinition
     from accvlab_tpu.pipeline.inputs import ShuffledShardedInputCallable
     from accvlab_tpu.pipeline.processing_steps import (
@@ -167,7 +168,12 @@ def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw
     definition = PipelineDefinition(
         inp, steps, check_data_format=False, copy_external_source_passthrough_outputs=False
     )
-    return definition.get_pipeline(batch_size=batch_size, num_threads=num_threads, seed=0)
+    # echo_factor=1 for the headline (comparable to the reference's per-fresh-
+    # batch rate); scripts/bench_echo.py measures the echoed-delivery rate
+    return definition.get_pipeline(
+        batch_size=batch_size, num_threads=num_threads, seed=0,
+        echo_factor=echo_factor,
+    )
 
 
 def measure_input_idle(pipe, num_cams, n_iters=6, width=64):
