@@ -120,7 +120,30 @@ class ElasticShardedInputCallable(CallableBase):
 
     @property
     def length(self) -> Optional[int]:
-        return self.steps_in_epoch(self._start_epoch)
+        """Steps of a full (offset-0) epoch — the stable sizing number for
+        consumers. The resumed epoch itself may be shorter; use
+        :meth:`steps_in_epoch` with the concrete epoch index for exactness."""
+        return self._data_len // (self._batch_size * self._num_shards)
+
+    def get_state(self) -> dict:
+        """Static resume parameters, captured into the pipeline checkpoint
+        (``TPUPipeline`` snapshots any input exposing ``get_state``). The
+        callable itself is stateless — these are the constructor offsets
+        :func:`elastic_reshard` needs so that CHAINED mid-epoch reshards
+        account the prior offset instead of restarting from the epoch-local
+        iteration alone."""
+        return {
+            "start_offset": self._start_offset,
+            "start_epoch": self._start_epoch,
+            "num_shards": self._num_shards,
+            "batch_size": self._batch_size,
+        }
+
+    def set_state(self, state: dict) -> None:
+        """No-op by design: the callable is a pure function of SampleInfo —
+        position restoration happens through the pipeline counters plus the
+        constructor offsets (see :func:`elastic_reshard`)."""
+        del state
 
 
 def elastic_reshard(
@@ -157,14 +180,35 @@ def elastic_reshard(
         raise ValueError(
             f"Unknown pipeline state version: {pipeline_state.get('version')!r}"
         )
-    consumed = (
+    epoch = int(pipeline_state["epoch"])
+    # chained reshards: the checkpointing fleet's input may itself have been
+    # constructed with a resume offset (recorded into the checkpoint via the
+    # input-state snapshot) — the consumed prefix includes it
+    prior = pipeline_state.get("input_state") or {}
+    prior_offset = (
+        int(prior.get("start_offset", 0))
+        if int(prior.get("start_epoch", epoch)) == epoch
+        else 0
+    )
+    consumed = prior_offset + (
         int(pipeline_state["iteration"]) * batch_size * int(checkpoint_num_shards)
     )
     input_kwargs = {
         "start_offset": consumed,
-        "start_epoch": int(pipeline_state["epoch"]),
+        "start_epoch": epoch,
     }
     new_state = dict(pipeline_state)
     new_state["iteration"] = 0
     new_state["input_state"] = None
+    echo = new_state.get("echo")
+    if echo is not None and int(echo.get("next", 0)) != 0:
+        # A mid-echo checkpoint cannot replay its partial host batch under a
+        # different shard count (the permutation window per batch changes
+        # with W). The partially-echoed batch is already EXCLUDED from the
+        # consumed prefix (the pipeline's iteration counter only advances on
+        # the last replay), so restart it from echo 0: fresh-sample
+        # accounting stays exact; the views delivered from it before the
+        # preemption are re-delivered once — a few duplicated augmented
+        # views at the reshard point, never a lost or duplicated sample.
+        new_state["echo"] = {"factor": int(echo["factor"]), "next": 0}
     return input_kwargs, new_state

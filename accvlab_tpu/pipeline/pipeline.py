@@ -217,7 +217,7 @@ class TPUPipeline:
             if parallel
             else None
         )
-        self._device_fn = None  # built lazily (jit)
+        self._device_fns: dict = {}  # built lazily (jit), keyed by donation
 
         self._epoch = 0
         self._iteration = 0
@@ -377,12 +377,14 @@ class TPUPipeline:
         )
 
     def _capture_input_state(self):
-        """Snapshot a stateful iterable input's resume state (cheap counter
-        dicts). ``None`` for callable inputs (pure functions of SampleInfo —
-        the pipeline counters alone resume them exactly) and for iterables
-        that do not implement the protocol."""
+        """Snapshot the input's resume state (cheap counter dicts). ``None``
+        for plain callable inputs (pure functions of SampleInfo — the
+        pipeline counters alone resume them exactly) and for inputs that do
+        not implement the protocol. Callables MAY expose ``get_state`` too
+        (e.g. ``ElasticShardedInputCallable`` records its static resume
+        offsets so chained reshards can account them)."""
         inp = self._definition._input
-        if not isinstance(inp, IterableBase):
+        if not hasattr(inp, "get_state"):
             return None
         try:
             return inp.get_state()
@@ -523,16 +525,22 @@ class TPUPipeline:
         key = jax.random.fold_in(jax.random.PRNGKey(self._seed), batch_idx)
         if self._echo_factor > 1:
             key = jax.random.fold_in(key, echo_i)
-        if self._device_fn is None:
-            # donation consumes the input buffers — with echo replays the
-            # transferred batch must stay alive across E device calls
-            self._device_fn = self._build_device_fn(
-                host_batch, key, donate=self._echo_factor == 1
+        # Donation consumes the input buffers, so with echo replays the
+        # transferred batch must stay alive until the LAST replay — which
+        # can and does donate (the buffers are dead afterwards). Two jitted
+        # variants, built lazily (both on the first host batch); on
+        # slow-compile paths the persistent compilation cache absorbs the
+        # second compile across runs.
+        donate = echo_i == self._echo_factor - 1
+        if self._device_fns.get(donate) is None:
+            self._device_fns[donate] = self._build_device_fn(
+                host_batch, key, donate=donate
             )
+        fn = self._device_fns[donate]
         if self._mesh is not None:
             with self._mesh:
-                return self._device_fn(host_batch, key), host_batch
-        return self._device_fn(host_batch, key), host_batch
+                return fn(host_batch, key), host_batch
+        return fn(host_batch, key), host_batch
 
     # ------------------------------------------------------------------ #
     # Prefetching iterator protocol                                      #

@@ -185,3 +185,104 @@ def test_validation():
         ElasticShardedInputCallable(IdxProvider(8), 2, start_offset=-1)
     with pytest.raises(ValueError, match="version"):
         elastic_reshard({"version": 99}, batch_size=2, checkpoint_num_shards=2)
+
+
+def test_chained_mid_epoch_reshards_account_prior_offset():
+    """Two reshards in one epoch: the second elastic_reshard must include
+    the first's start_offset in the consumed prefix (it reads the offsets
+    from the checkpoint's input-state snapshot)."""
+    N, B, seed = 48, 2, 13
+    perm = _perm(N, seed, epoch=0)
+
+    def run_fleet(w, steps, extra, state=None):
+        pipes = []
+        for s in range(w):
+            inp = ElasticShardedInputCallable(
+                IdxProvider(N), B, shard_id=s, num_shards=w, shuffle=True,
+                seed=seed, **extra,
+            )
+            d = PipelineDefinition(inp, [], copy_external_source_passthrough_outputs=False)
+            pipes.append(d.get_pipeline(batch_size=B, num_threads=1, seed=1))
+        got = []
+        try:
+            if state is not None:
+                for p in pipes:
+                    p.set_state(dict(state))
+            for _ in range(steps):
+                for p in pipes:
+                    got.append(np.asarray(p.run()["idx"]).ravel())
+            return got, pipes[0].get_state()
+        finally:
+            for p in pipes:
+                p.stop()
+
+    consumed = []
+    # phase 1: W=2, 2 steps
+    got, state1 = run_fleet(2, 2, {})
+    consumed.extend(np.concatenate(got).tolist())
+    # phase 2: W=3, 2 steps (resharded once)
+    kw1, st1 = elastic_reshard(state1, batch_size=B, checkpoint_num_shards=2)
+    assert kw1["start_offset"] == 8
+    got, state2 = run_fleet(3, 2, kw1, st1)
+    consumed.extend(np.concatenate(got).tolist())
+    # phase 3: W=2 again (chained reshard) — offset must be 8 + 12 = 20
+    kw2, st2 = elastic_reshard(state2, batch_size=B, checkpoint_num_shards=3)
+    assert kw2["start_offset"] == 20, kw2
+    got, _ = run_fleet(2, 3, kw2, st2)
+    consumed.extend(np.concatenate(got).tolist())
+
+    assert len(consumed) == len(set(consumed)), "a sample was repeated"
+    np.testing.assert_array_equal(sorted(consumed), sorted(perm[: len(consumed)]))
+
+
+def test_mid_echo_reshard_restarts_partial_batch():
+    """A mid-echo checkpoint resharded to a new W restarts the partial host
+    batch from echo 0: fresh-sample accounting stays exact (every sample of
+    the epoch prefix gets >= E views; only the partial batch's samples get
+    the one extra pre-preemption view)."""
+    from collections import Counter
+
+    N, B, E, seed = 24, 2, 2, 13
+    perm = _perm(N, seed, epoch=0)
+
+    def build(w, s, extra=None):
+        inp = ElasticShardedInputCallable(
+            IdxProvider(N), B, shard_id=s, num_shards=w, shuffle=True,
+            seed=seed, **(extra or {}),
+        )
+        d = PipelineDefinition(inp, [], copy_external_source_passthrough_outputs=False)
+        return d.get_pipeline(batch_size=B, num_threads=1, seed=1, echo_factor=E)
+
+    views = Counter()
+    # W=2 fleet: deliver host batch 0 fully (E echoes) + echo 0 of batch 1
+    old = [build(2, s) for s in range(2)]
+    try:
+        for _ in range(E + 1):
+            for p in old:
+                views.update(np.asarray(p.run()["idx"]).ravel().tolist())
+        state = old[0].get_state()
+        assert state["echo"] == {"factor": E, "next": 1}
+        assert state["iteration"] == 1  # partial batch excluded
+    finally:
+        for p in old:
+            p.stop()
+    partial_window = set(perm[4:8].tolist())
+
+    kw, new_state = elastic_reshard(state, batch_size=B, checkpoint_num_shards=2)
+    assert kw["start_offset"] == 4  # only the fully-consumed batch
+    assert new_state["echo"] == {"factor": E, "next": 0}
+
+    new = build(1, 0, kw)
+    try:
+        new.set_state(new_state)
+        while True:
+            try:
+                views.update(np.asarray(new.run()["idx"]).ravel().tolist())
+            except StopIteration:
+                break
+    finally:
+        new.stop()
+
+    for idx in perm.tolist():
+        expect = E + (1 if idx in partial_window else 0)
+        assert views[idx] == expect, (idx, views[idx], expect)

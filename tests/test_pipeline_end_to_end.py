@@ -204,11 +204,32 @@ def test_tensor_size_adder_in_pipeline():
 
 
 def test_device_stage_is_jitted_once():
-    _, pipe = build_pipeline()
+    from accvlab_tpu.pipeline.processing_steps import PhotoMetricDistorter
+
+    # a device-placed step so the fused device program actually exists (the
+    # default steps all run on the host); the old assertion compared the
+    # never-built fn to itself
+    _, pipe = build_pipeline(
+        steps=[
+            ImageDecoder("image"),
+            ImageToTileSizePadder("image", 8),
+            ImageRange01Normalizer("image"),
+            PhotoMetricDistorter(
+                "image",
+                min_max_brightness=(0.9, 1.1),
+                min_max_hue=(-0.05, 0.05),
+                min_max_contrast=(0.9, 1.1),
+                min_max_saturation=(0.9, 1.1),
+            ),
+        ]
+    )
+    assert pipe._device_steps, "expected a device-placed step"
     pipe.run()
-    fn1 = pipe._device_fn
+    # echo_factor=1: every call is a final (donating) pass -> one variant
+    assert set(pipe._device_fns) == {True}
+    fn1 = pipe._device_fns[True]
     pipe.run()
-    assert pipe._device_fn is fn1
+    assert pipe._device_fns[True] is fn1 and set(pipe._device_fns) == {True}
     pipe.stop()
 
 
