@@ -23,3 +23,12 @@ def test_preempt_resume_bit_identical(tmp_path):
         np.asarray(ref_losses[3:], np.float32), np.asarray(res_losses, np.float32)
     )
     assert all(np.isfinite(l) for l in ref_losses)
+
+
+def test_elastic_data_stanza():
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "examples"))
+    import preemptible_training as ex
+
+    # asserts internally: 28/32 samples consumed exactly once across the
+    # 2-shard -> 3-shard fleet change
+    ex.elastic_data_stanza()
