@@ -221,3 +221,114 @@ def test_echo_checkpoint_factor_mismatch_rejected():
             plain.set_state(state)
     finally:
         plain.stop()
+
+
+@pytest.mark.parametrize("echo", [1, 3])
+def test_resume_protocol_randomized(echo):
+    """Randomized interleavings of run/reset/get_state against the oracle
+    stream: any state captured at consumed position k must, on a FRESH
+    pipeline, reproduce the uninterrupted stream from position k onward.
+    (Epoch boundaries, mid-echo positions, and prefetch depth all land at
+    random points.)"""
+    rng = np.random.default_rng(1234 + echo)
+
+    def oracle_stream():
+        """The uninterrupted delivery stream as (epoch-relative) batches,
+        across 3 epochs."""
+        pipe = _build(echo_factor=echo, depth=3)
+        stream = []
+        try:
+            for _ in range(3):  # epochs
+                while True:
+                    try:
+                        stream.append(_arrays(pipe.run()))
+                    except StopIteration:
+                        break
+                pipe.reset()
+        finally:
+            pipe.stop()
+        return stream
+
+    stream = oracle_stream()
+    per_epoch = len(stream) // 3
+
+    pipe = _build(echo_factor=echo, depth=3)
+    pos = 0  # position in the uninterrupted stream
+    captured = []  # (state, pos)
+    try:
+        for _ in range(30):
+            op = rng.choice(["run", "state", "reset_at_end"])
+            if op == "run":
+                try:
+                    got = _arrays(pipe.run())
+                except StopIteration:
+                    pipe.reset()
+                    continue
+                exp = stream[pos]
+                for k in exp:
+                    np.testing.assert_array_equal(got[k], exp[k], err_msg=f"pos {pos}")
+                pos += 1
+                if pos >= len(stream):
+                    break
+            elif op == "state":
+                if pos % per_epoch or pos == 0:  # capture only mid-epoch
+                    captured.append((pipe.get_state(), pos))
+            else:
+                # reset mid-epoch = drop the rest of the epoch; the oracle
+                # position jumps to the next epoch boundary
+                if pos % per_epoch:
+                    pipe.reset()
+                    pos = min(((pos // per_epoch) + 1) * per_epoch, len(stream))
+                    if pos >= len(stream):
+                        break
+    finally:
+        pipe.stop()
+
+    assert captured, "randomized walk captured no states"
+    for state, k in captured[:6]:
+        fresh = _build(echo_factor=echo, depth=3)
+        try:
+            fresh.set_state(state)
+            for i in range(k, min(k + 3, len(stream))):
+                try:
+                    got = _arrays(fresh.run())
+                except StopIteration:  # crossed an epoch boundary, like the oracle
+                    fresh.reset()
+                    got = _arrays(fresh.run())
+                for f in stream[i]:
+                    np.testing.assert_array_equal(
+                        got[f], stream[i][f], err_msg=f"resume@{k} pos {i}"
+                    )
+        finally:
+            fresh.stop()
+
+
+def test_echo_with_process_workers():
+    """echo_factor composes with worker_mode='process' (spawned host
+    workers): replays differ, stream deterministic."""
+    import warnings as _w
+
+    def build():
+        inp = ShuffledShardedInputCallable(
+            SyntheticProvider(n=16), batch_size=4, shuffle=True
+        )
+        definition = PipelineDefinition(
+            inp, _steps(True), copy_external_source_passthrough_outputs=False
+        )
+        return definition.get_pipeline(
+            batch_size=4, num_threads=2, seed=11, echo_factor=2,
+            worker_mode="process",
+        )
+
+    a = build()
+    b = build()
+    try:
+        x0, x1 = _arrays(a.run()), _arrays(a.run())
+        assert not np.array_equal(x0["image"], x1["image"])
+        y0, y1 = _arrays(b.run()), _arrays(b.run())
+        for k in x0:
+            np.testing.assert_array_equal(x0[k], y0[k])
+            np.testing.assert_array_equal(x1[k], y1[k])
+    finally:
+        a.stop()
+        b.stop()
