@@ -24,6 +24,7 @@ PACKAGES = [
     "accvlab_tpu.pipeline.inputs",
     "accvlab_tpu.pipeline.processing_steps",
     "accvlab_tpu.pipeline.operators",
+    "accvlab_tpu.color",
     "accvlab_tpu.video",
     "accvlab_tpu.tools",
     "accvlab_tpu.parallel",
