@@ -149,8 +149,8 @@ class ElasticShardedInputCallable(CallableBase):
 def elastic_reshard(
     pipeline_state: dict,
     *,
-    batch_size: int,
-    checkpoint_num_shards: int,
+    batch_size: Optional[int] = None,
+    checkpoint_num_shards: Optional[int] = None,
 ) -> tuple:
     """Translate a pipeline checkpoint into elastic-resume parameters.
 
@@ -159,9 +159,13 @@ def elastic_reshard(
             the old fleet (all shards agree on the counters — the lockstep
             contract).
         batch_size: per-shard batch size (unchanged across the reshard; the
-            global batch size changes with the shard count).
+            global batch size changes with the shard count). Optional when
+            the checkpoint carries the input snapshot (it records the true
+            value); if given AND recorded, they must agree.
         checkpoint_num_shards: ``num_shards`` of the fleet that TOOK the
-            checkpoint.
+            checkpoint. Same optionality/validation as ``batch_size`` —
+            passing a wrong value here would silently corrupt the sample
+            accounting, so the recorded snapshot is authoritative.
 
     Returns:
         ``(input_kwargs, new_state)``:
@@ -185,13 +189,33 @@ def elastic_reshard(
     # constructed with a resume offset (recorded into the checkpoint via the
     # input-state snapshot) — the consumed prefix includes it
     prior = pipeline_state.get("input_state") or {}
+    # the snapshot's num_shards/batch_size are authoritative: a wrong
+    # explicit argument would silently corrupt the sample accounting
+    for name, given in (
+        ("batch_size", batch_size),
+        ("num_shards", checkpoint_num_shards),
+    ):
+        if name in prior and given is not None and int(prior[name]) != int(given):
+            raise ValueError(
+                f"Checkpoint records {name}={prior[name]} but "
+                f"{'batch_size' if name == 'batch_size' else 'checkpoint_num_shards'}"
+                f"={given} was passed — the recorded value is what the "
+                "checkpointing fleet actually used."
+            )
+    batch_size = int(prior.get("batch_size", batch_size or 0))
+    checkpoint_num_shards = int(prior.get("num_shards", checkpoint_num_shards or 0))
+    if batch_size <= 0 or checkpoint_num_shards <= 0:
+        raise ValueError(
+            "The checkpoint carries no input snapshot; pass batch_size and "
+            "checkpoint_num_shards explicitly."
+        )
     prior_offset = (
         int(prior.get("start_offset", 0))
         if int(prior.get("start_epoch", epoch)) == epoch
         else 0
     )
     consumed = prior_offset + (
-        int(pipeline_state["iteration"]) * batch_size * int(checkpoint_num_shards)
+        int(pipeline_state["iteration"]) * batch_size * checkpoint_num_shards
     )
     input_kwargs = {
         "start_offset": consumed,

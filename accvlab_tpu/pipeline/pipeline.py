@@ -785,7 +785,11 @@ class TPUPipeline:
         self._exhausted = False
         input_state = state.get("input_state")
         if input_state is not None:
-            self._definition._input.set_state(input_state)
+            # inputs may expose get_state without set_state (a snapshot of
+            # STATIC resume parameters, e.g. ElasticShardedInputCallable);
+            # restoring such a state is carried by the constructor arguments
+            if hasattr(self._definition._input, "set_state"):
+                self._definition._input.set_state(input_state)
         elif isinstance(self._definition._input, IterableBase):
             warnings.warn(
                 "Resuming a pipeline over an iterable input without a saved "
@@ -795,7 +799,13 @@ class TPUPipeline:
                 "implementing get_state/set_state."
             )
         self._consumed_input_state = input_state
-        self._input_state_captured = True
+        # input_state None means "the restored state carries no input
+        # snapshot" (e.g. elastic_reshard moved the position into the new
+        # input's constructor arguments): re-capture from the ACTUAL input at
+        # first use so a checkpoint taken before the first consumed batch
+        # still records the true offsets — without this, a chained reshard
+        # from such a checkpoint would restart the epoch at offset 0
+        self._input_state_captured = input_state is not None
         # the next reset() (an iterator front constructing its epoch view)
         # must not discard this restored position — see reset()
         self._resume_armed = True

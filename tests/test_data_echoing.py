@@ -306,7 +306,6 @@ def test_resume_protocol_randomized(echo):
 def test_echo_with_process_workers():
     """echo_factor composes with worker_mode='process' (spawned host
     workers): replays differ, stream deterministic."""
-    import warnings as _w
 
     def build():
         inp = ShuffledShardedInputCallable(

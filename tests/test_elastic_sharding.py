@@ -286,3 +286,84 @@ def test_mid_echo_reshard_restarts_partial_batch():
     for idx in perm.tolist():
         expect = E + (1 if idx in partial_window else 0)
         assert views[idx] == expect, (idx, views[idx], expect)
+
+
+def test_checkpoint_before_first_batch_after_reshard_keeps_offset():
+    """A checkpoint taken AFTER set_state but BEFORE the first consumed
+    batch of the resumed fleet must still carry the consumed-prefix offset
+    (get_state re-captures from the new input); a chained reshard from it
+    must not restart the epoch."""
+    N, B, seed = 24, 2, 7
+    perm = _perm(N, seed, epoch=0)
+
+    inp = ElasticShardedInputCallable(
+        IdxProvider(N), B, shuffle=True, seed=seed
+    )
+    d = PipelineDefinition(inp, [], copy_external_source_passthrough_outputs=False)
+    pipe = d.get_pipeline(batch_size=B, num_threads=1, seed=1)
+    consumed = []
+    try:
+        for _ in range(3):
+            consumed.extend(np.asarray(pipe.run()["idx"]).ravel().tolist())
+        state = pipe.get_state()
+    finally:
+        pipe.stop()
+
+    kw, new_state = elastic_reshard(state)  # args derived from the snapshot
+    assert kw["start_offset"] == 6
+    inp2 = ElasticShardedInputCallable(
+        IdxProvider(N), B, shuffle=True, seed=seed, **kw
+    )
+    d2 = PipelineDefinition(inp2, [], copy_external_source_passthrough_outputs=False)
+    pipe2 = d2.get_pipeline(batch_size=B, num_threads=1, seed=1)
+    try:
+        pipe2.set_state(dict(new_state))
+        # validation checkpoint BEFORE consuming anything on the new fleet
+        state2 = pipe2.get_state()
+    finally:
+        pipe2.stop()
+    assert state2["input_state"] is not None
+    assert state2["input_state"]["start_offset"] == 6
+
+    kw2, st2 = elastic_reshard(state2)
+    assert kw2["start_offset"] == 6, "chained reshard lost the prefix"
+    inp3 = ElasticShardedInputCallable(
+        IdxProvider(N), B, shuffle=True, seed=seed, **kw2
+    )
+    d3 = PipelineDefinition(inp3, [], copy_external_source_passthrough_outputs=False)
+    pipe3 = d3.get_pipeline(batch_size=B, num_threads=1, seed=1)
+    try:
+        pipe3.set_state(dict(st2))
+        while True:
+            try:
+                consumed.extend(np.asarray(pipe3.run()["idx"]).ravel().tolist())
+            except StopIteration:
+                break
+    finally:
+        pipe3.stop()
+    assert len(consumed) == len(set(consumed)), "a sample was repeated"
+    np.testing.assert_array_equal(sorted(consumed), sorted(perm[: len(consumed)]))
+
+
+def test_elastic_reshard_argument_validation():
+    inp = ElasticShardedInputCallable(IdxProvider(8), 2, shuffle=True, seed=1)
+    d = PipelineDefinition(inp, [], copy_external_source_passthrough_outputs=False)
+    pipe = d.get_pipeline(batch_size=2, num_threads=1, seed=1)
+    try:
+        pipe.run()
+        state = pipe.get_state()
+    finally:
+        pipe.stop()
+    # wrong explicit args are rejected against the recorded snapshot
+    with pytest.raises(ValueError, match="records num_shards"):
+        elastic_reshard(state, batch_size=2, checkpoint_num_shards=4)
+    with pytest.raises(ValueError, match="records batch_size"):
+        elastic_reshard(state, batch_size=8, checkpoint_num_shards=1)
+    # matching explicit args are fine; so is deriving everything
+    elastic_reshard(state, batch_size=2, checkpoint_num_shards=1)
+    elastic_reshard(state)
+    # no snapshot and no args -> explicit error
+    bare = {k: v for k, v in state.items()}
+    bare["input_state"] = None
+    with pytest.raises(ValueError, match="no input snapshot"):
+        elastic_reshard(bare)
