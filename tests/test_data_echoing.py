@@ -331,3 +331,33 @@ def test_echo_with_process_workers():
     finally:
         a.stop()
         b.stop()
+
+
+def test_echo_with_mesh_sharded_batches():
+    """echo_factor composes with mesh placement: replays stay sharded over
+    the data axis, differ in augmentation, and skip the re-transfer (the
+    replayed batch is already device-resident)."""
+    from jax.sharding import PartitionSpec as P
+
+    from accvlab_tpu.parallel import make_mesh
+
+    inp = ShuffledShardedInputCallable(
+        SyntheticProvider(n=16), batch_size=8, shuffle=True
+    )
+    definition = PipelineDefinition(
+        inp, _steps(True), copy_external_source_passthrough_outputs=False
+    )
+    mesh = make_mesh()
+    pipe = definition.get_pipeline(
+        batch_size=8, num_threads=2, seed=11, mesh=mesh, echo_factor=2
+    )
+    try:
+        a = pipe.run()["image"]
+        b = pipe.run()["image"]
+        assert a.sharding.spec == P("data", None, None, None)
+        assert b.sharding.spec == P("data", None, None, None)
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
+        st = pipe.stats()
+        assert st["consumed"] == 2 and st["produced"] >= 1
+    finally:
+        pipe.stop()
