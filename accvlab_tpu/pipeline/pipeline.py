@@ -810,6 +810,16 @@ class TPUPipeline:
         # must not discard this restored position — see reset()
         self._resume_armed = True
 
+    @property
+    def length(self) -> Optional[int]:
+        """Batches this pipeline delivers per (full) epoch, when the input
+        advertises its length: input batches times ``echo_factor``.
+        ``None`` for unbounded/unknown inputs. Sizing information for
+        progress bars / schedulers; the authoritative epoch end is still
+        ``StopIteration``."""
+        n = getattr(self._definition._input, "length", None)
+        return None if n is None else int(n) * self._echo_factor
+
     def stats(self) -> dict:
         """Live throughput/occupancy counters — the in-process
         "am I input-bound?" signal (complements the decoder-cache

@@ -361,3 +361,23 @@ def test_echo_with_mesh_sharded_batches():
         assert st["consumed"] == 2 and st["produced"] >= 1
     finally:
         pipe.stop()
+
+
+def test_pipeline_length_reflects_echo():
+    p1 = _build(echo_factor=1, augment=False)
+    p3 = _build(echo_factor=3, augment=False)
+    try:
+        assert p1.length == 4  # 16 samples / batch 4
+        assert p3.length == 12
+        # the advertised length matches the actual delivered count
+        n = 0
+        while True:
+            try:
+                p3.run()
+                n += 1
+            except StopIteration:
+                break
+        assert n == p3.length
+    finally:
+        p1.stop()
+        p3.stop()
