@@ -192,4 +192,74 @@ int ajd_decode_yuv420(const uint8_t* data, uint64_t size, int32_t target_h,
     return 0;
 }
 
+// Decode to interleaved uint8 RGB (or BGR) at exactly (target_h, target_w):
+// out is target_h*target_w*3 bytes. Same M/8 DCT-scaled decode as the YUV
+// path — the RGB-wire analog for pipelines not using the 4:2:0 wire (PIL
+// draft only exposes power-of-two scales). libjpeg handles YCbCr->RGB and
+// grayscale->RGB; CMYK sources fail (-1) and the caller falls back to PIL.
+// Returns 0 on success.
+int ajd_decode_rgb(const uint8_t* data, uint64_t size, int32_t target_h,
+                   int32_t target_w, int32_t as_bgr, uint8_t* out) {
+    if (target_h <= 0 || target_w <= 0) {
+        set_error("target dimensions must be positive");
+        return -2;
+    }
+    jpeg_decompress_struct dinfo;
+    ErrorMgr err;
+    dinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = on_error;
+    err.pub.emit_message = on_emit;
+    std::vector<uint8_t> decoded;
+    if (setjmp(err.jump)) {
+        jpeg_destroy_decompress(&dinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&dinfo);
+    jpeg_mem_src(&dinfo, data, size);
+    jpeg_read_header(&dinfo, TRUE);
+
+    dinfo.out_color_space = JCS_RGB;
+    dinfo.dct_method = JDCT_ISLOW;
+
+    int m = 8;
+    for (int cand = 1; cand <= 8; ++cand) {
+        long sh = (static_cast<long>(dinfo.image_height) * cand + 7) / 8;
+        long sw = (static_cast<long>(dinfo.image_width) * cand + 7) / 8;
+        if (sh >= target_h && sw >= target_w) {
+            m = cand;
+            break;
+        }
+    }
+    dinfo.scale_num = m;
+    dinfo.scale_denom = 8;
+
+    jpeg_start_decompress(&dinfo);
+    int sh = dinfo.output_height;
+    int sw = dinfo.output_width;
+    int ch = dinfo.output_components;  // 3 after JCS_RGB conversion
+    if (ch != 3) {
+        jpeg_destroy_decompress(&dinfo);
+        set_error("unexpected component count for RGB output");
+        return -3;
+    }
+    size_t stride = static_cast<size_t>(sw) * ch;
+    decoded.resize(stride * sh);
+    while (dinfo.output_scanline < dinfo.output_height) {
+        uint8_t* rows[8];
+        int n = 0;
+        for (; n < 8 && dinfo.output_scanline + n < dinfo.output_height; ++n)
+            rows[n] = decoded.data() + (dinfo.output_scanline + n) * stride;
+        jpeg_read_scanlines(&dinfo, rows, n);
+    }
+    jpeg_finish_decompress(&dinfo);
+    jpeg_destroy_decompress(&dinfo);
+
+    for (int c = 0; c < 3; ++c) {
+        int oc = as_bgr ? 2 - c : c;
+        resize_plane(decoded.data() + c, sh, sw, static_cast<int>(stride), ch,
+                     out + oc, target_h, target_w, target_w * 3, 3);
+    }
+    return 0;
+}
+
 }  // extern "C"

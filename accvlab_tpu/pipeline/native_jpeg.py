@@ -39,6 +39,12 @@ def _build_and_load() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.ajd_decode_rgb.restype = ctypes.c_int
+    lib.ajd_decode_rgb.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     return lib
 
 
@@ -101,3 +107,41 @@ def decode_yuv420(
     if rc != 0:
         raise ValueError(f"JPEG decode failed: {lib.ajd_last_error().decode()}")
     return y, cbcr
+
+
+def decode_rgb(
+    jpeg_bytes: np.ndarray, target_hw: Tuple[int, int], as_bgr: bool = False
+) -> np.ndarray:
+    """Decode to interleaved uint8 RGB/BGR at exactly ``target_hw``.
+
+    Same M/8 DCT-scaled decode as :func:`decode_yuv420` — the RGB-wire
+    analog (PIL draft only exposes power-of-two scales). Grayscale sources
+    are expanded by libjpeg; CMYK raises ``ValueError`` (caller falls back
+    to PIL)."""
+    lib = get_lib()
+    assert lib is not None
+    th, tw = int(target_hw[0]), int(target_hw[1])
+    buf = np.ascontiguousarray(jpeg_bytes, np.uint8)
+    out = np.empty((th, tw, 3), np.uint8)
+    rc = lib.ajd_decode_rgb(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.nbytes,
+        th, tw, int(as_bgr),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise ValueError(f"JPEG decode failed: {lib.ajd_last_error().decode()}")
+    return out
+
+
+def scaled_size(source_hw: Tuple[int, int], hint_hw: Tuple[int, int]) -> Tuple[int, int]:
+    """The size libjpeg's best M/8 DCT scale produces for a scale-HINT
+    decode: the smallest M in 1..8 whose ceil(dim*M/8) covers the hint on
+    both axes (mirrors the C selection)."""
+    sh, sw = int(source_hw[0]), int(source_hw[1])
+    th, tw = int(hint_hw[0]), int(hint_hw[1])
+    for m in range(1, 9):
+        oh = (sh * m + 7) // 8
+        ow = (sw * m + 7) // 8
+        if oh >= th and ow >= tw:
+            return oh, ow
+    return sh, sw

@@ -140,6 +140,35 @@ class ImageDecoder(PipelineStepBase):
         self._set_yuv_fields(data, ip, y, cbcr)
         return True
 
+    def _try_native_rgb(self, data, ip, encoded) -> bool:
+        """RGB-wire fast path: native libjpeg decode at the best M/8 DCT
+        scale straight to interleaved RGB/BGR (PIL draft only exposes
+        power-of-two scales). Returns False to fall back to PIL (no libjpeg,
+        not a JPEG, or an unconvertible source colorspace like CMYK)."""
+        from .. import native_jpeg
+
+        if not native_jpeg.available():
+            return False
+        if encoded.nbytes < 3 or encoded[0] != 0xFF or encoded[1] != 0xD8:
+            return False
+        try:
+            if self._resize_hw is not None:
+                target = self._resize_hw
+            elif self._scale_hint is not None:
+                # hint semantics: decode at the smallest DCT scale covering
+                # the hint and KEEP that size (downstream geometry uses the
+                # original-size metadata, as with the PIL draft path)
+                target = native_jpeg.scaled_size(
+                    native_jpeg.probe(encoded), self._scale_hint
+                )
+            else:
+                target = native_jpeg.probe(encoded)
+            decoded = native_jpeg.decode_rgb(encoded, target, self._as_bgr)
+        except ValueError:
+            return False
+        data.set_item_in_path(ip, decoded)
+        return True
+
     def _process(self, data: SampleDataGroup) -> SampleDataGroup:
         from PIL import Image
 
@@ -150,6 +179,8 @@ class ImageDecoder(PipelineStepBase):
             if yuv and self._scale_hint is None and self._try_native_yuv(
                 data, ip, encoded
             ):
+                continue
+            if not yuv and self._try_native_rgb(data, ip, encoded):
                 continue
             img = Image.open(io.BytesIO(encoded.tobytes()))
             target = self._resize_hw or self._scale_hint

@@ -726,3 +726,97 @@ def test_reader_yuv_rejects_as_bgr(vclip):
             b.Decode([path], [[0]], as_bgr=True, yuv=True)
     finally:
         b.ReleaseResources()
+
+
+# ---------------------- native libjpeg RGB fast path -------------------- #
+
+
+@pytest.mark.skipif(not _native_available(), reason="libjpeg dev unavailable")
+def test_native_rgb_decoder_matches_pil_path():
+    from accvlab_tpu.pipeline import native_jpeg
+    from PIL import Image
+
+    jpeg = make_jpeg(hw=(96, 128), seed=21)
+    # native-size decode vs PIL
+    rgb = native_jpeg.decode_rgb(jpeg, (96, 128))
+    ref = np.asarray(Image.open(io.BytesIO(jpeg.tobytes())).convert("RGB"))
+    assert rgb.shape == ref.shape == (96, 128, 3)
+    assert np.abs(rgb.astype(int) - ref.astype(int)).mean() < 2.0
+    # fused resize (non-power-of-two target: PIL can't DCT-scale there)
+    half = native_jpeg.decode_rgb(jpeg, (72, 96))
+    pil_half = np.asarray(
+        Image.open(io.BytesIO(jpeg.tobytes())).convert("RGB").resize(
+            (96, 72), Image.BILINEAR
+        )
+    )
+    assert np.abs(half.astype(int) - pil_half.astype(int)).mean() < 4.0
+    # BGR = channel-swapped RGB, bitwise (same decode, swapped write order)
+    bgr = native_jpeg.decode_rgb(jpeg, (96, 128), as_bgr=True)
+    np.testing.assert_array_equal(bgr[..., ::-1], rgb)
+
+
+@pytest.mark.skipif(not _native_available(), reason="libjpeg dev unavailable")
+def test_native_rgb_through_image_decoder():
+    from accvlab_tpu.pipeline import native_jpeg
+
+    jpeg = make_jpeg(hw=(64, 96), seed=22)
+
+    def run_decoder(**kw):
+        dec = ImageDecoder("image", **kw)
+        bp = JpegProvider([jpeg]).sample_data_structure
+        bp = dec.check_input_data_format_and_set_output_data_format(bp)
+        sdg = bp.get_empty_like_self()
+        sdg["image"] = jpeg
+        return np.asarray(dec._process(sdg)["image"])
+
+    out = run_decoder()
+    assert out.shape == (64, 96, 3)
+    np.testing.assert_array_equal(out, native_jpeg.decode_rgb(jpeg, (64, 96)))
+    # exact fused resize
+    assert run_decoder(decode_resize_hw=(32, 48)).shape == (32, 48, 3)
+    # scale hint: decode lands at the M/8 size covering the hint
+    hinted = run_decoder(decode_scale_hint_hw=(20, 30))
+    assert hinted.shape[:2] == native_jpeg.scaled_size((64, 96), (20, 30)) + (3,)[:0]
+    assert hinted.shape[:2] == native_jpeg.scaled_size((64, 96), (20, 30))
+    # as_bgr composes
+    np.testing.assert_array_equal(
+        run_decoder(as_bgr=True)[..., ::-1], out
+    )
+
+
+@pytest.mark.skipif(not _native_available(), reason="libjpeg dev unavailable")
+def test_native_rgb_fallbacks():
+    from PIL import Image
+
+    # grayscale JPEG: libjpeg expands to RGB natively
+    g = np.random.default_rng(23).integers(0, 255, (32, 40), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(g).save(buf, format="JPEG", quality=92)
+    gj = np.frombuffer(buf.getvalue(), np.uint8).copy()
+    dec = ImageDecoder("image")
+    bp = JpegProvider([gj]).sample_data_structure
+    bp = dec.check_input_data_format_and_set_output_data_format(bp)
+    sdg = bp.get_empty_like_self()
+    sdg["image"] = gj
+    out = np.asarray(dec._process(sdg)["image"])
+    assert out.shape == (32, 40, 3)
+    assert np.abs(out.astype(int) - g[..., None].astype(int)).mean() < 4.0
+
+    # CMYK JPEG: native path declines, PIL fallback decodes
+    img = np.random.default_rng(24).integers(0, 255, (16, 20, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).convert("CMYK").save(buf, format="JPEG", quality=90)
+    cj = np.frombuffer(buf.getvalue(), np.uint8).copy()
+    sdg = bp.get_empty_like_self()
+    sdg["image"] = cj
+    out = np.asarray(dec._process(sdg)["image"])
+    assert out.shape == (16, 20, 3)
+
+    # PNG bytes: native path declines on magic, PIL decodes
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    png = np.frombuffer(buf.getvalue(), np.uint8).copy()
+    sdg = bp.get_empty_like_self()
+    sdg["image"] = png
+    out = np.asarray(dec._process(sdg)["image"])
+    assert out.shape == (16, 20, 3)
