@@ -88,6 +88,34 @@ void resize_plane(const uint8_t* src, int sh, int sw, int src_stride, int pix,
     }
 }
 
+// Best M/8 DCT scale whose scaled size covers the target on both axes
+// (libjpeg computes scaled dims as ceil(dim*M/8), jdiv_round_up).
+void select_scale(jpeg_decompress_struct* dinfo, int target_h, int target_w) {
+    int m = 8;
+    for (int cand = 1; cand <= 8; ++cand) {
+        long sh = (static_cast<long>(dinfo->image_height) * cand + 7) / 8;
+        long sw = (static_cast<long>(dinfo->image_width) * cand + 7) / 8;
+        if (sh >= target_h && sw >= target_w) {
+            m = cand;
+            break;
+        }
+    }
+    dinfo->scale_num = m;
+    dinfo->scale_denom = 8;
+}
+
+// Drain all scanlines into dst (row stride `stride`), 8 rows per call.
+void read_all_scanlines(jpeg_decompress_struct* dinfo, uint8_t* dst,
+                        size_t stride) {
+    while (dinfo->output_scanline < dinfo->output_height) {
+        uint8_t* rows[8];
+        int n = 0;
+        for (; n < 8 && dinfo->output_scanline + n < dinfo->output_height; ++n)
+            rows[n] = dst + (dinfo->output_scanline + n) * stride;
+        jpeg_read_scanlines(dinfo, rows, n);
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -145,18 +173,7 @@ int ajd_decode_yuv420(const uint8_t* data, uint64_t size, int32_t target_h,
     dinfo.do_fancy_upsampling = FALSE;
     dinfo.dct_method = JDCT_ISLOW;  // the quality baseline (turbo SIMD anyway)
 
-    // best M/8 DCT scale with scaled size >= target on both axes
-    int m = 8;
-    for (int cand = 1; cand <= 8; ++cand) {
-        long sh = (static_cast<long>(dinfo.image_height) * cand + 7) / 8;
-        long sw = (static_cast<long>(dinfo.image_width) * cand + 7) / 8;
-        if (sh >= target_h && sw >= target_w) {
-            m = cand;
-            break;
-        }
-    }
-    dinfo.scale_num = m;
-    dinfo.scale_denom = 8;
+    select_scale(&dinfo, target_h, target_w);
 
     jpeg_start_decompress(&dinfo);
     int sh = dinfo.output_height;
@@ -164,13 +181,7 @@ int ajd_decode_yuv420(const uint8_t* data, uint64_t size, int32_t target_h,
     int ch = dinfo.output_components;  // 3 (YCbCr) or 1 (gray)
     size_t stride = static_cast<size_t>(sw) * ch;
     decoded.resize(stride * sh);
-    while (dinfo.output_scanline < dinfo.output_height) {
-        uint8_t* rows[8];
-        int n = 0;
-        for (; n < 8 && dinfo.output_scanline + n < dinfo.output_height; ++n)
-            rows[n] = decoded.data() + (dinfo.output_scanline + n) * stride;
-        jpeg_read_scanlines(&dinfo, rows, n);
-    }
+    read_all_scanlines(&dinfo, decoded.data(), stride);
     jpeg_finish_decompress(&dinfo);
     jpeg_destroy_decompress(&dinfo);
 
@@ -221,17 +232,7 @@ int ajd_decode_rgb(const uint8_t* data, uint64_t size, int32_t target_h,
     dinfo.out_color_space = JCS_RGB;
     dinfo.dct_method = JDCT_ISLOW;
 
-    int m = 8;
-    for (int cand = 1; cand <= 8; ++cand) {
-        long sh = (static_cast<long>(dinfo.image_height) * cand + 7) / 8;
-        long sw = (static_cast<long>(dinfo.image_width) * cand + 7) / 8;
-        if (sh >= target_h && sw >= target_w) {
-            m = cand;
-            break;
-        }
-    }
-    dinfo.scale_num = m;
-    dinfo.scale_denom = 8;
+    select_scale(&dinfo, target_h, target_w);
 
     jpeg_start_decompress(&dinfo);
     int sh = dinfo.output_height;
@@ -243,14 +244,24 @@ int ajd_decode_rgb(const uint8_t* data, uint64_t size, int32_t target_h,
         return -3;
     }
     size_t stride = static_cast<size_t>(sw) * ch;
-    decoded.resize(stride * sh);
-    while (dinfo.output_scanline < dinfo.output_height) {
-        uint8_t* rows[8];
-        int n = 0;
-        for (; n < 8 && dinfo.output_scanline + n < dinfo.output_height; ++n)
-            rows[n] = decoded.data() + (dinfo.output_scanline + n) * stride;
-        jpeg_read_scanlines(&dinfo, rows, n);
+    if (sh == target_h && sw == target_w) {
+        // exact-size decode (no resize / native-size use): scanlines land
+        // directly in the caller's buffer — no intermediate, no copies
+        read_all_scanlines(&dinfo, out, stride);
+        jpeg_finish_decompress(&dinfo);
+        jpeg_destroy_decompress(&dinfo);
+        if (as_bgr) {
+            size_t px = static_cast<size_t>(target_h) * target_w;
+            for (size_t i = 0; i < px; ++i) {
+                uint8_t t = out[i * 3];
+                out[i * 3] = out[i * 3 + 2];
+                out[i * 3 + 2] = t;
+            }
+        }
+        return 0;
     }
+    decoded.resize(stride * sh);
+    read_all_scanlines(&dinfo, decoded.data(), stride);
     jpeg_finish_decompress(&dinfo);
     jpeg_destroy_decompress(&dinfo);
 

@@ -786,10 +786,22 @@ class TPUPipeline:
         input_state = state.get("input_state")
         if input_state is not None:
             # inputs may expose get_state without set_state (a snapshot of
-            # STATIC resume parameters, e.g. ElasticShardedInputCallable);
-            # restoring such a state is carried by the constructor arguments
+            # STATIC resume parameters, e.g. ElasticShardedInputCallable
+            # implements both, with set_state a documented no-op); a
+            # STATEFUL input lacking set_state cannot be restored — warn
+            # like the stateless-iterable branch below does
             if hasattr(self._definition._input, "set_state"):
                 self._definition._input.set_state(input_state)
+            else:
+                warnings.warn(
+                    "The checkpoint carries an input state (the input "
+                    "implements get_state) but the input has no set_state — "
+                    "the recorded position cannot be restored and the input "
+                    "continues from its current (fresh-constructed) "
+                    "position. Implement set_state, or carry the position "
+                    "through constructor arguments as "
+                    "ElasticShardedInputCallable does."
+                )
         elif isinstance(self._definition._input, IterableBase):
             warnings.warn(
                 "Resuming a pipeline over an iterable input without a saved "

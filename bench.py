@@ -354,8 +354,10 @@ def main():
     _idle_thread = threading.Thread(target=_measure_idle, daemon=True)
     _idle_thread.start()
     _idle_thread.join(timeout=max(30.0, deadline - time.time()))
-    idle = _idle_box.get("v")
+    # liveness BEFORE reading the box: a measurement finishing between the
+    # two reads must be kept, not reported as null
     idle_timed_out = _idle_thread.is_alive()
+    idle = _idle_box.get("v")
     if idle_timed_out:
         log(
             "idle measurement exceeded the wall budget (tunnel slow-compile "
