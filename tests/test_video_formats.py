@@ -200,3 +200,32 @@ def test_cache_capacity_one_thrash(tmp_path):
     decoder.GetGOP([paths[1]], [5], useGOPCache=True)
     decoder.GetGOP([paths[1]], [6], useGOPCache=True)
     assert decoder.isCacheHit() == [True]
+
+
+@pytest.mark.parametrize("codec,fmt,opts", PIX_FMT_MATRIX, ids=lambda v: str(v))
+def test_pix_fmt_variant_fused_resize(tmp_path, codec, fmt, opts):
+    """out_hw (fused decode+resize) across the codec/bit-depth matrix: RGB
+    and YUV-wire outputs land at the target size with area-averaged content
+    (10-bit sources dither down to 8 inside swscale)."""
+    frames = make_moving_shape_frames(16, hw=(64, 96), seed=9)
+    path = str(tmp_path / f"{codec}_{fmt}_rs.mp4")
+    write_video(path, frames, fps=12, gop_size=8, codec=codec, options=opts)
+
+    dec = GopDecoder()
+    for fid in (3, 11):
+        [rgb] = dec.Decode([path], [fid], out_hw=(32, 48))
+        assert rgb.shape == (32, 48, 3)
+        src = frames[fid].reshape(32, 2, 48, 2, 3).astype(np.float64).mean(axis=(1, 3))
+        assert np.abs(rgb.astype(np.float64) - src).mean() < DIFF_TOLERANCE
+        [yf] = dec.DecodeYUV([path], [fid], out_hw=(32, 48))
+        assert yf.y.shape == (32, 48) and yf.cbcr.shape == (16, 24, 2)
+        assert np.abs(yf.to_rgb().astype(np.float64) - src).mean() < DIFF_TOLERANCE
+
+
+def test_av1_fused_resize(av1_clip):
+    path, frames = av1_clip
+    dec = GopDecoder()
+    [rgb] = dec.Decode([path], [7], out_hw=(32, 48))
+    assert rgb.shape == (32, 48, 3)
+    src = frames[7].reshape(32, 2, 48, 2, 3).astype(np.float64).mean(axis=(1, 3))
+    assert np.abs(rgb.astype(np.float64) - src).mean() < DIFF_TOLERANCE
