@@ -264,15 +264,54 @@ def measure_input_idle(pipe, num_cams, n_iters=6, width=64):
     return idle
 
 
-def main():
-    import jax
+def _wait_for_tunnel(budget_s: float) -> bool:
+    """Probe the remote-attach tunnel in a SUBPROCESS (a wedged backend
+    hangs even `jax.devices()` in-process, unkillable from Python) until it
+    answers or `budget_s` runs out. Lets a single driver invocation survive
+    a wedge that ends mid-window instead of silently burning the whole
+    timeout inside backend init."""
+    import subprocess
 
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "tpu_probe.py")
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, probe], timeout=75,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    log(f"tunnel healed after {time.time() - t0:.0f}s of probing")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = budget_s - (time.time() - t0)
+        log(f"tunnel probe {attempt} failed (wedge); {remaining:.0f}s of probe budget left")
+        if remaining <= 30.0:
+            return False
+        time.sleep(min(30.0, remaining))
+
+
+def main():
     # wall-clock deadline: the driver runs this under ~590 s. The JSON line
     # MUST be printed even if a late phase (the idle measurement's train-step
     # compile) hits a tunnel slow-compile episode — see the bounded thread
     # around measure_input_idle below.
     t_wall0 = time.time()
     deadline = t_wall0 + float(os.environ.get("ACCVLAB_BENCH_DEADLINE_S", "520"))
+
+    # a wedged tunnel hangs backend init itself: probe (subprocess) before
+    # importing/initializing jax in THIS process, waiting out a short wedge
+    if not _wait_for_tunnel(budget_s=180.0):
+        log("tunnel is wedged (see docs/bench_watch_r03.jsonl wedge notes); "
+            "no measurement possible — exiting without a JSON line")
+        sys.exit(3)
+
+    import jax
 
     log("devices:", jax.devices())
     batch_size = 8
