@@ -70,14 +70,28 @@ def _validate_ids_eager(ids, num_valid: int, what: str, live_mask=None):
     ``live_mask`` restricts the check to live targets (padding is
     unconstrained by contract).
 
-    Cost note: for eager jax-array inputs the ``np.asarray`` reads force a
-    small device->host transfer per call (the id arrays only). This mirrors
-    the reference plugin, which re-validates every batch in ``SetupImpl``;
-    hot training loops should jit the draw (recommended for TPU dispatch
-    anyway), which skips the read and gets the mask-out semantics."""
+    Cost note: ACCELERATOR-resident ``jax.Array`` ids are NOT read back —
+    the ``np.asarray`` would force a device->host sync per draw call, a
+    hidden hot-loop stall for 'auto' users who never jit (ADVICE r3; ~42 ms
+    per sync through the remote-attach tunnel). They get the same mask-out
+    semantics as traced inputs (the drawing math masks invalid ids
+    arithmetically on every path, so nothing is ever silently drawn into a
+    clamped real channel). Host-cheap inputs — numpy / python values and
+    CPU-backend jax arrays — are validated eagerly, mirroring the reference
+    plugin's per-batch ``SetupImpl`` check."""
     import numpy as np
 
-    if isinstance(ids, jax.core.Tracer) or isinstance(live_mask, jax.core.Tracer):
+    def _traced_or_device_resident(x):
+        if isinstance(x, jax.core.Tracer):
+            return True
+        if isinstance(x, jax.Array):
+            try:
+                return any(d.platform != "cpu" for d in x.devices())
+            except Exception:
+                return True  # can't tell -> never risk a hidden sync
+        return False
+
+    if _traced_or_device_resident(ids) or _traced_or_device_resident(live_mask):
         return
     ids_np = np.asarray(ids)
     bad = (ids_np < 0) | (ids_np >= num_valid)

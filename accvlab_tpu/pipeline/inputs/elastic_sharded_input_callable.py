@@ -177,8 +177,14 @@ def elastic_reshard(
         * ``new_state`` — feed to ``TPUPipeline.set_state`` on the new
           fleet: the consumed prefix moves into the input offset, so the
           epoch-local iteration restarts at 0; ``global_batch`` (the
-          device augmentation key stream) stays monotone so no RNG key is
-          ever reused.
+          device augmentation key stream) stays monotone so no
+          fresh-sample key ever collides with an earlier batch's. (One
+          deliberate exception: resuming a MID-ECHO checkpoint restarts
+          the partially-delivered host batch at echo 0 with the same
+          ``global_batch``, so the replays already delivered on the old
+          fleet re-derive their keys for the re-produced — differently
+          composed — batch. Statistically harmless: the samples under the
+          key differ.)
     """
     if pipeline_state.get("version") != 1:
         raise ValueError(

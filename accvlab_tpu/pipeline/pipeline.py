@@ -25,6 +25,7 @@ accepted for API parity and ignored.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -217,7 +218,8 @@ class TPUPipeline:
             if parallel
             else None
         )
-        self._device_fns: dict = {}  # built lazily (jit), keyed by donation
+        # built lazily (jit), keyed by (donate, batch shape signature)
+        self._device_fns: dict = {}
 
         self._epoch = 0
         self._iteration = 0
@@ -266,6 +268,7 @@ class TPUPipeline:
         self._stat_producer_blocked_s = 0.0
         self._stat_consumer_wait_s = 0.0
         self._stat_device_stage_s = 0.0
+        self._stat_transfer_bytes = 0  # bytes of the last H2D transfer
 
     # ------------------------------------------------------------------ #
     # Host stage                                                         #
@@ -452,9 +455,10 @@ class TPUPipeline:
         # trace (eval_shape) gives the output spec, and the inputs split
         # into a donated tuple and a kept tuple. The multiset matching
         # mirrors XLA's own input-output aliasing rule, so the donation
-        # warning only ever fires for a genuine, actionable reason (and for
-        # batches whose re-traced shapes — e.g. string fields padded to a
-        # new batch max — shifted the matching; harmless).
+        # warning only ever fires for a genuine, actionable reason. The
+        # caller caches one built fn per batch shape signature, so varying
+        # leaf shapes (string fields padded to a per-batch max) each get
+        # their own correctly matched split.
         if not donate:  # echo replays reuse the transferred buffers
             return jax.jit(device_fn_all)
         out_spec = jax.eval_shape(device_fn_all, example_batch, example_key)
@@ -496,6 +500,12 @@ class TPUPipeline:
         mesh is configured."""
         import jax
 
+        # observability: actual bytes crossing the host->device wire per
+        # batch (reflects the wire format incl. compression — see stats())
+        self._stat_transfer_bytes = sum(
+            a.nbytes for a in host_batch if hasattr(a, "nbytes")
+        )
+
         if self._mesh is not None:
             from ..parallel import shard_batch
 
@@ -532,11 +542,20 @@ class TPUPipeline:
         # slow-compile paths the persistent compilation cache absorbs the
         # second compile across runs.
         donate = echo_i == self._echo_factor - 1
-        if self._device_fns.get(donate) is None:
-            self._device_fns[donate] = self._build_device_fn(
+        # keyed by the batch's (shape, dtype) signature, not just the donate
+        # flag: the donated/kept leaf split is computed from the traced
+        # output spec, and a pipeline whose leaf shapes vary across batches
+        # (e.g. string fields padded to a per-batch max) needs a correctly
+        # matched split per shape family — reusing the first batch's split
+        # would silently drop donation and warn on every retrace (ADVICE r3)
+        sig = (donate,) + tuple(
+            (tuple(leaf.shape), str(leaf.dtype)) for leaf in host_batch
+        )
+        if self._device_fns.get(sig) is None:
+            self._device_fns[sig] = self._build_device_fn(
                 host_batch, key, donate=donate
             )
-        fn = self._device_fns[donate]
+        fn = self._device_fns[sig]
         if self._mesh is not None:
             with self._mesh:
                 return fn(host_batch, key), host_batch
@@ -677,7 +696,15 @@ class TPUPipeline:
         self._producer_stop.set()
         t = self._producer
         if t is not None and t.is_alive():
-            warn_at = time.monotonic() + 15.0
+            # Bounded: an input callable stuck in external I/O (this repo
+            # documents multi-hour remote-tunnel wedges) must not turn
+            # reset()/set_state() into an unbounded hang. Within the bound we
+            # DO wait — proceeding while the old producer is mid-batch breaks
+            # the bit-identical resume guarantee (it would overwrite restored
+            # counters and race the replacement producer on next(input)).
+            bound = float(os.environ.get("ACCVLAB_HALT_TIMEOUT_S", "60"))
+            t0 = time.monotonic()
+            warn_at = t0 + 15.0
             while t.is_alive():
                 try:
                     while True:
@@ -685,12 +712,21 @@ class TPUPipeline:
                 except queue.Empty:
                     pass
                 t.join(timeout=0.25)
-                if t.is_alive() and time.monotonic() >= warn_at:
+                now = time.monotonic()
+                if t.is_alive() and now >= warn_at:
                     warnings.warn(
                         "pipeline producer is still finishing its in-flight "
                         "host batch; waiting for it to stop cleanly"
                     )
                     warn_at = float("inf")
+                if t.is_alive() and now - t0 >= bound:
+                    raise RuntimeError(
+                        f"pipeline producer did not stop within "
+                        f"{bound:.0f}s (ACCVLAB_HALT_TIMEOUT_S) — the input "
+                        "callable appears stuck in external I/O. The "
+                        "pipeline state is NOT safe for an exact resume; "
+                        "fix or time-box the input, or raise the bound."
+                    )
         self._queue = queue.Queue(maxsize=self._depth)
         self._producer = None
         # in-progress echo replays are prefetched state too: discard
@@ -698,17 +734,30 @@ class TPUPipeline:
         self._echo_start = 0
         self._consumed_echo_next = 0
 
-    def reset(self):
-        """Start the next epoch (parity with DALI iterator reset).
+    def _reset_from_iterator_front(self):
+        """Reset issued by an iterator front on construction
+        (``StructuredOutputIterator.SimpleIterator.__init__``).
 
-        The first ``reset()`` after :meth:`set_state` is a no-op: iterator
-        fronts (``StructuredOutputIterator.SimpleIterator``, DALI parity)
-        reset on construction, which would otherwise bump the epoch and
-        discard the just-restored position before a single batch of the
-        resumed run was consumed."""
+        The first such reset after :meth:`set_state` is a no-op: iterator
+        fronts reset on construction (DALI parity), which would otherwise
+        bump the epoch and discard the just-restored position before a
+        single batch of the resumed run was consumed. Only THIS construction
+        path consumes the armed flag — a user-initiated :meth:`reset` after
+        ``set_state`` is a genuine epoch restart and always executes."""
         if self._resume_armed:
             self._resume_armed = False
             return
+        self.reset()
+
+    def reset(self):
+        """Start the next epoch (parity with DALI iterator reset).
+
+        Always a real reset: a reset issued after :meth:`set_state` restarts
+        the epoch (discarding the restored position). The one automatic
+        reset that iterator fronts issue on construction goes through
+        :meth:`_reset_from_iterator_front` instead, which is the only path
+        the post-``set_state`` no-op applies to."""
+        self._resume_armed = False
         self._halt_producer()
         if self._exhausted or self._iteration > 0:
             self._epoch += 1
@@ -856,6 +905,9 @@ class TPUPipeline:
         * ``queue_depth`` / ``queue_size`` — prefetch ring capacity and its
           current occupancy (persistently 0 ⇒ input-bound, persistently
           full ⇒ device-bound).
+        * ``bytes_per_batch`` — actual bytes of the most recent
+          host->device transfer (reflects the configured wire format,
+          including :class:`WirePlanePacker` compression).
         * ``input_bound_frac`` — ``consumer_wait_s`` as a fraction of
           consumer wall time (wait + device stage); ~0 means the prefetch
           ring fully hides host work, ~1 means the device starves.
@@ -877,6 +929,7 @@ class TPUPipeline:
             "device_stage_s": dev,
             "queue_depth": self._depth,
             "queue_size": self._queue.qsize(),
+            "bytes_per_batch": self._stat_transfer_bytes,
             "input_bound_frac": (wait / denom) if denom > 0.0 else 0.0,
         }
 

@@ -25,7 +25,11 @@ class StructuredOutputIterator:
 
         def __init__(self, obj: "StructuredOutputIterator"):
             self._obj = obj
-            self.reset()
+            # construction-time reset goes through the iterator-front path:
+            # it is the ONE reset that must be a no-op right after a
+            # set_state resume (the restored position would otherwise be
+            # discarded before the first resumed batch was consumed)
+            obj._pipeline._reset_from_iterator_front()
 
         def __next__(self):
             return self._obj._next()

@@ -225,11 +225,15 @@ def test_device_stage_is_jitted_once():
     )
     assert pipe._device_steps, "expected a device-placed step"
     pipe.run()
-    # echo_factor=1: every call is a final (donating) pass -> one variant
-    assert set(pipe._device_fns) == {True}
-    fn1 = pipe._device_fns[True]
+    # echo_factor=1 + uniform batch shapes: every call is a final (donating)
+    # pass over one shape family -> exactly one cached variant, keyed by
+    # (donate, batch shape signature)
+    assert len(pipe._device_fns) == 1
+    (sig,) = pipe._device_fns
+    assert sig[0] is True  # the donating variant
+    fn1 = pipe._device_fns[sig]
     pipe.run()
-    assert pipe._device_fns[True] is fn1 and set(pipe._device_fns) == {True}
+    assert pipe._device_fns[sig] is fn1 and len(pipe._device_fns) == 1
     pipe.stop()
 
 

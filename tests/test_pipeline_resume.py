@@ -317,8 +317,9 @@ def test_structured_output_iterator_passthrough():
 
 
 def test_reset_after_resume_is_armed_once():
-    """set_state arms exactly ONE no-op reset (the iterator-front reset);
-    a reset after iteration resumed is a genuine epoch boundary again."""
+    """set_state arms exactly ONE no-op reset, and only for the
+    iterator-front construction path; a second front reset is a genuine
+    epoch boundary again."""
     pipe = _build()
     _ = pipe.run()
     state = pipe.get_state()
@@ -327,14 +328,37 @@ def test_reset_after_resume_is_armed_once():
 
     fresh = _build()
     fresh.set_state(state)
-    fresh.reset()  # iterator-front reset: must be a no-op
+    fresh._reset_from_iterator_front()  # front reset: must be a no-op
     assert fresh.get_state() == state
     got = _batch_arrays(fresh.run())
     _assert_batches_equal(expected, got)
     epoch_before = fresh.get_state()["epoch"]
-    fresh.reset()  # armed flag was consumed: this one starts a new epoch
+    fresh._reset_from_iterator_front()  # armed flag consumed: new epoch
     assert fresh.get_state()["epoch"] == epoch_before + 1
     assert fresh.get_state()["iteration"] == 0
+    fresh.stop()
+
+
+def test_user_reset_after_set_state_is_a_real_restart():
+    """A USER-initiated reset() right after set_state is a genuine epoch
+    restart — it must not be silently swallowed by the iterator-front
+    no-op arming (ADVICE r3: the old heuristic consumed ANY next reset)."""
+    pipe = _build()
+    _ = pipe.run()
+    state = pipe.get_state()
+    pipe.stop()
+
+    fresh = _build()
+    fresh.set_state(state)
+    epoch_restored = fresh.get_state()["epoch"]
+    fresh.reset()  # explicit user restart: must advance the epoch
+    st = fresh.get_state()
+    assert st["epoch"] == epoch_restored + 1
+    assert st["iteration"] == 0
+    # and the armed flag is gone: an iterator front constructed NOW
+    # performs a plain reset (same epoch — nothing was consumed yet)
+    fresh._reset_from_iterator_front()
+    assert fresh.get_state()["epoch"] == st["epoch"]
     fresh.stop()
 
 
