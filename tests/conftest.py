@@ -37,6 +37,14 @@ def _cpu_mesh_env(env):
     flags = env.get("XLA_FLAGS", "")
     if "--xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # NOTE (round 4): a persistent XLA:CPU compile cache for the suite was
+    # tried and reverted — XLA's AOT loader flags every reload with
+    # SIGILL-risk feature-mismatch errors even for SAME-host entries (its
+    # feature comparison includes compile-side pseudo-features like
+    # +prefer-no-scatter that the host probe never reports), flooding
+    # stderr on every test. Do not re-add without verifying that loader
+    # check has been fixed upstream.
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
     return env
 
 
