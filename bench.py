@@ -292,9 +292,13 @@ def _wait_for_tunnel(budget_s: float) -> bool:
     attempt = 0
     while True:
         attempt += 1
+        # per-attempt timeout never overruns the budget: a small configured
+        # deadline must still leave room to emit the stale-fallback JSON
+        # line INSIDE the deadline (the whole point of the budget)
+        attempt_timeout = min(75.0, max(10.0, budget_s - (time.time() - t0)))
         try:
             r = subprocess.run(
-                [sys.executable, probe], timeout=75,
+                [sys.executable, probe], timeout=attempt_timeout,
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             )
             if r.returncode == 0:
@@ -377,8 +381,10 @@ def main():
 
     # a wedged tunnel hangs backend init itself: probe (subprocess) before
     # importing/initializing jax in THIS process, waiting out a wedge for as
-    # long as the deadline allows (leave ~180 s to actually measure)
-    if not _wait_for_tunnel(budget_s=max(120.0, deadline - time.time() - 180.0)):
+    # long as the deadline allows (reserve ~180 s to actually measure; for
+    # small configured deadlines the budget shrinks so the stale-fallback
+    # JSON still lands inside the deadline)
+    if not _wait_for_tunnel(budget_s=max(30.0, deadline - time.time() - 180.0)):
         log("tunnel is wedged for the whole probe budget; emitting the "
             "freshest committed watch datapoint explicitly marked stale")
         if _emit_stale_fallback():

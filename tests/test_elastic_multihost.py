@@ -63,9 +63,16 @@ def _run_fleet(n_deliveries, echo_factor):
         )
         for pid in range(2)
     ]
+    # drain both workers CONCURRENTLY: they run collectives in lockstep, so
+    # a sequential communicate() would leave the second worker's pipes
+    # unread — if its stderr outgrows the OS pipe buffer it blocks inside a
+    # collective and the pair deadlocks until the timeout
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(procs)) as pool:
+        results = list(pool.map(lambda p: p.communicate(timeout=220), procs))
     payloads = {}
-    for p in procs:
-        out, err = p.communicate(timeout=220)
+    for p, (out, err) in zip(procs, results):
         assert p.returncode == 0, f"worker failed:\nstdout:{out}\nstderr:{err[-3000:]}"
         line = [l for l in out.splitlines() if l.startswith("ELASTIC ")]
         assert line, out

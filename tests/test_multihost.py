@@ -43,9 +43,14 @@ def test_two_process_shard_batch_and_input_sharding():
         )
         for pid in range(2)
     ]
+    # drain both workers concurrently: lockstep collectives + an unread
+    # stderr pipe can deadlock a sequential communicate() (pipe-buffer fill)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(len(procs)) as pool:
+        results = list(pool.map(lambda p: p.communicate(timeout=220), procs))
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=220)
+    for p, (out, err) in zip(procs, results):
         assert p.returncode == 0, f"worker failed:\nstdout:{out}\nstderr:{err[-3000:]}"
         outs.append(out)
 
