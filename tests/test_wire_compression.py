@@ -170,14 +170,16 @@ def test_batch_uniform_shapes_across_samples():
 
 
 def test_optimal_width_cost_model():
+    # operates on zigzag VALUES (not bit lengths)
     # all-zero residuals -> b = 0
-    assert _optimal_width(np.zeros((100,), np.uint8)) == 0
-    # uniform 5-bit values -> b = 5 (exceptions would cost 64 bits each)
-    assert _optimal_width(np.full((100,), 5, np.uint8)) == 5
-    # mostly 3-bit with a few 9-bit outliers -> keep b = 3, pay exceptions
-    bl = np.full((1000,), 3, np.uint8)
-    bl[:5] = 9
-    assert _optimal_width(bl) == 3
+    assert _optimal_width(np.zeros((100,), np.uint16)) == 0
+    # uniform 5-bit values (31 needs 5 bits) -> b = 5
+    assert _optimal_width(np.full((100,), 31, np.uint16)) == 5
+    # mostly 3-bit values with a few 9-bit outliers -> keep b = 3, pay
+    # exceptions (cheaper than widening every value)
+    zz = np.full((1000,), 7, np.uint16)
+    zz[:5] = 510
+    assert _optimal_width(zz) == 3
 
 
 def test_zigzag_mapping():
