@@ -32,6 +32,8 @@ from accvlab_tpu.pipeline.processing_steps import (
     ImageMeanStdDevNormalizer,
     PhotoMetricDistorter,
     TensorSizeAdder,
+    WirePlanePacker,
+    WirePlaneUnpacker,
     YCbCrToRGBConverter,
 )
 from accvlab_tpu.parallel import host_shard_info
@@ -110,6 +112,11 @@ def build_pipeline(batch_size=4):
         # first device step fuses the color conversion — the TPU analog of
         # the reference's NVDEC->ColorSpace.cu split
         ImageDecoder("image", wire_format="yuv420"),
+        # lossless wire compression on top of the YUV wire: bitplane-packed
+        # predictor residuals, decompressed INSIDE the jitted device program
+        # (bit-identical; ~1.2-2x fewer bytes over the host->device wire)
+        WirePlanePacker(["image", "image_cbcr"]),
+        WirePlaneUnpacker(["image", "image_cbcr"]),
         YCbCrToRGBConverter("image"),
         TensorSizeAdder("image", "_hw"),
         AffineTransformer(
