@@ -271,3 +271,73 @@ def test_pipeline_compressed_yuv_wire_bit_identical():
         np.testing.assert_array_equal(
             np.asarray(base[k]), np.asarray(packed[k]), err_msg=f"field {k}"
         )
+
+
+def test_packed_wire_with_echo_mid_resume_bitwise():
+    """Wire compression x data echoing x checkpoint/resume: replays reuse
+    the transferred PACKED buffers (decode re-runs per replay with its own
+    augmentation key), donation applies only on the final replay, and a
+    mid-echo resume continues bit-identically."""
+    from accvlab_tpu.pipeline.processing_steps import PhotoMetricDistorter
+
+    jpegs = [make_jpeg(seed=s) for s in range(8)]
+
+    def build():
+        inp = ShuffledShardedInputCallable(
+            JpegProvider(jpegs), batch_size=2, shuffle=True
+        )
+        defn = PipelineDefinition(
+            inp,
+            [
+                ImageDecoder("image", wire_format="yuv420"),
+                WirePlanePacker(["image", "image_cbcr"]),
+                WirePlaneUnpacker(["image", "image_cbcr"]),
+                YCbCrToRGBConverter("image"),
+                PhotoMetricDistorter(
+                    "image",
+                    min_max_brightness=(-10.0, 10.0),
+                    min_max_hue=(-5.0, 5.0),
+                    min_max_contrast=(0.9, 1.1),
+                    min_max_saturation=(0.9, 1.1),
+                ),
+            ],
+            copy_external_source_passthrough_outputs=False,
+        )
+        return defn.get_pipeline(
+            batch_size=2, num_threads=2, seed=3, echo_factor=2
+        )
+
+    ref = build()
+    try:
+        stream = [
+            {k: np.asarray(v) for k, v in ref.run().items()} for _ in range(6)
+        ]
+    finally:
+        ref.stop()
+
+    # replays of one host batch differ only by augmentation (same source)
+    assert not np.array_equal(stream[0]["image"], stream[1]["image"])
+
+    # mid-echo checkpoint (after the first replay of host batch 1)
+    pipe = build()
+    try:
+        for i in range(3):
+            got = {k: np.asarray(v) for k, v in pipe.run().items()}
+            for k in got:
+                np.testing.assert_array_equal(got[k], stream[i][k])
+        state = pipe.get_state()
+        assert state["echo"] == {"factor": 2, "next": 1}
+    finally:
+        pipe.stop()
+
+    fresh = build()
+    try:
+        fresh.set_state(state)
+        for i in range(3, 6):
+            got = {k: np.asarray(v) for k, v in fresh.run().items()}
+            for k in got:
+                np.testing.assert_array_equal(
+                    got[k], stream[i][k], err_msg=f"batch {i} field {k}"
+                )
+    finally:
+        fresh.stop()
