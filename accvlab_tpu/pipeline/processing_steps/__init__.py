@@ -8,7 +8,12 @@ step; see per-class docstrings for parity citations).
 from .pipeline_step_base import BatchLevelStepBase, PipelineStepBase
 from .image_decoder import ImageDecoder
 from .color_converter import YCbCrToRGBConverter
-from .wire_compression import WirePlanePacker, WirePlaneUnpacker
+from .wire_compression import (
+    WirePlanePacker,
+    WirePlaneUnpacker,
+    compress_plane,
+    decompress_plane,
+)
 from .image_normalizers import ImageMeanStdDevNormalizer, ImageRange01Normalizer
 from .padders import ImageToTileSizePadder, PaddingToUniform
 from .field_utils import AxesLayoutSetter, TensorSizeAdder, UnneededFieldRemover
@@ -59,4 +64,6 @@ __all__ = [
     "YCbCrToRGBConverter",
     "WirePlanePacker",
     "WirePlaneUnpacker",
+    "compress_plane",
+    "decompress_plane",
 ]

@@ -69,6 +69,65 @@ _MAX_BITS = 9
 _SUFFIXES = ("_wire_row0", "_wire_bp", "_wire_excp", "_wire_excv")
 
 
+def _encode_residuals(plane: np.ndarray):
+    """-> (row0, zz (H-1, Wr) uint16, cumulative value histogram)."""
+    if plane.dtype != np.uint8:
+        raise TypeError(
+            f"WirePlanePacker compresses uint8 planes, got {plane.dtype}"
+        )
+    if plane.ndim < 2:
+        raise ValueError(
+            f"WirePlanePacker needs >=2-D planes, got shape {plane.shape}"
+        )
+    h = plane.shape[0]
+    wr = int(np.prod(plane.shape[1:]))
+    if wr % 8 != 0:
+        raise ValueError(
+            f"WirePlanePacker: row width {wr} (shape {plane.shape}) must "
+            "be divisible by 8 (bit-packing granularity)"
+        )
+    p = plane.reshape(h, wr).astype(np.int16)
+    res = p[1:] - p[:-1]
+    zz = _zigzag(res)
+    hist_cum = np.cumsum(np.bincount(zz.ravel(), minlength=1 << _MAX_BITS))
+    return plane[0].copy(), zz, hist_cum
+
+
+def compress_plane(plane: np.ndarray, min_exc_capacity: int = _MIN_EXC_BUCKET):
+    """Functional host-side encode of one uint8 plane (outside the pipeline).
+
+    Returns ``{"row0", "bp", "excp", "excv"}`` numpy arrays in the wire
+    format described in the module docstring; feed them (after transfer) to
+    :func:`decompress_plane` inside a jitted program. For batched use with
+    uniform shapes, pad ``bp`` / the exception lists to common sizes or use
+    the :class:`WirePlanePacker` pipeline step, which does it per batch.
+    """
+    row0, zz, hist_cum = _encode_residuals(np.asarray(plane))
+    b = _optimal_width(hist_cum, zz.size)
+    planes = np.empty((b, zz.shape[0], zz.shape[1] // 8), np.uint8)
+    for k in range(b):
+        planes[k] = np.packbits(((zz >> k) & 1).astype(np.uint8), axis=-1)
+    pos = np.flatnonzero(zz >= (1 << b)).astype(np.int32)
+    e = max(int(min_exc_capacity), pos.size)
+    excp = np.full((e,), zz.size, np.int32)
+    excv = np.zeros((e,), np.int32)
+    excp[: pos.size] = pos
+    excv[: pos.size] = zz.reshape(-1)[pos].astype(np.int32)
+    return {"row0": row0, "bp": planes, "excp": excp, "excv": excv}
+
+
+def decompress_plane(fields) -> "jax.Array":  # noqa: F821 - doc type only
+    """Functional jit-compatible decode of :func:`compress_plane` output.
+
+    ``fields`` is the dict (or any mapping) of the four wire arrays; returns
+    the exact original uint8 plane. Pure XLA — safe to call inside jit/vmap
+    (shapes are static per ``(b, E)`` family).
+    """
+    return WirePlaneUnpacker._decode(
+        fields["row0"], fields["bp"], fields["excp"], fields["excv"]
+    )
+
+
 def _zigzag(r: np.ndarray) -> np.ndarray:
     """Map signed residuals to unsigned: 0,-1,1,-2,2 -> 0,1,2,3,4.
 
@@ -144,29 +203,6 @@ class WirePlanePacker(BatchLevelStepBase):
 
     # ------------------------------------------------------------------ #
 
-    def _encode_residuals(self, plane: np.ndarray):
-        """-> (row0, zz (H-1, Wr) uint16, cumulative value histogram)."""
-        if plane.dtype != np.uint8:
-            raise TypeError(
-                f"WirePlanePacker compresses uint8 planes, got {plane.dtype}"
-            )
-        if plane.ndim < 2:
-            raise ValueError(
-                f"WirePlanePacker needs >=2-D planes, got shape {plane.shape}"
-            )
-        h = plane.shape[0]
-        wr = int(np.prod(plane.shape[1:]))
-        if wr % 8 != 0:
-            raise ValueError(
-                f"WirePlanePacker: row width {wr} (shape {plane.shape}) must "
-                "be divisible by 8 (bit-packing granularity)"
-            )
-        p = plane.reshape(h, wr).astype(np.int16)
-        res = p[1:] - p[:-1]
-        zz = _zigzag(res)
-        hist_cum = np.cumsum(np.bincount(zz.ravel(), minlength=1 << _MAX_BITS))
-        return plane[0].copy(), zz, hist_cum
-
     def _process_batch(
         self, samples: List[SampleDataGroup]
     ) -> List[SampleDataGroup]:
@@ -177,7 +213,7 @@ class WirePlanePacker(BatchLevelStepBase):
             for name in self._field_names:
                 for ip in sdg.find_all_occurrences(name):
                     plane = np.asarray(sdg.get_item_in_path(ip))
-                    row0, zz, hist_cum = self._encode_residuals(plane)
+                    row0, zz, hist_cum = _encode_residuals(plane)
                     encoded.append((si, tuple(ip), row0, zz, hist_cum, name))
                     width[name] = max(
                         width.get(name, 0), _optimal_width(hist_cum, zz.size)

@@ -341,3 +341,20 @@ def test_packed_wire_with_echo_mid_resume_bitwise():
                 )
     finally:
         fresh.stop()
+
+
+def test_functional_api_roundtrip():
+    """compress_plane / decompress_plane: the codec outside the pipeline
+    (e.g. hand-built video-frame transfer paths)."""
+    import jax
+
+    from accvlab_tpu.pipeline.processing_steps import (
+        compress_plane,
+        decompress_plane,
+    )
+
+    for kind in ("smooth", "noise", "constant"):
+        plane = make_plane(kind, shape=(40, 64))
+        fields = compress_plane(plane)
+        got = np.asarray(jax.jit(decompress_plane)(fields))
+        np.testing.assert_array_equal(got, plane)
