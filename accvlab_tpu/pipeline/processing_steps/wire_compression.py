@@ -16,37 +16,51 @@ This module implements exactly that, TPU-first:
   predictive code (numpy, vectorized).
 * :class:`WirePlaneUnpacker` — the matching device step whose decode is pure
   XLA: fixed-shape reshape/shift bit-unpacking (no gathers), one bounded
-  scatter for the exception list, and a column cumsum — all fused into the
-  pipeline's single batched device program.
+  scatter for the exception list, and one or two cumsums — all fused into
+  the pipeline's single batched device program.
 
-Wire format (per plane field ``F`` of shape ``(H, ...)``, row width
+Predictors (chosen per batch per field, by measured cost):
+
+* mode 1 — "vertical": ``r[y] = p[y] - p[y-1]`` (row 0 is horizontally
+  differenced). Inverse: cumsum row 0 along the row, then cumsum down the
+  columns. Robust on high-entropy content.
+* mode 2 — "plane": ``r = p - up - left + upleft`` (the 2-D second
+  difference). Inverse: cumsum along the row axis, then down the columns —
+  still fully parallel, and ~25% fewer bits than vertical on photographic
+  content (the MED/Paeth predictors compress similarly but need a
+  sequential 2-D wavefront to invert — unusable on a vector machine).
+
+Wire format (per plane field ``F`` of shape ``(H, d1, ...)``, row width
 ``Wr = prod(shape[1:])``, ``Wr % 8 == 0``):
 
-* ``F_wire_row0``  uint8 ``shape[1:]`` — the first row, raw.
-* ``F_wire_bp``    uint8 ``(b, H-1, Wr/8)`` — bitplanes (LSB first) of the
-  zigzag-mapped vertical residual ``r[y] = p[y] - p[y-1]``; plane ``k`` holds
-  bit ``k``, 8 pixels per byte along the row (``np.packbits`` big-bit-order).
-* ``F_wire_excp``  int32 ``(E,)`` — flat indices (into the ``(H-1, Wr)``
+* ``F_wire_bp``    uint8 ``(b, H, Wr/8)`` — bitplanes (LSB first) of the
+  zigzag-mapped residual; plane ``k`` holds bit ``k``, 8 values per byte
+  along the row (``np.packbits`` big-bit-order).
+* ``F_wire_excp``  int32 ``(E,)`` — flat indices (into the ``(H, Wr)``
   residual array) of values needing more than ``b`` bits ("patched
-  frame-of-reference" exceptions); padded with ``(H-1)*Wr`` (out of range,
+  frame-of-reference" exceptions); padded with ``H*Wr`` (out of range,
   dropped by the device scatter).
 * ``F_wire_excv``  int32 ``(E,)`` — the full zigzag residual at those
   positions; padding zeros.
+* ``F_wire_mode``  uint8 ``(mode, d1, ...)`` — zeros; its SHAPE carries the
+  predictor mode (leading axis length 1 or 2) and the plane's trailing
+  layout (the row axis for the horizontal cumsum). Shapes are part of the
+  jit cache key, so each mode compiles its own correct program variant.
 
-``b`` is chosen per batch (max over samples of each sample's cost-optimal
-width) and ``E`` is the per-batch max exception count bucketed to a power of
-two — so the device program shapes are uniform within a batch and stable
-across batches of similar content (each distinct ``(b, E)`` pair compiles one
-program variant; the executor caches per shape signature).
+``b`` and the predictor mode are chosen per batch (total measured cost over
+samples) and ``E`` is the per-batch max exception count bucketed to a power
+of two — so the device program shapes are uniform within a batch and stable
+across batches of similar content.
 
 Decoded output is **bit-identical** to the input plane: residuals are exact
-integer differences, the cumsum telescopes back to the original values.
+integer differences, the cumsums telescope back to the original values.
 
 Measured on the headline bench content (synthetic quality-90 JPEGs, YUV
-4:2:0 wire): ~1.29x on Y, ~1.10x on CbCr => ~1.22x fewer bytes end-to-end,
-which converts 1:1 into throughput when the wire is the bottleneck. Natural
-imagery compresses better (vertical-predictor residual coding typically
-reaches 1.5-2x on photographic content).
+4:2:0 wire): plane predictor ~1.59x on Y, ~1.28x on CbCr => ~1.45x fewer
+bytes end-to-end, which converts 1:1 into throughput when the wire is the
+bottleneck. Natural imagery compresses better still; on incompressible
+noise the codec falls back to the vertical predictor and stays within ~12%
+of raw (9 bitplanes).
 """
 
 from __future__ import annotations
@@ -63,75 +77,17 @@ from ..sample_data_group import SampleDataGroup
 _EXC_BITS = 64
 #: minimum exception-list capacity bucket (keeps program-variant churn low)
 _MIN_EXC_BUCKET = 64
-#: residual zigzag values fit 9 bits (|delta| <= 255 -> zz <= 510)
-_MAX_BITS = 9
+#: plane-predictor residuals span [-510, 510] -> zigzag <= 1020 -> 10 bits
+_MAX_BITS = 10
 
-_SUFFIXES = ("_wire_row0", "_wire_bp", "_wire_excp", "_wire_excv")
-
-
-def _encode_residuals(plane: np.ndarray):
-    """-> (row0, zz (H-1, Wr) uint16, cumulative value histogram)."""
-    if plane.dtype != np.uint8:
-        raise TypeError(
-            f"WirePlanePacker compresses uint8 planes, got {plane.dtype}"
-        )
-    if plane.ndim < 2:
-        raise ValueError(
-            f"WirePlanePacker needs >=2-D planes, got shape {plane.shape}"
-        )
-    h = plane.shape[0]
-    wr = int(np.prod(plane.shape[1:]))
-    if wr % 8 != 0:
-        raise ValueError(
-            f"WirePlanePacker: row width {wr} (shape {plane.shape}) must "
-            "be divisible by 8 (bit-packing granularity)"
-        )
-    p = plane.reshape(h, wr).astype(np.int16)
-    res = p[1:] - p[:-1]
-    zz = _zigzag(res)
-    hist_cum = np.cumsum(np.bincount(zz.ravel(), minlength=1 << _MAX_BITS))
-    return plane[0].copy(), zz, hist_cum
-
-
-def compress_plane(plane: np.ndarray, min_exc_capacity: int = _MIN_EXC_BUCKET):
-    """Functional host-side encode of one uint8 plane (outside the pipeline).
-
-    Returns ``{"row0", "bp", "excp", "excv"}`` numpy arrays in the wire
-    format described in the module docstring; feed them (after transfer) to
-    :func:`decompress_plane` inside a jitted program. For batched use with
-    uniform shapes, pad ``bp`` / the exception lists to common sizes or use
-    the :class:`WirePlanePacker` pipeline step, which does it per batch.
-    """
-    row0, zz, hist_cum = _encode_residuals(np.asarray(plane))
-    b = _optimal_width(hist_cum, zz.size)
-    planes = np.empty((b, zz.shape[0], zz.shape[1] // 8), np.uint8)
-    for k in range(b):
-        planes[k] = np.packbits(((zz >> k) & 1).astype(np.uint8), axis=-1)
-    pos = np.flatnonzero(zz >= (1 << b)).astype(np.int32)
-    e = max(int(min_exc_capacity), pos.size)
-    excp = np.full((e,), zz.size, np.int32)
-    excv = np.zeros((e,), np.int32)
-    excp[: pos.size] = pos
-    excv[: pos.size] = zz.reshape(-1)[pos].astype(np.int32)
-    return {"row0": row0, "bp": planes, "excp": excp, "excv": excv}
-
-
-def decompress_plane(fields) -> "jax.Array":  # noqa: F821 - doc type only
-    """Functional jit-compatible decode of :func:`compress_plane` output.
-
-    ``fields`` is the dict (or any mapping) of the four wire arrays; returns
-    the exact original uint8 plane. Pure XLA — safe to call inside jit/vmap
-    (shapes are static per ``(b, E)`` family).
-    """
-    return WirePlaneUnpacker._decode(
-        fields["row0"], fields["bp"], fields["excp"], fields["excv"]
-    )
+_SUFFIXES = ("_wire_bp", "_wire_excp", "_wire_excv", "_wire_mode")
+_MODE_VERTICAL, _MODE_PLANE = 1, 2
 
 
 def _zigzag(r: np.ndarray) -> np.ndarray:
     """Map signed residuals to unsigned: 0,-1,1,-2,2 -> 0,1,2,3,4.
 
-    int16 arithmetic throughout (|r| <= 255 so ``r << 1`` fits): ~3x faster
+    int16 arithmetic throughout (|r| <= 510 so ``r << 1`` fits): ~3x faster
     than widening to int32 on the host encode path, which runs per decoded
     image inside the producer thread."""
     r16 = np.ascontiguousarray(r, np.int16)
@@ -152,14 +108,19 @@ def _exceptions_at(hist_cum: np.ndarray, b: int) -> int:
     return int(hist_cum[-1] - hist_cum[t - 1])
 
 
-def _optimal_width(zz_or_hist: np.ndarray, n: Optional[int] = None) -> int:
+def _hist_cum(zz: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.bincount(zz.ravel(), minlength=1 << _MAX_BITS))
+
+
+def _optimal_width(zz_or_hist: np.ndarray, n: Optional[int] = None) -> tuple:
     """Cost-optimal base width: minimize b*N + exceptions(b)*_EXC_BITS.
 
     Accepts either the zigzag value array (convenience/tests) or a
     precomputed cumulative value histogram with its element count.
+    Returns ``(b, cost_bits)``.
     """
     if n is None:
-        hist_cum = np.cumsum(np.bincount(np.ravel(zz_or_hist), minlength=1 << _MAX_BITS))
+        hist_cum = _hist_cum(np.ravel(zz_or_hist))
         n = int(zz_or_hist.size)
     else:
         hist_cum = zz_or_hist
@@ -168,7 +129,7 @@ def _optimal_width(zz_or_hist: np.ndarray, n: Optional[int] = None) -> int:
         cost = b * n + _exceptions_at(hist_cum, b) * _EXC_BITS
         if cost < best_cost:
             best_b, best_cost = b, cost
-    return best_b
+    return best_b, best_cost
 
 
 def _next_pow2(n: int) -> int:
@@ -178,13 +139,103 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _residuals(plane: np.ndarray):
+    """Both predictors' zigzag residuals for one plane.
+
+    -> ``(zz_vertical, zz_plane)``, each ``(H, Wr)`` uint16 (the
+    horizontal axis is the plane's axis 1; trailing axes ride along inside
+    each row element group, exactly as the device inverse treats them).
+    """
+    if plane.dtype != np.uint8:
+        raise TypeError(
+            f"WirePlanePacker compresses uint8 planes, got {plane.dtype}"
+        )
+    if plane.ndim < 2:
+        raise ValueError(
+            f"WirePlanePacker needs >=2-D planes, got shape {plane.shape}"
+        )
+    wr = int(np.prod(plane.shape[1:]))
+    if wr % 8 != 0:
+        raise ValueError(
+            f"WirePlanePacker: row width {wr} (shape {plane.shape}) must "
+            "be divisible by 8 (bit-packing granularity)"
+        )
+    d = plane.astype(np.int16)
+    # vertical diffs; row 0 stays raw for now
+    rv = d.copy()
+    rv[1:] -= d[:-1]
+    # horizontal diff along axis 1 (per trailing channel)
+    def hdiff(x):
+        out = x.copy()
+        out[:, 1:] -= x[:, :-1]
+        return out
+
+    r1 = rv.copy()
+    r1[:1] = hdiff(d[:1])          # vertical mode: row 0 h-differenced
+    r2 = hdiff(rv)                 # plane mode: 2-D second difference
+    h = plane.shape[0]
+    return _zigzag(r1).reshape(h, wr), _zigzag(r2).reshape(h, wr)
+
+
+def _pack_fields(zz, b, e):
+    """Bitplane-pack chosen residuals + exception list (padded to ``e``)."""
+    planes = np.empty((b, zz.shape[0], zz.shape[1] // 8), np.uint8)
+    for k in range(b):
+        planes[k] = np.packbits(((zz >> k) & 1).astype(np.uint8), axis=-1)
+    pos = np.flatnonzero(zz >= (1 << b)).astype(np.int32)
+    excp = np.full((e,), zz.size, np.int32)
+    excv = np.zeros((e,), np.int32)
+    excp[: pos.size] = pos
+    excv[: pos.size] = zz.reshape(-1)[pos].astype(np.int32)
+    return planes, excp, excv
+
+
+def compress_plane(plane: np.ndarray, min_exc_capacity: int = _MIN_EXC_BUCKET):
+    """Functional host-side encode of one uint8 plane (outside the pipeline).
+
+    Returns ``{"bp", "excp", "excv", "mode"}`` numpy arrays in the wire
+    format described in the module docstring; feed them (after transfer) to
+    :func:`decompress_plane` inside a jitted program. For batched use with
+    uniform shapes, pad to common sizes or use the :class:`WirePlanePacker`
+    pipeline step, which does it per batch.
+    """
+    plane = np.asarray(plane)
+    zz1, zz2 = _residuals(plane)
+    b1, c1 = _optimal_width(zz1)
+    b2, c2 = _optimal_width(zz2)
+    mode, zz, b = (
+        (_MODE_VERTICAL, zz1, b1) if c1 <= c2 else (_MODE_PLANE, zz2, b2)
+    )
+    ne = int((zz >= (1 << b)).sum())
+    e = max(int(min_exc_capacity), ne)
+    planes, excp, excv = _pack_fields(zz, b, e)
+    return {
+        "bp": planes,
+        "excp": excp,
+        "excv": excv,
+        "mode": np.zeros((mode,) + plane.shape[1:], np.uint8),
+    }
+
+
+def decompress_plane(fields) -> "jax.Array":  # noqa: F821 - doc type only
+    """Functional jit-compatible decode of :func:`compress_plane` output.
+
+    ``fields`` is the dict (or any mapping) of the four wire arrays; returns
+    the exact original uint8 plane. Pure XLA — safe to call inside jit/vmap
+    (shapes are static per ``(b, E, mode)`` family).
+    """
+    return WirePlaneUnpacker._decode(
+        fields["bp"], fields["excp"], fields["excv"], fields["mode"]
+    )
+
+
 class WirePlanePacker(BatchLevelStepBase):
     """Host batch-level step: encode uint8 plane fields for the wire.
 
     Pair with :class:`WirePlaneUnpacker` (same ``field_names``) as a device
     step placed before anything that reads the planes. Between the two, each
     field ``F`` travels as the four ``F_wire_*`` fields described in the
-    module docstring — typically ~1.2-2x fewer bytes, bit-identically
+    module docstring — typically ~1.4-2x fewer bytes, bit-identically
     reconstructed on device.
 
     Args:
@@ -206,57 +257,61 @@ class WirePlanePacker(BatchLevelStepBase):
     def _process_batch(
         self, samples: List[SampleDataGroup]
     ) -> List[SampleDataGroup]:
-        # pass 1: encode residuals everywhere, collect per-field-name stats
-        encoded = []  # (sample_idx, path, row0, zz, hist_cum, name)
-        width: dict = {}
+        # pass 1: residuals for BOTH predictors everywhere; accumulate the
+        # total cost per (field name, mode) so the batch picks one mode and
+        # one width per field (shapes must be batch-uniform)
+        encoded = []  # (sample_idx, path, (zz1, zz2), trailing_shape, name)
+        cost = {}
+        width = {}
         for si, sdg in enumerate(samples):
             for name in self._field_names:
                 for ip in sdg.find_all_occurrences(name):
                     plane = np.asarray(sdg.get_item_in_path(ip))
-                    row0, zz, hist_cum = _encode_residuals(plane)
-                    encoded.append((si, tuple(ip), row0, zz, hist_cum, name))
-                    width[name] = max(
-                        width.get(name, 0), _optimal_width(hist_cum, zz.size)
+                    zz1, zz2 = _residuals(plane)
+                    encoded.append(
+                        (si, tuple(ip), (zz1, zz2), plane.shape[1:], name)
                     )
-        # batch-uniform exception capacity per field name
+                    for mode, zz in ((_MODE_VERTICAL, zz1), (_MODE_PLANE, zz2)):
+                        b, c = _optimal_width(zz)
+                        key = (name, mode)
+                        cost[key] = cost.get(key, 0) + c
+                        width[key] = max(width.get(key, 0), b)
+        mode_for = {}
+        for name in {name for _, _, _, _, name in encoded}:
+            mode_for[name] = (
+                _MODE_VERTICAL
+                if cost[(name, _MODE_VERTICAL)] <= cost[(name, _MODE_PLANE)]
+                else _MODE_PLANE
+            )
+        # batch-uniform exception capacity per field name, at the chosen
+        # (mode, width)
         cap: dict = {}
-        for _, _, _, _, hist_cum, name in encoded:
-            ne = _exceptions_at(hist_cum, width[name])
+        for _, _, (zz1, zz2), _, name in encoded:
+            zz = zz1 if mode_for[name] == _MODE_VERTICAL else zz2
+            ne = int((zz >= (1 << width[(name, mode_for[name])])).sum())
             cap[name] = max(cap.get(name, 0), ne)
         cap = {k: _next_pow2(v) for k, v in cap.items()}
 
         # pass 2: pack
-        for si, ip, row0, zz, hist_cum, name in encoded:
-            b, e = width[name], cap[name]
-            planes = np.empty((b, zz.shape[0], zz.shape[1] // 8), np.uint8)
-            for k in range(b):
-                planes[k] = np.packbits(
-                    ((zz >> k) & 1).astype(np.uint8), axis=-1
-                )
-            mask = zz >= (1 << b)  # needs more than b bits
-            pos = np.flatnonzero(mask).astype(np.int32)
-            val = zz.reshape(-1)[pos].astype(np.int32)
-            n_res = zz.size
-            excp = np.full((e,), n_res, np.int32)
-            excv = np.zeros((e,), np.int32)
-            excp[: pos.size] = pos
-            excv[: pos.size] = val
-            # base width b masks the low bits of exception values on the
-            # wire; the device scatter overwrites the whole value, so no
-            # correction is needed — but the packed planes still carry the
-            # low b bits of those values, which is fine (overwritten).
+        for si, ip, (zz1, zz2), trailing, name in encoded:
+            mode = mode_for[name]
+            zz = zz1 if mode == _MODE_VERTICAL else zz2
+            b, e = width[(name, mode)], cap[name]
+            planes, excp, excv = _pack_fields(zz, b, e)
             sdg = samples[si]
             parent = sdg.get_parent_of_path(list(ip))
             fname = ip[-1]
             parent.remove_field(fname)
-            parent.add_data_field(f"{fname}_wire_row0", DType.UINT8)
-            parent[f"{fname}_wire_row0"] = row0
             parent.add_data_field(f"{fname}_wire_bp", DType.UINT8)
             parent[f"{fname}_wire_bp"] = planes
             parent.add_data_field(f"{fname}_wire_excp", DType.INT32)
             parent[f"{fname}_wire_excp"] = excp
             parent.add_data_field(f"{fname}_wire_excv", DType.INT32)
             parent[f"{fname}_wire_excv"] = excv
+            parent.add_data_field(f"{fname}_wire_mode", DType.UINT8)
+            parent[f"{fname}_wire_mode"] = np.zeros(
+                (mode,) + tuple(trailing), np.uint8
+            )
         return samples
 
     def _check_and_adjust_data_format_input_to_output(
@@ -274,10 +329,10 @@ class WirePlanePacker(BatchLevelStepBase):
                         f"UINT8, got {t}"
                     )
                 parent.remove_field(ip[-1])
-                parent.add_data_field(f"{ip[-1]}_wire_row0", DType.UINT8)
                 parent.add_data_field(f"{ip[-1]}_wire_bp", DType.UINT8)
                 parent.add_data_field(f"{ip[-1]}_wire_excp", DType.INT32)
                 parent.add_data_field(f"{ip[-1]}_wire_excv", DType.INT32)
+                parent.add_data_field(f"{ip[-1]}_wire_mode", DType.UINT8)
         if not found_any:
             raise KeyError(
                 f"WirePlanePacker: none of {self._field_names} found in the "
@@ -291,13 +346,14 @@ class WirePlaneUnpacker(PipelineStepBase):
 
     Pure XLA decode, fused into the batched device program:
 
-    1. bit-unpack: ``(b, H-1, Wr/8)`` bytes -> bits via broadcast
+    1. bit-unpack: ``(b, H, Wr/8)`` bytes -> bits via broadcast
        shift-and-mask + reshape (no gather), summed LSB-first into the
        zigzag residual.
     2. exception patch: one bounded ``scatter`` (``mode='drop'`` for the
        padding) overwrites values that did not fit ``b`` bits.
-    3. un-zigzag + column ``cumsum`` telescopes residuals back to the exact
-       original uint8 plane.
+    3. un-zigzag + the predictor's inverse cumsum(s) telescope residuals
+       back to the exact original uint8 plane. The predictor mode is read
+       from the mode field's SHAPE, so it is static at trace time.
     """
 
     placement = "device"
@@ -311,38 +367,47 @@ class WirePlaneUnpacker(PipelineStepBase):
             raise ValueError("WirePlaneUnpacker needs at least one field name")
 
     @staticmethod
-    def _decode(row0, bp, excp, excv):
+    def _decode(bp, excp, excv, mode_field):
         import jax.numpy as jnp
 
-        b, hm1, wb = bp.shape
+        mode = mode_field.shape[0]
+        trailing = tuple(mode_field.shape[1:])
+        b, h, wb = bp.shape
         wr = wb * 8
         # bytes -> bits: big bit-order (np.packbits default): bit 7 first
         shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
-        bits = (bp[..., None] >> shifts) & 1  # (b, H-1, Wr/8, 8)
-        bits = bits.reshape(b, hm1, wr).astype(jnp.int32)
+        bits = (bp[..., None] >> shifts) & 1  # (b, H, Wr/8, 8)
+        bits = bits.reshape(b, h, wr).astype(jnp.int32)
         if b > 0:
             weights = (1 << jnp.arange(b, dtype=jnp.int32))[:, None, None]
             zz = jnp.sum(bits * weights, axis=0)
         else:
-            zz = jnp.zeros((hm1, wr), jnp.int32)
+            zz = jnp.zeros((h, wr), jnp.int32)
         # exception patch (padding indices are out of range -> dropped)
-        zz = zz.reshape(-1).at[excp].set(excv, mode="drop").reshape(hm1, wr)
+        zz = zz.reshape(-1).at[excp].set(excv, mode="drop").reshape(h, wr)
         res = (zz >> 1) ^ -(zz & 1)
-        rows = jnp.concatenate(
-            [row0.reshape(1, wr).astype(jnp.int32), res], axis=0
-        )
-        plane = jnp.cumsum(rows, axis=0).astype(jnp.uint8)
-        return plane.reshape((hm1 + 1,) + row0.shape)
+        res = res.reshape((h,) + trailing)
+        # inverse predictor: horizontal cumsum along axis 1 (row 0 only for
+        # the vertical mode, every row for the plane mode), then a vertical
+        # cumsum down the columns — both fully parallel
+        if mode == _MODE_PLANE:
+            x = jnp.cumsum(res, axis=1)
+        else:
+            x = jnp.concatenate(
+                [jnp.cumsum(res[:1], axis=1), res[1:]], axis=0
+            )
+        plane = jnp.cumsum(x, axis=0).astype(jnp.uint8)
+        return plane
 
     def _process(self, data: SampleDataGroup) -> SampleDataGroup:
         for name in self._field_names:
-            for ip in data.find_all_occurrences(f"{name}_wire_row0"):
+            for ip in data.find_all_occurrences(f"{name}_wire_bp"):
                 parent = data.get_parent_of_path(list(ip))
                 plane = self._decode(
-                    parent[f"{name}_wire_row0"],
                     parent[f"{name}_wire_bp"],
                     parent[f"{name}_wire_excp"],
                     parent[f"{name}_wire_excv"],
+                    parent[f"{name}_wire_mode"],
                 )
                 for sfx in _SUFFIXES:
                     parent.remove_field(f"{name}{sfx}")
@@ -355,11 +420,11 @@ class WirePlaneUnpacker(PipelineStepBase):
     ) -> SampleDataGroup:
         found_any = False
         for name in self._field_names:
-            for ip in data_empty.find_all_occurrences(f"{name}_wire_row0"):
+            for ip in data_empty.find_all_occurrences(f"{name}_wire_bp"):
                 found_any = True
                 parent = data_empty.get_parent_of_path(list(ip))
                 for sfx, t in zip(
-                    _SUFFIXES, (DType.UINT8, DType.UINT8, DType.INT32, DType.INT32)
+                    _SUFFIXES, (DType.UINT8, DType.INT32, DType.INT32, DType.UINT8)
                 ):
                     fname = f"{name}{sfx}"
                     if not parent.path_exists(fname):
@@ -378,7 +443,7 @@ class WirePlaneUnpacker(PipelineStepBase):
                 parent.add_data_field(name, DType.UINT8)
         if not found_any:
             raise KeyError(
-                f"WirePlaneUnpacker: no '<name>_wire_row0' fields for any of "
+                f"WirePlaneUnpacker: no '<name>_wire_bp' fields for any of "
                 f"{self._field_names} — is WirePlanePacker ahead of this step?"
             )
         return data_empty

@@ -40,7 +40,7 @@ def pack_one(plane):
     (out,) = packer._process_batch([sdg])
     return {
         sfx: np.asarray(out[f"p_wire_{sfx}"])
-        for sfx in ("row0", "bp", "excp", "excv")
+        for sfx in ("bp", "excp", "excv", "mode")
     }
 
 
@@ -51,7 +51,7 @@ def decode_one(fields, jit=False):
     if jit:
         f = jax.jit(f)
     return np.asarray(
-        f(fields["row0"], fields["bp"], fields["excp"], fields["excv"])
+        f(fields["bp"], fields["excp"], fields["excv"], fields["mode"])
     )
 
 
@@ -106,7 +106,7 @@ def test_roundtrip_3d_chroma_like_field():
     rng = np.random.default_rng(3)
     plane = rng.integers(0, 256, (12, 16, 2), np.uint8)
     fields = pack_one(plane)
-    assert fields["row0"].shape == (16, 2)
+    assert fields["mode"].shape[1:] == (16, 2)
     got = decode_one(fields)
     assert got.shape == plane.shape
     np.testing.assert_array_equal(got, plane)
@@ -115,15 +115,18 @@ def test_roundtrip_3d_chroma_like_field():
 def test_constant_plane_needs_zero_bitplanes():
     fields = pack_one(make_plane("constant"))
     assert fields["bp"].shape[0] == 0
-    assert (fields["excp"] >= 23 * 32).all()  # all padding (out of range)
+    # one real exception: the raw top-left value (both predictors keep it)
+    n_res = 24 * 32
+    assert int((fields["excp"] < n_res).sum()) <= 1
 
 
 def test_spike_plane_uses_exceptions():
     plane = make_plane("spikes")
     fields = pack_one(plane)
-    n_res = (plane.shape[0] - 1) * plane.shape[1]
+    n_res = plane.shape[0] * plane.shape[1]
     n_exc = int((fields["excp"] < n_res).sum())
-    assert 0 < n_exc <= 14  # <= 2 per spike (the jump down + back)
+    # <= 4 per spike (each predictor touches up to 4 neighbors) + top-left
+    assert 0 < n_exc <= 29
     assert fields["bp"].shape[0] <= 2  # base width stays tiny
     np.testing.assert_array_equal(decode_one(fields), plane)
 
@@ -142,8 +145,11 @@ def test_noise_content_never_explodes():
     # 9 bitplanes + bucketed exception padding), never pathological.
     plane = make_plane("noise", shape=(64, 96))
     fields = pack_one(plane)
+    # noise must select the VERTICAL predictor (the 2-D second difference
+    # doubles noise) and stay bounded by 9 bitplanes + fixed paddings
+    assert fields["mode"].shape[0] == 1
     wire = sum(a.nbytes for a in fields.values())
-    assert wire < plane.nbytes * 9 / 8 + 96 + 64 * 8 + 1024
+    assert wire < plane.nbytes * 9 / 8 + 96 + 64 * 8 + 2048
 
 
 def test_batch_uniform_shapes_across_samples():
@@ -158,28 +164,28 @@ def test_batch_uniform_shapes_across_samples():
         samples.append(sdg)
     out = WirePlanePacker("p")._process_batch(samples)
     shapes = [
-        tuple(np.asarray(s[f"p_wire_{sfx}"]).shape for sfx in ("row0", "bp", "excp", "excv"))
+        tuple(np.asarray(s[f"p_wire_{sfx}"]).shape for sfx in ("bp", "excp", "excv", "mode"))
         for s in out
     ]
     assert shapes[0] == shapes[1] == shapes[2]
     for s, kind in zip(out, ("constant", "smooth", "noise")):
         got = decode_one(
-            {sfx: np.asarray(s[f"p_wire_{sfx}"]) for sfx in ("row0", "bp", "excp", "excv")}
+            {sfx: np.asarray(s[f"p_wire_{sfx}"]) for sfx in ("bp", "excp", "excv", "mode")}
         )
         np.testing.assert_array_equal(got, make_plane(kind))
 
 
 def test_optimal_width_cost_model():
-    # operates on zigzag VALUES (not bit lengths)
+    # operates on zigzag VALUES (not bit lengths); returns (b, cost)
     # all-zero residuals -> b = 0
-    assert _optimal_width(np.zeros((100,), np.uint16)) == 0
+    assert _optimal_width(np.zeros((100,), np.uint16))[0] == 0
     # uniform 5-bit values (31 needs 5 bits) -> b = 5
-    assert _optimal_width(np.full((100,), 31, np.uint16)) == 5
+    assert _optimal_width(np.full((100,), 31, np.uint16))[0] == 5
     # mostly 3-bit values with a few 9-bit outliers -> keep b = 3, pay
     # exceptions (cheaper than widening every value)
     zz = np.full((1000,), 7, np.uint16)
     zz[:5] = 510
-    assert _optimal_width(zz) == 3
+    assert _optimal_width(zz)[0] == 3
 
 
 def test_zigzag_mapping():
