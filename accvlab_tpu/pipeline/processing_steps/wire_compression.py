@@ -257,12 +257,16 @@ class WirePlanePacker(BatchLevelStepBase):
     def _process_batch(
         self, samples: List[SampleDataGroup]
     ) -> List[SampleDataGroup]:
-        # pass 1: residuals for BOTH predictors everywhere; accumulate the
-        # total cost per (field name, mode) so the batch picks one mode and
-        # one width per field (shapes must be batch-uniform)
+        # pass 1: residuals for BOTH predictors everywhere; SUM the value
+        # histograms per (field name, mode) so the batch picks the mode AND
+        # the single width that minimize the TOTAL cost over all samples
+        # (shapes must be batch-uniform; the summed-histogram optimum
+        # dominates max-of-per-sample-optima — a batch where most planes
+        # want b=4 and one wants b=5 can stay at 4 and pay that plane's
+        # exceptions instead of widening everyone)
         encoded = []  # (sample_idx, path, (zz1, zz2), trailing_shape, name)
-        cost = {}
-        width = {}
+        hist = {}
+        count = {}
         for si, sdg in enumerate(samples):
             for name in self._field_names:
                 for ip in sdg.find_all_occurrences(name):
@@ -272,17 +276,19 @@ class WirePlanePacker(BatchLevelStepBase):
                         (si, tuple(ip), (zz1, zz2), plane.shape[1:], name)
                     )
                     for mode, zz in ((_MODE_VERTICAL, zz1), (_MODE_PLANE, zz2)):
-                        b, c = _optimal_width(zz)
                         key = (name, mode)
-                        cost[key] = cost.get(key, 0) + c
-                        width[key] = max(width.get(key, 0), b)
+                        h = _hist_cum(zz)
+                        hist[key] = hist.get(key, 0) + h
+                        count[key] = count.get(key, 0) + zz.size
         mode_for = {}
+        width = {}
         for name in {name for _, _, _, _, name in encoded}:
-            mode_for[name] = (
-                _MODE_VERTICAL
-                if cost[(name, _MODE_VERTICAL)] <= cost[(name, _MODE_PLANE)]
-                else _MODE_PLANE
-            )
+            best = None
+            for mode in (_MODE_VERTICAL, _MODE_PLANE):
+                b, c = _optimal_width(hist[(name, mode)], count[(name, mode)])
+                if best is None or c < best[0]:
+                    best = (c, mode, b)
+            _, mode_for[name], width[(name, mode_for[name])] = best
         # batch-uniform exception capacity per field name, at the chosen
         # (mode, width)
         cap: dict = {}
