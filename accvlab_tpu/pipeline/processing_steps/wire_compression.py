@@ -40,8 +40,8 @@ Wire format (per plane field ``F`` of shape ``(H, d1, ...)``, row width
   residual array) of values needing more than ``b`` bits ("patched
   frame-of-reference" exceptions); padded with ``H*Wr`` (out of range,
   dropped by the device scatter).
-* ``F_wire_excv``  int32 ``(E,)`` — the full zigzag residual at those
-  positions; padding zeros.
+* ``F_wire_excv``  int16 ``(E,)`` — the full zigzag residual at those
+  positions (zigzag fits 10 bits); padding zeros.
 * ``F_wire_mode``  uint8 ``(mode, d1, ...)`` — zeros; its SHAPE carries the
   predictor mode (leading axis length 1 or 2) and the plane's trailing
   layout (the row axis for the horizontal cumsum). Shapes are part of the
@@ -73,8 +73,8 @@ from .pipeline_step_base import BatchLevelStepBase, PipelineStepBase
 from ..dtypes import DType
 from ..sample_data_group import SampleDataGroup
 
-#: wire cost of one exception: int32 position + int32 value
-_EXC_BITS = 64
+#: wire cost of one exception: int32 position + int16 value
+_EXC_BITS = 48
 #: minimum exception-list capacity bucket (keeps program-variant churn low)
 _MIN_EXC_BUCKET = 64
 #: plane-predictor residuals span [-510, 510] -> zigzag <= 1020 -> 10 bits
@@ -184,9 +184,9 @@ def _pack_fields(zz, b, e):
         planes[k] = np.packbits(((zz >> k) & 1).astype(np.uint8), axis=-1)
     pos = np.flatnonzero(zz >= (1 << b)).astype(np.int32)
     excp = np.full((e,), zz.size, np.int32)
-    excv = np.zeros((e,), np.int32)
+    excv = np.zeros((e,), np.int16)  # zigzag residuals fit 10 bits
     excp[: pos.size] = pos
-    excv[: pos.size] = zz.reshape(-1)[pos].astype(np.int32)
+    excv[: pos.size] = zz.reshape(-1)[pos].astype(np.int16)
     return planes, excp, excv
 
 
@@ -312,7 +312,7 @@ class WirePlanePacker(BatchLevelStepBase):
             parent[f"{fname}_wire_bp"] = planes
             parent.add_data_field(f"{fname}_wire_excp", DType.INT32)
             parent[f"{fname}_wire_excp"] = excp
-            parent.add_data_field(f"{fname}_wire_excv", DType.INT32)
+            parent.add_data_field(f"{fname}_wire_excv", DType.INT16)
             parent[f"{fname}_wire_excv"] = excv
             parent.add_data_field(f"{fname}_wire_mode", DType.UINT8)
             parent[f"{fname}_wire_mode"] = np.zeros(
@@ -337,7 +337,7 @@ class WirePlanePacker(BatchLevelStepBase):
                 parent.remove_field(ip[-1])
                 parent.add_data_field(f"{ip[-1]}_wire_bp", DType.UINT8)
                 parent.add_data_field(f"{ip[-1]}_wire_excp", DType.INT32)
-                parent.add_data_field(f"{ip[-1]}_wire_excv", DType.INT32)
+                parent.add_data_field(f"{ip[-1]}_wire_excv", DType.INT16)
                 parent.add_data_field(f"{ip[-1]}_wire_mode", DType.UINT8)
         if not found_any:
             raise KeyError(
@@ -430,7 +430,7 @@ class WirePlaneUnpacker(PipelineStepBase):
                 found_any = True
                 parent = data_empty.get_parent_of_path(list(ip))
                 for sfx, t in zip(
-                    _SUFFIXES, (DType.UINT8, DType.INT32, DType.INT32, DType.UINT8)
+                    _SUFFIXES, (DType.UINT8, DType.INT32, DType.INT16, DType.UINT8)
                 ):
                     fname = f"{name}{sfx}"
                     if not parent.path_exists(fname):
