@@ -42,10 +42,13 @@ Wire format (per plane field ``F`` of shape ``(H, d1, ...)``, row width
   dropped by the device scatter).
 * ``F_wire_excv``  int16 ``(E,)`` — the full zigzag residual at those
   positions (zigzag fits 10 bits); padding zeros.
-* ``F_wire_mode``  uint8 ``(mode, d1, ...)`` — zeros; its SHAPE carries the
+* ``F_wire_mode``  uint8 ``(mode, d2, ...)`` — zeros; its SHAPE carries the
   predictor mode (leading axis length 1 or 2) and the plane's trailing
-  layout (the row axis for the horizontal cumsum). Shapes are part of the
-  jit cache key, so each mode compiles its own correct program variant.
+  layout BEYOND the row axis (``d1``, the horizontal-cumsum axis, is
+  reconstructed as ``Wr / prod(d2...)`` from ``bp``'s shape — shipping it
+  would waste ``mode*Wr`` zero bytes per plane on the very wire this codec
+  shrinks). Shapes are part of the jit cache key, so each mode compiles
+  its own correct program variant.
 
 ``b`` and the predictor mode are chosen per batch (total measured cost over
 samples) and ``E`` is the per-batch max exception count bucketed to a power
@@ -57,7 +60,8 @@ integer differences, the cumsums telescope back to the original values.
 
 Measured on the headline bench content (synthetic quality-90 JPEGs, YUV
 4:2:0 wire): plane predictor ~1.59x on Y, ~1.28x on CbCr => ~1.45x fewer
-bytes end-to-end, which converts 1:1 into throughput when the wire is the
+bytes end-to-end (x1.41 measured through the full pipeline incl. field
+padding), which converts 1:1 into throughput when the wire is the
 bottleneck. Natural imagery compresses better still; on incompressible
 noise the codec falls back to the vertical predictor and stays within ~12%
 of raw (9 bitplanes).
@@ -213,7 +217,7 @@ def compress_plane(plane: np.ndarray, min_exc_capacity: int = _MIN_EXC_BUCKET):
         "bp": planes,
         "excp": excp,
         "excv": excv,
-        "mode": np.zeros((mode,) + plane.shape[1:], np.uint8),
+        "mode": np.zeros((mode,) + plane.shape[2:], np.uint8),
     }
 
 
@@ -316,7 +320,7 @@ class WirePlanePacker(BatchLevelStepBase):
             parent[f"{fname}_wire_excv"] = excv
             parent.add_data_field(f"{fname}_wire_mode", DType.UINT8)
             parent[f"{fname}_wire_mode"] = np.zeros(
-                (mode,) + tuple(trailing), np.uint8
+                (mode,) + tuple(trailing[1:]), np.uint8
             )
         return samples
 
@@ -377,9 +381,15 @@ class WirePlaneUnpacker(PipelineStepBase):
         import jax.numpy as jnp
 
         mode = mode_field.shape[0]
-        trailing = tuple(mode_field.shape[1:])
         b, h, wb = bp.shape
         wr = wb * 8
+        # trailing layout: the row (horizontal-cumsum) axis is derived from
+        # bp's width; dims beyond it ride in the mode field's shape
+        rest = tuple(mode_field.shape[1:])
+        rest_n = 1
+        for d in rest:
+            rest_n *= d
+        trailing = (wr // rest_n,) + rest
         # bytes -> bits: big bit-order (np.packbits default): bit 7 first
         shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
         bits = (bp[..., None] >> shifts) & 1  # (b, H, Wr/8, 8)

@@ -106,7 +106,9 @@ def test_roundtrip_3d_chroma_like_field():
     rng = np.random.default_rng(3)
     plane = rng.integers(0, 256, (12, 16, 2), np.uint8)
     fields = pack_one(plane)
-    assert fields["mode"].shape[1:] == (16, 2)
+    # the mode field ships only the trailing dims BEYOND the row axis
+    # (the row axis is derived from bp's width)
+    assert fields["mode"].shape[1:] == (2,)
     got = decode_one(fields)
     assert got.shape == plane.shape
     np.testing.assert_array_equal(got, plane)
