@@ -82,6 +82,11 @@ SURFACE = {
         "ConditionalElementRemover",
         "UnneededFieldRemover",
         "TensorSizeAdder",
+        "YCbCrToRGBConverter",
+        "WirePlanePacker",
+        "WirePlaneUnpacker",
+        "compress_plane",
+        "decompress_plane",
     ],
     "accvlab_tpu.pipeline.inputs": [
         "CallableBase",

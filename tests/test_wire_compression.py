@@ -366,3 +366,51 @@ def test_functional_api_roundtrip():
         fields = compress_plane(plane)
         got = np.asarray(jax.jit(decompress_plane)(fields))
         np.testing.assert_array_equal(got, plane)
+
+
+def test_roundtrip_fuzz_random_shapes_and_content():
+    """Randomized roundtrip: shapes (2-D/3-D/4-D), content mixes, both
+    predictor modes — decode must be bit-identical every time."""
+    import jax
+
+    rng = np.random.default_rng(42)
+    decode = jax.jit(
+        WirePlaneUnpacker._decode,
+        static_argnames=(),
+    )
+    from accvlab_tpu.pipeline.processing_steps import (
+        compress_plane,
+        decompress_plane,
+    )
+
+    for trial in range(30):
+        ndim = int(rng.integers(2, 5))
+        h = int(rng.integers(1, 20))
+        if ndim == 2:
+            shape = (h, int(rng.integers(1, 12)) * 8)
+        elif ndim == 3:
+            w = int(rng.integers(1, 10))
+            c = int(rng.integers(1, 5))
+            while (w * c) % 8 != 0:
+                c += 1
+            shape = (h, w, c)
+        else:
+            shape = (h, 4, 2, int(rng.integers(1, 4)))
+        kind = trial % 4
+        if kind == 0:
+            plane = rng.integers(0, 256, shape, np.uint8)
+        elif kind == 1:
+            plane = np.full(shape, int(rng.integers(0, 256)), np.uint8)
+        elif kind == 2:  # smooth ramp + sparse spikes
+            ramp = np.arange(np.prod(shape)) % 256
+            plane = ramp.reshape(shape).astype(np.uint8)
+            flat = plane.reshape(-1)
+            idx = rng.integers(0, flat.size, max(1, flat.size // 50))
+            flat[idx] = rng.integers(0, 256, idx.size)
+        else:  # low-amplitude noise around a level
+            plane = (128 + rng.integers(-6, 7, shape)).astype(np.uint8)
+        fields = compress_plane(plane)
+        got = np.asarray(decompress_plane(fields))
+        np.testing.assert_array_equal(
+            got, plane, err_msg=f"trial {trial} shape {shape} kind {kind}"
+        )
