@@ -18,6 +18,11 @@ import time
 import jax
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 from accvlab_tpu.models import CenterNetDetector, decode_detections
 from accvlab_tpu.models.checkpoint import (
     latest_checkpoint,

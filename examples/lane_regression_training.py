@@ -21,6 +21,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 from accvlab_tpu.polyline import interpolate, interpolate_var_size_batch
 from accvlab_tpu.ragged import RaggedBatch
 

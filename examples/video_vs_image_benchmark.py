@@ -20,6 +20,11 @@ import time
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 from accvlab_tpu.pipeline import DType, PipelineDefinition, SampleDataGroup
 from accvlab_tpu.pipeline.inputs import DataProvider, ShuffledShardedInputCallable
 from accvlab_tpu.pipeline.processing_steps import ImageDecoder, ImageRange01Normalizer
