@@ -414,3 +414,45 @@ def test_roundtrip_fuzz_random_shapes_and_content():
         np.testing.assert_array_equal(
             got, plane, err_msg=f"trial {trial} shape {shape} kind {kind}"
         )
+
+
+def test_packed_wire_on_mesh_pipeline():
+    """Wire compression composed with a sharded (mesh) pipeline: the packed
+    fields shard over the data axis, the device decode runs inside the
+    sharded program, and the delivered RGB matches the unsharded packed
+    pipeline bit for bit."""
+    from jax.sharding import PartitionSpec as P
+
+    from accvlab_tpu.parallel import make_mesh
+
+    jpegs = [make_jpeg(seed=s) for s in range(8)]
+
+    def build(mesh):
+        inp = ShuffledShardedInputCallable(
+            JpegProvider(jpegs), batch_size=8, shuffle=False
+        )
+        defn = PipelineDefinition(
+            inp,
+            [
+                ImageDecoder("image", wire_format="yuv420"),
+                WirePlanePacker(["image", "image_cbcr"]),
+                WirePlaneUnpacker(["image", "image_cbcr"]),
+                YCbCrToRGBConverter("image"),
+            ],
+            copy_external_source_passthrough_outputs=False,
+        )
+        return defn.get_pipeline(batch_size=8, num_threads=2, seed=0, mesh=mesh)
+
+    ref = build(mesh=None)
+    try:
+        expected = np.asarray(ref.run()["image"])
+    finally:
+        ref.stop()
+
+    pipe = build(mesh=make_mesh())
+    try:
+        img = pipe.run()["image"]
+        assert img.sharding.spec == P("data", None, None, None)
+        np.testing.assert_array_equal(np.asarray(img), expected)
+    finally:
+        pipe.stop()
