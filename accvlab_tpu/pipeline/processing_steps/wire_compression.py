@@ -255,6 +255,11 @@ class WirePlanePacker(BatchLevelStepBase):
         self._field_names = list(field_names)
         if not self._field_names:
             raise ValueError("WirePlanePacker needs at least one field name")
+        #: observability: per-field choices of the most recent batch —
+        #: {name: {"mode", "width", "exc_capacity", "raw_bytes",
+        #: "packed_bytes"}}; written by the producer thread, read racily
+        #: (monitoring only, like TPUPipeline.stats())
+        self.last_batch_stats: dict = {}
 
     # ------------------------------------------------------------------ #
 
@@ -303,11 +308,26 @@ class WirePlanePacker(BatchLevelStepBase):
         cap = {k: _next_pow2(v) for k, v in cap.items()}
 
         # pass 2: pack
+        batch_stats: dict = {}
         for si, ip, (zz1, zz2), trailing, name in encoded:
             mode = mode_for[name]
             zz = zz1 if mode == _MODE_VERTICAL else zz2
             b, e = width[(name, mode)], cap[name]
             planes, excp, excv = _pack_fields(zz, b, e)
+            st = batch_stats.setdefault(
+                name,
+                {
+                    "mode": "plane" if mode == _MODE_PLANE else "vertical",
+                    "width": b,
+                    "exc_capacity": e,
+                    "raw_bytes": 0,
+                    "packed_bytes": 0,
+                },
+            )
+            st["raw_bytes"] += zz.size
+            st["packed_bytes"] += (
+                planes.nbytes + excp.nbytes + excv.nbytes
+            )
             sdg = samples[si]
             parent = sdg.get_parent_of_path(list(ip))
             fname = ip[-1]
@@ -322,6 +342,7 @@ class WirePlanePacker(BatchLevelStepBase):
             parent[f"{fname}_wire_mode"] = np.zeros(
                 (mode,) + tuple(trailing[1:]), np.uint8
             )
+        self.last_batch_stats = batch_stats
         return samples
 
     def _check_and_adjust_data_format_input_to_output(

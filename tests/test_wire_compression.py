@@ -456,3 +456,22 @@ def test_packed_wire_on_mesh_pipeline():
         np.testing.assert_array_equal(np.asarray(img), expected)
     finally:
         pipe.stop()
+
+
+def test_packer_last_batch_stats():
+    """Observability: the packer records mode/width/bytes of its most
+    recent batch per field."""
+    samples = []
+    for kind in ("smooth", "smooth"):
+        sdg = SampleDataGroup()
+        sdg.add_data_field("p", DType.UINT8)
+        sdg["p"] = make_plane(kind, shape=(64, 96))
+        samples.append(sdg)
+    packer = WirePlanePacker("p")
+    packer._process_batch(samples)
+    st = packer.last_batch_stats["p"]
+    assert st["mode"] in ("vertical", "plane")
+    assert 0 <= st["width"] <= 10
+    assert st["exc_capacity"] >= 64
+    assert st["raw_bytes"] == 2 * 64 * 96
+    assert 0 < st["packed_bytes"] < st["raw_bytes"]
