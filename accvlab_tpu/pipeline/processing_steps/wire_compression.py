@@ -60,7 +60,7 @@ integer differences, the cumsums telescope back to the original values.
 
 Measured on the headline bench content (synthetic quality-90 JPEGs, YUV
 4:2:0 wire): plane predictor ~1.59x on Y, ~1.28x on CbCr => ~1.45x fewer
-bytes end-to-end (x1.41 measured through the full pipeline incl. field
+bytes end-to-end (x1.43 measured through the full pipeline incl. field
 padding), which converts 1:1 into throughput when the wire is the
 bottleneck. Natural imagery compresses better still; on incompressible
 noise the codec falls back to the vertical predictor and stays within ~12%
@@ -325,8 +325,11 @@ class WirePlanePacker(BatchLevelStepBase):
                 },
             )
             st["raw_bytes"] += zz.size
+            mode_bytes = mode
+            for d in trailing[1:]:
+                mode_bytes *= d
             st["packed_bytes"] += (
-                planes.nbytes + excp.nbytes + excv.nbytes
+                planes.nbytes + excp.nbytes + excv.nbytes + mode_bytes
             )
             sdg = samples[si]
             parent = sdg.get_parent_of_path(list(ip))
@@ -406,11 +409,10 @@ class WirePlaneUnpacker(PipelineStepBase):
         wr = wb * 8
         # trailing layout: the row (horizontal-cumsum) axis is derived from
         # bp's width; dims beyond it ride in the mode field's shape
+        import math
+
         rest = tuple(mode_field.shape[1:])
-        rest_n = 1
-        for d in rest:
-            rest_n *= d
-        trailing = (wr // rest_n,) + rest
+        trailing = (wr // math.prod(rest),) + rest
         # bytes -> bits: big bit-order (np.packbits default): bit 7 first
         shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
         bits = (bp[..., None] >> shifts) & 1  # (b, H, Wr/8, 8)

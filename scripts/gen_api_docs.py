@@ -9,6 +9,7 @@ capability area with the public symbols' signatures and docstrings.
 
 import importlib
 import inspect
+import re
 import os
 import sys
 
@@ -33,9 +34,16 @@ PACKAGES = [
 ]
 
 
+
+def _stable_sig(sig) -> str:
+    """Signature repr with run-specific memory addresses normalized
+    (default-value reprs like '<_Sentinel object at 0x7f...>' differ per
+    process and would churn the generated docs on every regeneration)."""
+    return re.sub(r" at 0x[0-9a-fA-F]+", "", str(sig))
+
 def doc_symbol(name, obj, lines):
     try:
-        sig = str(inspect.signature(obj))
+        sig = _stable_sig(inspect.signature(obj))
     except (ValueError, TypeError):
         sig = ""
     kind = "class" if inspect.isclass(obj) else "def"
@@ -48,7 +56,7 @@ def doc_symbol(name, obj, lines):
             if mname.startswith("_") or not callable(member):
                 continue
             try:
-                msig = str(inspect.signature(member))
+                msig = _stable_sig(inspect.signature(member))
             except (ValueError, TypeError):
                 msig = ""
             mdoc = inspect.getdoc(member)

@@ -20,6 +20,17 @@ EXAMPLES_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
 )
 
+
+def discover_examples(directory=None):
+    """Example module names (shared with tests/test_examples_import.py so
+    the sweep and the import guard can never diverge)."""
+    directory = directory or EXAMPLES_DIR
+    return sorted(
+        f[:-3]
+        for f in os.listdir(directory)
+        if f.endswith(".py") and not f.startswith("_")
+    )
+
 #: per-example timeout seconds (video/training examples do real work)
 TIMEOUTS = {
     "video_vs_image_benchmark": 900,
@@ -34,12 +45,12 @@ def main() -> int:
     ap.add_argument("--only", nargs="*", help="example module names to run")
     args = ap.parse_args()
 
-    names = sorted(
-        f[:-3]
-        for f in os.listdir(EXAMPLES_DIR)
-        if f.endswith(".py") and not f.startswith("_")
-    )
+    names = discover_examples()
     if args.only:
+        unknown = set(args.only) - set(names)
+        if unknown:
+            print(f"unknown example(s): {sorted(unknown)}; available: {names}")
+            return 2
         names = [n for n in names if n in set(args.only)]
 
     failures = []

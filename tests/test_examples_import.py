@@ -13,14 +13,12 @@ import sys
 
 import pytest
 
-_EXAMPLES = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"
-)
-_MODULES = sorted(
-    f[:-3]
-    for f in os.listdir(_EXAMPLES)
-    if f.endswith(".py") and not f.startswith("_")
-)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_EXAMPLES = os.path.join(_REPO, "examples")
+sys.path.insert(0, os.path.join(_REPO, "scripts"))
+from run_examples import discover_examples  # noqa: E402 - shared discovery
+
+_MODULES = discover_examples(_EXAMPLES)
 
 
 @pytest.mark.parametrize("module", _MODULES)

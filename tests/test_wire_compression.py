@@ -374,14 +374,12 @@ def test_roundtrip_fuzz_random_shapes_and_content():
     import jax
 
     rng = np.random.default_rng(42)
-    decode = jax.jit(
-        WirePlaneUnpacker._decode,
-        static_argnames=(),
-    )
     from accvlab_tpu.pipeline.processing_steps import (
         compress_plane,
         decompress_plane,
     )
+
+    decode = jax.jit(decompress_plane)  # fuzz the COMPILED path
 
     for trial in range(30):
         ndim = int(rng.integers(2, 5))
@@ -410,7 +408,7 @@ def test_roundtrip_fuzz_random_shapes_and_content():
         else:  # low-amplitude noise around a level
             plane = (128 + rng.integers(-6, 7, shape)).astype(np.uint8)
         fields = compress_plane(plane)
-        got = np.asarray(decompress_plane(fields))
+        got = np.asarray(decode(fields))
         np.testing.assert_array_equal(
             got, plane, err_msg=f"trial {trial} shape {shape} kind {kind}"
         )
