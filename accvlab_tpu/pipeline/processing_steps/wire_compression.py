@@ -143,13 +143,8 @@ def _next_pow2(n: int) -> int:
     return p
 
 
-def _residuals(plane: np.ndarray):
-    """Both predictors' zigzag residuals for one plane.
-
-    -> ``(zz_vertical, zz_plane)``, each ``(H, Wr)`` uint16 (the
-    horizontal axis is the plane's axis 1; trailing axes ride along inside
-    each row element group, exactly as the device inverse treats them).
-    """
+def _validate_plane(plane: np.ndarray) -> int:
+    """Shared shape/dtype contract; returns the flattened row width."""
     if plane.dtype != np.uint8:
         raise TypeError(
             f"WirePlanePacker compresses uint8 planes, got {plane.dtype}"
@@ -164,6 +159,17 @@ def _residuals(plane: np.ndarray):
             f"WirePlanePacker: row width {wr} (shape {plane.shape}) must "
             "be divisible by 8 (bit-packing granularity)"
         )
+    return wr
+
+
+def _residuals(plane: np.ndarray):
+    """Both predictors' zigzag residuals for one plane (numpy path).
+
+    -> ``(zz_vertical, zz_plane)``, each ``(H, Wr)`` uint16 (the
+    horizontal axis is the plane's axis 1; trailing axes ride along inside
+    each row element group, exactly as the device inverse treats them).
+    """
+    wr = _validate_plane(plane)
     d = plane.astype(np.int16)
     # vertical diffs; row 0 stays raw for now
     rv = d.copy()
@@ -194,6 +200,57 @@ def _pack_fields(zz, b, e):
     return planes, excp, excv
 
 
+class _PlaneEncoder:
+    """Per-plane encode state behind one interface for two backends.
+
+    The native engine (``pipeline/csrc/wirepack.cpp``, built lazily) does
+    residual + zigzag + histogram and the final bitplane/exception emit in
+    single cache-friendly passes with no intermediate arrays; the numpy
+    fallback materializes both predictors' residual planes. Both produce
+    byte-identical wire fields (tested).
+    """
+
+    def __init__(self, plane: np.ndarray):
+        wr = _validate_plane(plane)
+        self.trailing = plane.shape[1:]
+        self.n = plane.shape[0] * wr
+        self._zz = None
+        self._p2d = None
+        # trailing elements per step along the horizontal axis 1
+        group = 1
+        for d in plane.shape[2:]:
+            group *= d
+        self._group = group
+        from .. import wire_native
+
+        p2d = np.ascontiguousarray(plane.reshape(plane.shape[0], wr))
+        hists = wire_native.analyze(p2d, group)
+        if hists is not None:
+            self._p2d = p2d
+            self._h = (np.cumsum(hists[0]), np.cumsum(hists[1]))
+        else:
+            zz1, zz2 = _residuals(plane)
+            self._zz = (zz1, zz2)
+            self._h = (_hist_cum(zz1), _hist_cum(zz2))
+
+    def hist_cum(self, mode: int) -> np.ndarray:
+        return self._h[mode - 1]
+
+    def exceptions_at(self, mode: int, b: int) -> int:
+        return _exceptions_at(self.hist_cum(mode), b)
+
+    def pack(self, mode: int, b: int, cap: int):
+        if self._p2d is not None:
+            from .. import wire_native
+
+            out = wire_native.pack(self._p2d, self._group, mode, b, cap)
+            if out is not None:
+                return out
+            # library vanished mid-run (never observed): numpy fallback
+            self._zz = _residuals(self._p2d.reshape((-1,) + tuple(self.trailing)))
+        return _pack_fields(self._zz[mode - 1], b, cap)
+
+
 def compress_plane(plane: np.ndarray, min_exc_capacity: int = _MIN_EXC_BUCKET):
     """Functional host-side encode of one uint8 plane (outside the pipeline).
 
@@ -204,15 +261,12 @@ def compress_plane(plane: np.ndarray, min_exc_capacity: int = _MIN_EXC_BUCKET):
     pipeline step, which does it per batch.
     """
     plane = np.asarray(plane)
-    zz1, zz2 = _residuals(plane)
-    b1, c1 = _optimal_width(zz1)
-    b2, c2 = _optimal_width(zz2)
-    mode, zz, b = (
-        (_MODE_VERTICAL, zz1, b1) if c1 <= c2 else (_MODE_PLANE, zz2, b2)
-    )
-    ne = int((zz >= (1 << b)).sum())
-    e = max(int(min_exc_capacity), ne)
-    planes, excp, excv = _pack_fields(zz, b, e)
+    enc = _PlaneEncoder(plane)
+    b1, c1 = _optimal_width(enc.hist_cum(_MODE_VERTICAL), enc.n)
+    b2, c2 = _optimal_width(enc.hist_cum(_MODE_PLANE), enc.n)
+    mode, b = (_MODE_VERTICAL, b1) if c1 <= c2 else (_MODE_PLANE, b2)
+    e = max(int(min_exc_capacity), enc.exceptions_at(mode, b))
+    planes, excp, excv = enc.pack(mode, b, e)
     return {
         "bp": planes,
         "excp": excp,
@@ -273,25 +327,22 @@ class WirePlanePacker(BatchLevelStepBase):
         # dominates max-of-per-sample-optima — a batch where most planes
         # want b=4 and one wants b=5 can stay at 4 and pay that plane's
         # exceptions instead of widening everyone)
-        encoded = []  # (sample_idx, path, (zz1, zz2), trailing_shape, name)
+        encoded = []  # (sample_idx, path, encoder, name)
         hist = {}
         count = {}
         for si, sdg in enumerate(samples):
             for name in self._field_names:
                 for ip in sdg.find_all_occurrences(name):
                     plane = np.asarray(sdg.get_item_in_path(ip))
-                    zz1, zz2 = _residuals(plane)
-                    encoded.append(
-                        (si, tuple(ip), (zz1, zz2), plane.shape[1:], name)
-                    )
-                    for mode, zz in ((_MODE_VERTICAL, zz1), (_MODE_PLANE, zz2)):
+                    enc = _PlaneEncoder(plane)
+                    encoded.append((si, tuple(ip), enc, name))
+                    for mode in (_MODE_VERTICAL, _MODE_PLANE):
                         key = (name, mode)
-                        h = _hist_cum(zz)
-                        hist[key] = hist.get(key, 0) + h
-                        count[key] = count.get(key, 0) + zz.size
+                        hist[key] = hist.get(key, 0) + enc.hist_cum(mode)
+                        count[key] = count.get(key, 0) + enc.n
         mode_for = {}
         width = {}
-        for name in {name for _, _, _, _, name in encoded}:
+        for name in {name for _, _, _, name in encoded}:
             best = None
             for mode in (_MODE_VERTICAL, _MODE_PLANE):
                 b, c = _optimal_width(hist[(name, mode)], count[(name, mode)])
@@ -301,19 +352,18 @@ class WirePlanePacker(BatchLevelStepBase):
         # batch-uniform exception capacity per field name, at the chosen
         # (mode, width)
         cap: dict = {}
-        for _, _, (zz1, zz2), _, name in encoded:
-            zz = zz1 if mode_for[name] == _MODE_VERTICAL else zz2
-            ne = int((zz >= (1 << width[(name, mode_for[name])])).sum())
+        for _, _, enc, name in encoded:
+            ne = enc.exceptions_at(mode_for[name], width[(name, mode_for[name])])
             cap[name] = max(cap.get(name, 0), ne)
         cap = {k: _next_pow2(v) for k, v in cap.items()}
 
         # pass 2: pack
         batch_stats: dict = {}
-        for si, ip, (zz1, zz2), trailing, name in encoded:
+        for si, ip, enc, name in encoded:
             mode = mode_for[name]
-            zz = zz1 if mode == _MODE_VERTICAL else zz2
+            trailing = enc.trailing
             b, e = width[(name, mode)], cap[name]
-            planes, excp, excv = _pack_fields(zz, b, e)
+            planes, excp, excv = enc.pack(mode, b, e)
             st = batch_stats.setdefault(
                 name,
                 {
@@ -324,7 +374,7 @@ class WirePlanePacker(BatchLevelStepBase):
                     "packed_bytes": 0,
                 },
             )
-            st["raw_bytes"] += zz.size
+            st["raw_bytes"] += enc.n
             mode_bytes = mode
             for d in trailing[1:]:
                 mode_bytes *= d

@@ -473,3 +473,43 @@ def test_packer_last_batch_stats():
     assert st["exc_capacity"] >= 64
     assert st["raw_bytes"] == 2 * 64 * 96
     assert 0 < st["packed_bytes"] < st["raw_bytes"]
+
+
+def test_native_encoder_matches_numpy_bytewise():
+    """The C++ single-pass encoder must produce byte-identical wire fields
+    to the numpy reference path (histograms, bitplanes, exception lists)."""
+    from accvlab_tpu.pipeline import wire_native
+    from accvlab_tpu.pipeline.processing_steps.wire_compression import (
+        _MODE_PLANE,
+        _MODE_VERTICAL,
+        _hist_cum,
+        _pack_fields,
+        _residuals,
+    )
+
+    assert wire_native.get_lib() is not None  # g++ is baked into the image
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, (24, 32), np.uint8),
+        rng.integers(0, 256, (9, 8, 2), np.uint8),
+        make_plane("smooth", shape=(40, 64)),
+        np.full((5, 16), 77, np.uint8),
+        rng.integers(0, 256, (1, 24), np.uint8),  # H=1
+    ]
+    for plane in cases:
+        group = int(np.prod(plane.shape[2:], dtype=np.int64))
+        p2d = np.ascontiguousarray(plane.reshape(plane.shape[0], -1))
+        h1, h2 = wire_native.analyze(p2d, group)
+        zz1, zz2 = _residuals(plane)
+        np.testing.assert_array_equal(np.cumsum(h1), _hist_cum(zz1))
+        np.testing.assert_array_equal(np.cumsum(h2), _hist_cum(zz2))
+        for mode, zz in ((_MODE_VERTICAL, zz1), (_MODE_PLANE, zz2)):
+            for b in (0, 2, 5, 9):
+                cap = max(64, int((zz >= (1 << b)).sum()))
+                got = wire_native.pack(p2d, group, mode, b, cap)
+                ref = _pack_fields(zz, b, cap)
+                for g, r, what in zip(got, ref, ("bp", "excp", "excv")):
+                    np.testing.assert_array_equal(
+                        g, r, err_msg=f"{plane.shape} mode={mode} b={b} {what}"
+                    )
