@@ -203,7 +203,16 @@ class TPUPipeline:
         self._input_blueprint = definition.input_data_structure
         bp = self._input_blueprint
         for s in self._host_steps:
-            bp = s.check_input_data_format_and_set_output_data_format(bp)
+            if not s.is_batch_level:
+                bp = s.check_input_data_format_and_set_output_data_format(bp)
+        # format after the PER-SAMPLE host phase: process workers return
+        # samples in this shape (batch-level steps run in the producer
+        # thread afterwards and may change the field set, e.g. the wire
+        # packer)
+        self._per_sample_out_blueprint = bp
+        for s in self._host_steps:
+            if s.is_batch_level:
+                bp = s.check_input_data_format_and_set_output_data_format(bp)
         self._host_out_blueprint = bp
         for s in self._device_steps:
             bp = s.check_input_data_format_and_set_output_data_format(bp)
@@ -327,7 +336,10 @@ class TPUPipeline:
             )  # raises StopIteration at epoch end
             samples = []
             for flat in flats:
-                sdg = self._host_out_blueprint.get_empty_like_self()
+                # workers run the PER-SAMPLE host phase only; batch-level
+                # steps (which may change the field set, e.g. the wire
+                # packer) run below in the producer thread
+                sdg = self._per_sample_out_blueprint.get_empty_like_self()
                 sdg.set_data(flat)
                 samples.append(sdg)
         elif is_callable:

@@ -513,3 +513,41 @@ def test_native_encoder_matches_numpy_bytewise():
                     np.testing.assert_array_equal(
                         g, r, err_msg=f"{plane.shape} mode={mode} b={b} {what}"
                     )
+
+
+def test_packed_wire_with_process_workers():
+    """Wire compression composes with worker_mode='process': per-sample
+    host work (decode) runs in spawned workers, the batch-level packer in
+    the producer thread; output matches the thread-mode pipeline bitwise."""
+    jpegs = [make_jpeg(seed=s) for s in range(4)]
+
+    def build(worker_mode):
+        inp = ShuffledShardedInputCallable(
+            JpegProvider(jpegs), batch_size=2, shuffle=False
+        )
+        defn = PipelineDefinition(
+            inp,
+            [
+                ImageDecoder("image", wire_format="yuv420"),
+                WirePlanePacker(["image", "image_cbcr"]),
+                WirePlaneUnpacker(["image", "image_cbcr"]),
+                YCbCrToRGBConverter("image"),
+            ],
+            copy_external_source_passthrough_outputs=False,
+        )
+        return defn.get_pipeline(
+            batch_size=2, num_threads=2, seed=0, worker_mode=worker_mode
+        )
+
+    ref = build("thread")
+    try:
+        expected = np.asarray(ref.run()["image"])
+    finally:
+        ref.stop()
+
+    pipe = build("process")
+    try:
+        got = np.asarray(pipe.run()["image"])
+    finally:
+        pipe.stop()
+    np.testing.assert_array_equal(got, expected)
