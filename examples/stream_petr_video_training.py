@@ -116,32 +116,70 @@ def main(num_steps: int = 6, batch_drives: int = 2):
         # device program per batch
         from accvlab_tpu.color import ycbcr420_to_rgb
 
+        # lossless wire compression on top of the YUV wire (the functional
+        # codec API): compress each batch's stacked planes as ONE plane —
+        # (B*H, W) — so a single call gives uniform shapes (the image-
+        # boundary rows just cost a handful of PFOR exceptions), and run
+        # DECOMPRESSION + color convert + normalize as one jitted device
+        # program. Output is bit-identical to shipping raw planes; the
+        # host->device transfer shrinks ~1.4-2x on top of YUV's 2x.
+        from accvlab_tpu.pipeline.processing_steps import (
+            compress_plane,
+            decompress_plane,
+        )
+
         prep_cache = {}
 
         def _conv(key):
+            # per-colorspace jitted program (retraces per codec shape
+            # family — stable for homogeneous clip sets)
             if key not in prep_cache:
                 mtx, crange = key
-                prep_cache[key] = jax.jit(
+
+                @jax.jit
+                def f(y_fields, cbcr_fields):
+                    y = decompress_plane(y_fields).reshape(-1, *HW)
+                    cbcr = decompress_plane(cbcr_fields).reshape(
+                        y.shape[0], HW[0] // 2, HW[1] // 2, 2
+                    )
+                    return ycbcr420_to_rgb(y, cbcr, mtx, crange).astype(
+                        jnp.float32
+                    ) * (1.0 / 255.0)
+
+                prep_cache[key] = f
+            return prep_cache[key]
+
+        def _pack(plane_stack):  # (B, H, W[, C]) uint8 -> wire field dict
+            flat = plane_stack.reshape((-1,) + plane_stack.shape[2:])
+            return {
+                k: jnp.asarray(v)
+                for k, v in compress_plane(np.ascontiguousarray(flat)).items()
+            }
+
+        def _conv_raw(key):
+            if ("raw", key) not in prep_cache:
+                mtx, crange = key
+                prep_cache[("raw", key)] = jax.jit(
                     lambda yy, cc: ycbcr420_to_rgb(yy, cc, mtx, crange).astype(
                         jnp.float32
                     )
                     * (1.0 / 255.0)
                 )
-            return prep_cache[key]
+            return prep_cache[("raw", key)]
 
         def to_batch(frame_lists):
             # (batch*cams) x 1 YuvFrames -> (B, N_cam, H, W, 3) float in [0, 1].
             # Each frame reports its own colorspace; convert per distinct
             # (matrix, range) group so a batch mixing bt601/bt709 or
             # full/limited clips gets the right coefficients per frame (the
-            # homogeneous case — one clip set, one colorspace — stays a
-            # single jitted call).
+            # homogeneous case — one clip set, one colorspace — ships the
+            # compressed wire through a single jitted call).
             flat = [f[0] for f in frame_lists]
             y = np.stack([f.y for f in flat])
             cbcr = np.stack([f.cbcr for f in flat])
             keys = sorted({(f.matrix, f.color_range) for f in flat})
             if len(keys) == 1:
-                rgb = _conv(keys[0])(jnp.asarray(y), jnp.asarray(cbcr))
+                rgb = _conv(keys[0])(_pack(y), _pack(cbcr))
             else:
                 rgb = jnp.zeros((len(flat), *HW, 3), jnp.float32)
                 for key in keys:
@@ -150,7 +188,7 @@ def main(num_steps: int = 6, batch_drives: int = 2):
                          if (f.matrix, f.color_range) == key]
                     )
                     rgb = rgb.at[idx].set(
-                        _conv(key)(jnp.asarray(y[idx]), jnp.asarray(cbcr[idx]))
+                        _conv_raw(key)(jnp.asarray(y[idx]), jnp.asarray(cbcr[idx]))
                     )
             return rgb.reshape(batch_drives, NUM_CAMS, *HW, 3)
 
