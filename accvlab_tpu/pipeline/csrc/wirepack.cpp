@@ -24,7 +24,11 @@
 namespace {
 
 inline uint16_t zig(int v) {
-    return static_cast<uint16_t>((v << 1) ^ (v >> 31));
+    // unsigned arithmetic: a signed left shift of a negative value is UB
+    // before C++20; this form is well-defined and bit-identical
+    const uint32_t u = static_cast<uint32_t>(v);
+    const uint32_t sign = static_cast<uint32_t>(v >> 31);  // 0 or ~0
+    return static_cast<uint16_t>((u << 1) ^ sign);
 }
 
 // residuals of both modes at (row y via pointers, col i)

@@ -102,12 +102,22 @@ class PipelineDefinition:
         return self._input.used_sample_data_structure
 
     def check_and_get_output_data_structure(self) -> SampleDataGroup:
-        """Infer the output format by folding every step's format check
-        (parity: ``pipeline.py:150``)."""
+        """Infer the output format by folding every step's format check in
+        the EXECUTOR'S order (parity: ``pipeline.py:150``): host per-sample
+        steps, then host batch-level steps (the executor always hoists
+        those to the end of the host stage), then the fused device steps —
+        so a batch-level step that changes the field set (e.g. the wire
+        packer) validates against what actually reaches it at runtime."""
+        host_steps, device_steps = _split_steps(self._steps)
+        ordered = (
+            [s for s in host_steps if not s.is_batch_level]
+            + [s for s in host_steps if s.is_batch_level]
+            + list(device_steps)
+        )
         blueprint = self.input_data_structure
         if self._print_format:
             print("### Input format:\n" + str(blueprint))
-        for step in self._steps:
+        for step in ordered:
             blueprint = step.check_input_data_format_and_set_output_data_format(blueprint)
             if self._print_format:
                 print(f"### After {type(step).__name__}:\n" + str(blueprint))

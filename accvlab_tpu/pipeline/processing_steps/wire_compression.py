@@ -265,7 +265,10 @@ def compress_plane(plane: np.ndarray, min_exc_capacity: int = _MIN_EXC_BUCKET):
     b1, c1 = _optimal_width(enc.hist_cum(_MODE_VERTICAL), enc.n)
     b2, c2 = _optimal_width(enc.hist_cum(_MODE_PLANE), enc.n)
     mode, b = (_MODE_VERTICAL, b1) if c1 <= c2 else (_MODE_PLANE, b2)
-    e = max(int(min_exc_capacity), enc.exceptions_at(mode, b))
+    # power-of-two capacity (like the pipeline step): per-call exact sizing
+    # would give every batch its own E shape and retrace the caller's jitted
+    # decode on every call
+    e = max(int(min_exc_capacity), _next_pow2(enc.exceptions_at(mode, b)))
     planes, excp, excv = enc.pack(mode, b, e)
     return {
         "bp": planes,

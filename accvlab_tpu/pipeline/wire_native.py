@@ -68,6 +68,29 @@ def get_lib() -> Optional[ctypes.CDLL]:
     return _LIB
 
 
+def _check_plane2d(plane2d: np.ndarray, group: int) -> None:
+    """The C engine trusts its pointer: enforce the layout contract here
+    (a non-contiguous view or a non-multiple-of-8 row would silently
+    corrupt the wire instead of erroring like the numpy path does)."""
+    if plane2d.dtype != np.uint8 or plane2d.ndim != 2:
+        raise TypeError(
+            f"native wire encoder needs a 2-D uint8 plane, got "
+            f"{plane2d.dtype} {plane2d.shape}"
+        )
+    if not plane2d.flags["C_CONTIGUOUS"]:
+        raise ValueError("native wire encoder needs a C-contiguous plane")
+    if plane2d.shape[1] % 8 != 0:
+        raise ValueError(
+            f"native wire encoder: row width {plane2d.shape[1]} must be "
+            "divisible by 8"
+        )
+    if group < 1 or plane2d.shape[1] % group != 0:
+        raise ValueError(
+            f"native wire encoder: group {group} must divide the row "
+            f"width {plane2d.shape[1]}"
+        )
+
+
 def analyze(plane2d: np.ndarray, group: int):
     """Histograms (counts, len 1024) of both predictors' zigzag residuals.
 
@@ -78,6 +101,7 @@ def analyze(plane2d: np.ndarray, group: int):
     lib = get_lib()
     if lib is None:
         return None
+    _check_plane2d(plane2d, group)
     h1 = np.zeros((1024,), np.uint32)
     h2 = np.zeros((1024,), np.uint32)
     lib.accvlab_wire_analyze(
@@ -101,6 +125,7 @@ def pack(plane2d: np.ndarray, group: int, mode: int, b: int, cap: int):
     lib = get_lib()
     if lib is None:
         return None
+    _check_plane2d(plane2d, group)
     h, wr = plane2d.shape
     bp = np.empty((b, h, wr // 8), np.uint8)
     excp = np.full((cap,), h * wr, np.int32)

@@ -178,8 +178,13 @@ def main(num_steps: int = 6, batch_drives: int = 2):
             y = np.stack([f.y for f in flat])
             cbcr = np.stack([f.cbcr for f in flat])
             keys = sorted({(f.matrix, f.color_range) for f in flat})
-            if len(keys) == 1:
+            # the codec needs rows divisible by 8 (bit-packing granularity);
+            # odd widths fall back to the raw YUV wire
+            packable = HW[1] % 8 == 0
+            if len(keys) == 1 and packable:
                 rgb = _conv(keys[0])(_pack(y), _pack(cbcr))
+            elif len(keys) == 1:
+                rgb = _conv_raw(keys[0])(jnp.asarray(y), jnp.asarray(cbcr))
             else:
                 rgb = jnp.zeros((len(flat), *HW, 3), jnp.float32)
                 for key in keys:

@@ -551,3 +551,52 @@ def test_packed_wire_with_process_workers():
     finally:
         pipe.stop()
     np.testing.assert_array_equal(got, expected)
+
+
+def test_definition_checker_matches_executor_phase_order():
+    """A per-sample host step listed AFTER a batch-level step still runs
+    BEFORE it at runtime (the executor hoists batch-level steps to the end
+    of the host stage) — the definition-level format checker must validate
+    in that same order instead of rejecting a runnable pipeline."""
+    from accvlab_tpu.pipeline.processing_steps import PipelineStepBase
+
+    class TouchImage(PipelineStepBase):
+        """Per-sample host step that requires the raw 'image' field."""
+
+        placement = "host"
+
+        def _check_and_adjust_data_format_input_to_output(self, bp):
+            if not bp.find_all_occurrences("image"):
+                raise KeyError("TouchImage needs 'image'")
+            return bp
+
+        def _process(self, data):
+            return data
+
+    jpegs = [make_jpeg(seed=0)]
+
+    def build():
+        inp = ShuffledShardedInputCallable(
+            JpegProvider(jpegs), batch_size=1, shuffle=False
+        )
+        return PipelineDefinition(
+            inp,
+            [
+                ImageDecoder("image", wire_format="yuv420"),
+                WirePlanePacker(["image", "image_cbcr"]),  # batch-level
+                TouchImage(),  # listed after, but RUNS before the packer
+                WirePlaneUnpacker(["image", "image_cbcr"]),
+                YCbCrToRGBConverter("image"),
+            ],
+            copy_external_source_passthrough_outputs=False,
+        )
+
+    out = build().check_and_get_output_data_structure()
+    assert len(out.find_all_occurrences("image")) == 1
+    # and the pipeline actually runs in that order
+    pipe = build().get_pipeline(batch_size=1, num_threads=1, seed=0)
+    try:
+        img = np.asarray(pipe.run()["image"])
+        assert img.ndim == 4 and img.shape[-1] == 3
+    finally:
+        pipe.stop()
