@@ -273,4 +273,155 @@ int ajd_decode_rgb(const uint8_t* data, uint64_t size, int32_t target_h,
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Coefficient-domain ("DCT wire") entry points.
+//
+// The TPU-first split of JPEG decode: the host runs ONLY the entropy
+// (Huffman/arithmetic) half and ships the quantized DCT coefficients; the
+// device runs dequantize + scaled IDCT (8x8-block matmuls — MXU-native) +
+// resize + color conversion inside the fused preprocess program. Quantized
+// coefficients are the file's actual information content, so they compress
+// far better than any pixel-domain wire (most AC values are zero), and the
+// host saves the IDCT+upsample+resize work entirely.
+//
+// Layout contract (see processing_steps/dct_wire.py): per component, the
+// m x m top-left (natural-order) coefficient subset of every block —
+// exactly the subset libjpeg's own M/8 scaled decode uses.
+
+// Header-only probe for the coefficient read. out_info (8 int32):
+//   [0] src_h  [1] src_w  [2] ncomp (1 or 3)
+//   [3] bh_y   [4] bw_y   (luma block grid, = libjpeg {height,width}_in_blocks)
+//   [5] bh_c   [6] bw_c   (chroma block grid; 4:2:0 dims even for grayscale)
+//   [7] progressive flag (informational)
+// Requires grayscale or YCbCr 4:2:0 (the JPEG default); returns -3 for
+// other samplings/colorspaces (caller falls back to the pixel wire).
+int ajd_dct_info(const uint8_t* data, uint64_t size, int32_t* out_info) {
+    jpeg_decompress_struct dinfo;
+    ErrorMgr err;
+    dinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = on_error;
+    err.pub.emit_message = on_emit;
+    if (setjmp(err.jump)) {
+        jpeg_destroy_decompress(&dinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&dinfo);
+    jpeg_mem_src(&dinfo, data, size);
+    jpeg_read_header(&dinfo, TRUE);
+    long h = dinfo.image_height, w = dinfo.image_width;
+    bool gray = dinfo.jpeg_color_space == JCS_GRAYSCALE && dinfo.num_components == 1;
+    bool ycbcr420 =
+        dinfo.jpeg_color_space == JCS_YCbCr && dinfo.num_components == 3 &&
+        dinfo.comp_info[0].h_samp_factor == 2 && dinfo.comp_info[0].v_samp_factor == 2 &&
+        dinfo.comp_info[1].h_samp_factor == 1 && dinfo.comp_info[1].v_samp_factor == 1 &&
+        dinfo.comp_info[2].h_samp_factor == 1 && dinfo.comp_info[2].v_samp_factor == 1 &&
+        dinfo.comp_info[1].quant_tbl_no == dinfo.comp_info[2].quant_tbl_no;
+    if (!gray && !ycbcr420) {
+        jpeg_destroy_decompress(&dinfo);
+        set_error("DCT wire supports grayscale or YCbCr 4:2:0 JPEGs only");
+        return -3;
+    }
+    out_info[0] = static_cast<int32_t>(h);
+    out_info[1] = static_cast<int32_t>(w);
+    out_info[2] = gray ? 1 : 3;
+    // libjpeg (jdinput.c): blocks = ceil(dim * samp / (max_samp * 8)).
+    // Grayscale: max_samp = 1; synthesize the 4:2:0 chroma grid a real
+    // 4:2:0 file of this size would have (the caller zero-fills it).
+    int max_h = gray ? 1 : 2, max_v = gray ? 1 : 2;
+    int yh = gray ? 1 : 2, yv = gray ? 1 : 2;
+    out_info[3] = static_cast<int32_t>((h * yv + max_v * 8 - 1) / (max_v * 8));
+    out_info[4] = static_cast<int32_t>((w * yh + max_h * 8 - 1) / (max_h * 8));
+    out_info[5] = static_cast<int32_t>((h + 2 * 8 - 1) / (2 * 8));
+    out_info[6] = static_cast<int32_t>((w + 2 * 8 - 1) / (2 * 8));
+    out_info[7] = dinfo.progressive_mode ? 1 : 0;
+    jpeg_destroy_decompress(&dinfo);
+    return 0;
+}
+
+// Entropy-decode only: fill the m x m coefficient subset of every block.
+// out_y: (bh_y, bw_y, m, m) int16; out_cb/out_cr: (bh_c, bw_c, m, m) int16
+// (untouched for grayscale — caller pre-zeros; all-zero blocks IDCT to the
+// neutral 128 after the +128 level shift, exactly neutral chroma).
+// out_quant: (2, m, m) uint16 — luma table then chroma table (luma copied
+// for grayscale). Natural order everywhere (libjpeg stores both blocks and
+// quantval in natural order after marker/entropy decode). Returns 0 on
+// success; grid dims must match ajd_dct_info's (-4 if libjpeg disagrees).
+int ajd_read_dct(const uint8_t* data, uint64_t size, int32_t m,
+                 int32_t bh_y, int32_t bw_y, int32_t bh_c, int32_t bw_c,
+                 int16_t* out_y, int16_t* out_cb, int16_t* out_cr,
+                 uint16_t* out_quant) {
+    if (m < 1 || m > 8) {
+        set_error("m must be in 1..8");
+        return -2;
+    }
+    jpeg_decompress_struct dinfo;
+    ErrorMgr err;
+    dinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = on_error;
+    err.pub.emit_message = on_emit;
+    if (setjmp(err.jump)) {
+        jpeg_destroy_decompress(&dinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&dinfo);
+    jpeg_mem_src(&dinfo, data, size);
+    jpeg_read_header(&dinfo, TRUE);
+    bool gray = dinfo.jpeg_color_space == JCS_GRAYSCALE && dinfo.num_components == 1;
+    jvirt_barray_ptr* coef = jpeg_read_coefficients(&dinfo);
+    if (coef == nullptr) {
+        jpeg_destroy_decompress(&dinfo);
+        set_error("jpeg_read_coefficients failed");
+        return -1;
+    }
+    const int32_t exp_bh[3] = {bh_y, bh_c, bh_c};
+    const int32_t exp_bw[3] = {bw_y, bw_c, bw_c};
+    int16_t* outs[3] = {out_y, out_cb, out_cr};
+    int ncomp = gray ? 1 : 3;
+    for (int ci = 0; ci < ncomp; ++ci) {
+        jpeg_component_info* comp = &dinfo.comp_info[ci];
+        if (static_cast<int32_t>(comp->height_in_blocks) != exp_bh[ci] ||
+            static_cast<int32_t>(comp->width_in_blocks) != exp_bw[ci]) {
+            jpeg_destroy_decompress(&dinfo);
+            set_error("block grid mismatch vs ajd_dct_info");
+            return -4;
+        }
+        int16_t* dst = outs[ci];
+        const size_t block_out = static_cast<size_t>(m) * m;
+        for (JDIMENSION row = 0; row < comp->height_in_blocks; ++row) {
+            JBLOCKARRAY rows = (*dinfo.mem->access_virt_barray)(
+                reinterpret_cast<j_common_ptr>(&dinfo), coef[ci], row, 1, FALSE);
+            for (JDIMENSION col = 0; col < comp->width_in_blocks; ++col) {
+                const JCOEF* blk = rows[0][col];
+                int16_t* o = dst +
+                    (static_cast<size_t>(row) * comp->width_in_blocks + col) * block_out;
+                for (int r = 0; r < m; ++r)
+                    for (int c = 0; c < m; ++c)
+                        o[r * m + c] = static_cast<int16_t>(blk[r * 8 + c]);
+            }
+        }
+        // quant table subset, natural order (luma -> slot 0, chroma -> 1)
+        if (ci < 2) {
+            JQUANT_TBL* qt = dinfo.quant_tbl_ptrs[comp->quant_tbl_no];
+            if (qt == nullptr) qt = comp->quant_table;
+            if (qt == nullptr) {
+                jpeg_destroy_decompress(&dinfo);
+                set_error("missing quantization table");
+                return -5;
+            }
+            uint16_t* q = out_quant + static_cast<size_t>(ci) * m * m;
+            for (int r = 0; r < m; ++r)
+                for (int c = 0; c < m; ++c)
+                    q[r * m + c] = static_cast<uint16_t>(qt->quantval[r * 8 + c]);
+        }
+    }
+    if (gray) {
+        // chroma shares the luma table (its coefficient grids are all-zero)
+        std::memcpy(out_quant + static_cast<size_t>(m) * m, out_quant,
+                    static_cast<size_t>(m) * m * sizeof(uint16_t));
+    }
+    jpeg_finish_decompress(&dinfo);
+    jpeg_destroy_decompress(&dinfo);
+    return 0;
+}
+
 }  // extern "C"

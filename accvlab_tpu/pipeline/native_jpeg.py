@@ -45,6 +45,19 @@ def _build_and_load() -> ctypes.CDLL:
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.ajd_dct_info.restype = ctypes.c_int
+    lib.ajd_dct_info.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.ajd_read_dct.restype = ctypes.c_int
+    lib.ajd_read_dct.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint16),
+    ]
     return lib
 
 
@@ -131,6 +144,68 @@ def decode_rgb(
     if rc != 0:
         raise ValueError(f"JPEG decode failed: {lib.ajd_last_error().decode()}")
     return out
+
+
+def dct_info(jpeg_bytes: np.ndarray) -> dict:
+    """Header-only probe for the coefficient-domain ("DCT wire") read.
+
+    Returns ``{"src_hw", "ncomp", "blocks_y", "blocks_c", "progressive"}``
+    where the block grids are libjpeg's ``{height,width}_in_blocks`` (the
+    chroma grid is the 4:2:0 one, synthesized for grayscale sources).
+    Raises ``ValueError`` for colorspaces/samplings the DCT wire does not
+    carry (anything but grayscale or YCbCr 4:2:0) — callers fall back to a
+    pixel wire."""
+    lib = get_lib()
+    assert lib is not None
+    buf = np.ascontiguousarray(jpeg_bytes, np.uint8)
+    info = np.zeros(8, np.int32)
+    rc = lib.ajd_dct_info(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.nbytes,
+        info.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise ValueError(f"DCT probe failed: {lib.ajd_last_error().decode()}")
+    return {
+        "src_hw": (int(info[0]), int(info[1])),
+        "ncomp": int(info[2]),
+        "blocks_y": (int(info[3]), int(info[4])),
+        "blocks_c": (int(info[5]), int(info[6])),
+        "progressive": bool(info[7]),
+    }
+
+
+def read_dct(jpeg_bytes: np.ndarray, m: int, info: Optional[dict] = None):
+    """Entropy-decode only: the ``m x m`` top-left (natural-order) quantized
+    coefficient subset of every block — exactly the subset libjpeg's own
+    M/8 scaled decode uses — plus the quantization tables.
+
+    Returns ``(y, cb, cr, quant)``: int16 ``(bh_y, bw_y, m, m)``, two int16
+    ``(bh_c, bw_c, m, m)`` (all-zero for grayscale = neutral chroma after
+    the IDCT level shift), and uint16 ``(2, m, m)`` (luma, chroma tables).
+    """
+    lib = get_lib()
+    assert lib is not None
+    if info is None:
+        info = dct_info(jpeg_bytes)
+    m = int(m)
+    bh_y, bw_y = info["blocks_y"]
+    bh_c, bw_c = info["blocks_c"]
+    buf = np.ascontiguousarray(jpeg_bytes, np.uint8)
+    y = np.zeros((bh_y, bw_y, m, m), np.int16)
+    cb = np.zeros((bh_c, bw_c, m, m), np.int16)
+    cr = np.zeros((bh_c, bw_c, m, m), np.int16)
+    quant = np.zeros((2, m, m), np.uint16)
+    rc = lib.ajd_read_dct(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.nbytes,
+        m, bh_y, bw_y, bh_c, bw_c,
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        cb.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        cr.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        quant.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    )
+    if rc != 0:
+        raise ValueError(f"DCT read failed: {lib.ajd_last_error().decode()}")
+    return y, cb, cr, quant
 
 
 def scaled_size(source_hw: Tuple[int, int], hint_hw: Tuple[int, int]) -> Tuple[int, int]:

@@ -14,6 +14,7 @@ from .wire_compression import (
     compress_plane,
     decompress_plane,
 )
+from .dct_wire import DCTWirePacker, DCTWireUnpacker
 from .image_normalizers import ImageMeanStdDevNormalizer, ImageRange01Normalizer
 from .padders import ImageToTileSizePadder, PaddingToUniform
 from .field_utils import AxesLayoutSetter, TensorSizeAdder, UnneededFieldRemover
@@ -38,6 +39,8 @@ from .applied_steps import (
 
 __all__ = [
     "BEVBBoxesTransformer3D",
+    "DCTWirePacker",
+    "DCTWireUnpacker",
     "AffineTransformer",
     "AnnotationElementConditionEval",
     "AxesLayoutSetter",
