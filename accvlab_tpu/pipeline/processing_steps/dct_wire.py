@@ -241,20 +241,59 @@ def _dc_residual(dc: np.ndarray, mode: int) -> np.ndarray:
 
 class _CompsetEncoder:
     """Per-(sample, occurrence, compset) encode state between the two
-    batch passes: zigzag band array + the three DC-residual candidates."""
+    batch passes, behind one interface for two backends.
+
+    The native engine (``pipeline/csrc/dctpack.cpp``, built lazily) does
+    zigzag + per-group histograms (all three DC predictor variants in one
+    sweep) and the bitplane/exception emit in single cache-friendly passes
+    with no intermediate arrays; the numpy fallback materializes the
+    zigzag band array and the DC residual candidates. Both produce
+    byte-identical wire fields (tested)."""
 
     def __init__(self, bands: np.ndarray, groups):
-        # bands: (m*m, bh, bwp) int16, zigzag band order
+        # bands: (m*m, bh, bwp) int16, zigzag band order; group 0 is the
+        # DC band alone (diagonal 0) in every grouping style
+        assert groups[0] == (0, 1)
+        bands = np.ascontiguousarray(bands, np.int16)
         self.n_per_group = [
             int((b - a) * bands.shape[1] * bands.shape[2]) for a, b in groups
         ]
-        self.zz = _zigzag(bands)  # uint16; band 0 = mode-NONE DC
-        self.dc_zz = {
-            mode: _zigzag(_dc_residual(bands[0], mode))
-            for mode in (_MODE_VERTICAL, _MODE_PLANE)
-        }
-        self.dc_zz[_MODE_NONE] = self.zz[0]
+        self._bands = bands
         self._groups = groups
+        from .. import dct_native
+
+        bounds = [a for a, _ in groups] + [groups[-1][1]]
+        res = dct_native.analyze(bands, bounds)
+        self._f: dict = {}  # (g, mode) -> int64 (15,): count(zigzag < 2^b)
+        if res is not None:
+            self._native = True
+            fits, dc3 = res
+            for g in range(1, len(groups)):
+                self._f[(g, _MODE_NONE)] = fits[g].astype(np.int64)
+            for mode in (_MODE_NONE, _MODE_VERTICAL, _MODE_PLANE):
+                self._f[(0, mode)] = dc3[mode].astype(np.int64)
+            self.zz = None
+            self.dc_zz = None
+        else:
+            self._native = False
+            self.zz = _zigzag(bands)  # uint16; band 0 = mode-NONE DC
+            self.dc_zz = {
+                mode: _zigzag(_dc_residual(bands[0], mode))
+                for mode in (_MODE_VERTICAL, _MODE_PLANE)
+            }
+            self.dc_zz[_MODE_NONE] = self.zz[0]
+
+            def to_fits(zz):
+                cum = np.cumsum(
+                    np.bincount(zz.ravel(), minlength=1 << _MAX_BITS),
+                    dtype=np.int64,
+                )
+                return cum[(1 << np.arange(_MAX_BITS + 1)) - 1]
+
+            for mode, dz in self.dc_zz.items():
+                self._f[(0, mode)] = to_fits(dz)
+            for g, (a, b) in enumerate(groups[1:], start=1):
+                self._f[(g, _MODE_NONE)] = to_fits(self.zz[a:b])
 
     def group_zz(self, g: int, dc_mode: int) -> np.ndarray:
         a, b = self._groups[g]
@@ -266,20 +305,51 @@ class _CompsetEncoder:
             return zz
         return self.zz[a:b]
 
-    def hist(self, g: int, dc_mode: int) -> np.ndarray:
-        return np.bincount(
-            self.group_zz(g, dc_mode).ravel(), minlength=1 << _MAX_BITS
-        )
+    def fits(self, g: int, dc_mode: int) -> np.ndarray:
+        """``fits[b] = count(zigzag < 2**b)`` for b in 0..14 — everything
+        the width/mode optimizer needs from this group's values."""
+        return self._f[(g, dc_mode if g == 0 else _MODE_NONE)]
+
+    def exceptions_at(self, g: int, dc_mode: int, b: int) -> int:
+        return self.n_per_group[g] - int(self.fits(g, dc_mode)[b])
+
+    def pack_group_into(
+        self, g: int, dc_mode: int, b: int, excp, excv, ne: int
+    ):
+        """Pack group ``g`` -> new bitplane array; exceptions (positions in
+        the concatenated band space) append to the unified list at ``ne``.
+        Returns ``(bp, new_ne)``; new_ne is the TRUE count (caller errors
+        if it exceeds the capacity — sized from the same histograms)."""
+        a, b_end = self._groups[g]
+        bh, bwp = self._bands.shape[1], self._bands.shape[2]
+        bp = np.empty((b, (b_end - a) * bh, bwp // 8), np.uint8)
+        if self._native:
+            from .. import dct_native
+
+            new_ne = dct_native.pack_group(
+                self._bands, a, b_end, dc_mode, b, bp, excp, excv, ne
+            )
+            if new_ne is not None:
+                return bp, new_ne
+            # library vanished mid-run (never observed): rebuild the
+            # numpy state and fall through
+            self.__init__(self._bands, self._groups)  # pragma: no cover
+        zz = self.group_zz(g, dc_mode)
+        bp[...] = _pack_group(zz, b)
+        pos = np.flatnonzero(zz >= (1 << b))
+        take = min(pos.size, max(0, excp.size - ne))
+        offset = a * bh * bwp
+        excp[ne : ne + take] = pos[:take].astype(np.int32) + offset
+        excv[ne : ne + take] = zz.reshape(-1)[pos[:take]].astype(np.int16)
+        return bp, ne + pos.size
 
 
-def _optimal_width(hist_cum: np.ndarray, n: int) -> Tuple[int, int]:
-    """Cost-optimal width: minimize ``b*N + exceptions(b)*_EXC_BITS``."""
+def _optimal_width(fits: np.ndarray, n: int) -> Tuple[int, int]:
+    """Cost-optimal width: minimize ``b*N + exceptions(b)*_EXC_BITS``,
+    where ``fits[b] = count(zigzag < 2**b)`` over the N values."""
     best_b, best_cost = _MAX_BITS, _MAX_BITS * n
-    total = int(hist_cum[-1])
     for b in range(_MAX_BITS + 1):
-        t = 1 << b
-        exc = total - int(hist_cum[t - 1]) if t <= hist_cum.size else 0
-        cost = b * n + exc * _EXC_BITS
+        cost = b * n + (n - int(fits[b])) * _EXC_BITS
         if cost < best_cost:
             best_b, best_cost = b, cost
     return best_b, best_cost
@@ -401,11 +471,11 @@ class DCTWirePacker(BatchLevelStepBase):
         self, samples: List[SampleDataGroup]
     ) -> List[SampleDataGroup]:
         geo, groups = self._geo, self._groups
-        # pass 1: entropy decode + per-group value histograms, summed over
+        # pass 1: entropy decode + per-group width summaries, summed over
         # the batch (per compset; and per DC-mode candidate for group 0) so
         # widths/mode minimize the TOTAL batch cost with batch-uniform shapes
         encs = []  # (sample_idx, path, {cs: _CompsetEncoder}, quant)
-        hist = {}
+        fits_sum = {}
         for si, sdg in enumerate(samples):
             for ip in sdg.find_all_occurrences(self._image_name):
                 encoded = np.asarray(sdg.get_item_in_path(ip), np.uint8)
@@ -423,8 +493,10 @@ class DCTWirePacker(BatchLevelStepBase):
                         )
                         for mode in modes:
                             key = (cs, g, mode)
-                            h = ce[cs].hist(g, mode)
-                            hist[key] = h if key not in hist else hist[key] + h
+                            f = ce[cs].fits(g, mode)
+                            fits_sum[key] = (
+                                f if key not in fits_sum else fits_sum[key] + f
+                            )
         if not encs:
             raise KeyError(
                 f"DCTWirePacker: no occurrences of '{self._image_name}'"
@@ -436,18 +508,18 @@ class DCTWirePacker(BatchLevelStepBase):
         for cs in _COMPSETS:
             best = None
             for mode in (_MODE_NONE, _MODE_VERTICAL, _MODE_PLANE):
-                cum = np.cumsum(hist[(cs, 0, mode)])
                 b, cost = _optimal_width(
-                    cum, encs[0][2][cs].n_per_group[0] * n_imgs
+                    fits_sum[(cs, 0, mode)],
+                    encs[0][2][cs].n_per_group[0] * n_imgs,
                 )
                 if best is None or cost < best[0]:
                     best = (cost, mode, b)
             _, dc_mode[cs], b0 = best
             ws = [b0]
             for g in range(1, len(groups)):
-                cum = np.cumsum(hist[(cs, g, _MODE_NONE)])
                 b, _ = _optimal_width(
-                    cum, encs[0][2][cs].n_per_group[g] * n_imgs
+                    fits_sum[(cs, g, _MODE_NONE)],
+                    encs[0][2][cs].n_per_group[g] * n_imgs,
                 )
                 ws.append(b)
             widths[cs] = ws
@@ -455,11 +527,10 @@ class DCTWirePacker(BatchLevelStepBase):
         cap = {cs: 0 for cs in _COMPSETS}
         for _, _, ce, _ in encs:
             for cs in _COMPSETS:
-                n = 0
-                for g, b in enumerate(widths[cs]):
-                    n += int(
-                        (ce[cs].group_zz(g, dc_mode[cs]) >= (1 << b)).sum()
-                    )
+                n = sum(
+                    ce[cs].exceptions_at(g, dc_mode[cs], b)
+                    for g, b in enumerate(widths[cs])
+                )
                 cap[cs] = max(cap[cs], n)
         cap = {cs: _exc_bucket(n) for cs, n in cap.items()}
 
@@ -483,25 +554,23 @@ class DCTWirePacker(BatchLevelStepBase):
             for cs in _COMPSETS:
                 enc = ce[cs]
                 bh, bwp = geo.grid[cs]
-                pos_all, val_all, offset = [], [], 0
+                total = geo.m * geo.m * bh * bwp
+                e = cap[cs]
+                excp = np.full((e,), total, np.int32)  # out of range -> drop
+                excv = np.zeros((e,), np.int16)
+                ne = 0
                 for g, b in enumerate(widths[cs]):
-                    zz = enc.group_zz(g, dc_mode[cs])
-                    planes = _pack_group(zz, b)
+                    planes, ne = enc.pack_group_into(
+                        g, dc_mode[cs], b, excp, excv, ne
+                    )
                     parent[f"{name}_dct{cs}{g}_bp"] = planes
                     stats["packed_bytes"] += planes.nbytes
-                    pos = np.flatnonzero(zz >= (1 << b))
-                    if pos.size:
-                        pos_all.append(pos.astype(np.int32) + offset)
-                        val_all.append(zz.reshape(-1)[pos].astype(np.int16))
-                    offset += zz.size
-                e = cap[cs]
-                excp = np.full((e,), offset, np.int32)  # out of range -> drop
-                excv = np.zeros((e,), np.int16)
-                if pos_all:
-                    pos_all = np.concatenate(pos_all)
-                    val_all = np.concatenate(val_all)
-                    excp[: pos_all.size] = pos_all
-                    excv[: val_all.size] = val_all
+                if ne > e:
+                    raise RuntimeError(
+                        f"DCT wire: {ne} exceptions exceed the sized "
+                        f"capacity {e} (capacity comes from the same "
+                        "histograms — this is a bug)"
+                    )
                 parent[f"{name}_dct{cs}_excp"] = excp
                 parent[f"{name}_dct{cs}_excv"] = excv
                 parent[f"{name}_dct{cs}_mode"] = np.zeros(

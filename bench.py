@@ -109,6 +109,8 @@ def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw
     from accvlab_tpu.pipeline.processing_steps import (
         AffineTransformer,
         BoundingBoxToHeatmapConverter,
+        DCTWirePacker,
+        DCTWireUnpacker,
         ImageDecoder,
         ImageMeanStdDevNormalizer,
         PhotoMetricDistorter,
@@ -124,27 +126,32 @@ def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw
         num_threads = max(2, (os.cpu_count() or 4))
     provider = build_dataset()
     inp = ShuffledShardedInputCallable(provider, batch_size=batch_size, shuffle=True)
-    steps = [
-        # fused decode+resize (the host analog of DALI's fused GPU
-        # decode+resize): decode directly AT the output size — 2.1x less
-        # host->device transfer and device work than decoding at source size;
-        # geometry (bboxes -> heatmap) keys off the original-size metadata
-        # field. wire_format='yuv420' stops host decode at the JPEG's native
-        # colorspace and ships planar Y + subsampled CbCr (1.5 B/px instead
-        # of 3 — the reference's NVDEC split, ColorSpace.cu:227): on the
-        # tunnel-wire-bound setup this halves the binding constraint.
-        ImageDecoder("image", decode_resize_hw=out_hw, wire_format="yuv420"),
-    ]
-    if os.environ.get("ACCVLAB_BENCH_WIRE_PACK", "1") != "0":
-        # lossless wire compression: bitplane-packed vertical-predictor
-        # residuals, decompressed INSIDE the fused device program (there is
-        # no host on the far side of the tunnel to run zstd). ~1.2x fewer
-        # wire bytes on this content, bit-identical RGB; set
-        # ACCVLAB_BENCH_WIRE_PACK=0 for the uncompressed A/B.
-        steps += [
-            WirePlanePacker(["image", "image_cbcr"]),
-            WirePlaneUnpacker(["image", "image_cbcr"]),
+    # Wire selection (ACCVLAB_BENCH_WIRE):
+    #   "dct" (default) — coefficient-domain wire: host does ONLY the JPEG
+    #     entropy decode and ships quantized DCT coefficients; dequantize +
+    #     IDCT (MXU matmuls) + resize + color conversion run inside the
+    #     fused device program. ~2.15x fewer wire bytes than raw YUV on
+    #     this content at host-CPU parity — on the tunnel-wire-bound setup
+    #     bytes convert 1:1 into throughput.
+    #   "yuv" — the r03 pixel wire: fused host decode+resize to planar
+    #     Y + subsampled CbCr (the reference's NVDEC split,
+    #     ColorSpace.cu:227), plus the bitplane pixel codec unless
+    #     ACCVLAB_BENCH_WIRE_PACK=0 (raw A/B).
+    wire = os.environ.get("ACCVLAB_BENCH_WIRE", "dct")
+    if wire == "dct":
+        steps = [
+            DCTWirePacker("image", source_hw=(372, 1024), out_hw=out_hw),
+            DCTWireUnpacker("image", source_hw=(372, 1024), out_hw=out_hw),
         ]
+    else:
+        steps = [
+            ImageDecoder("image", decode_resize_hw=out_hw, wire_format="yuv420"),
+        ]
+        if os.environ.get("ACCVLAB_BENCH_WIRE_PACK", "1") != "0":
+            steps += [
+                WirePlanePacker(["image", "image_cbcr"]),
+                WirePlaneUnpacker(["image", "image_cbcr"]),
+            ]
     steps += [
         # device-side chroma upsample + BT.601 matrix, fused into the batched
         # preprocess program

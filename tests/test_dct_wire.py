@@ -251,6 +251,38 @@ def test_odd_out_hw_rejected():
         DCTWirePacker("image", SRC_HW, (255, 704))
 
 
+def test_native_and_numpy_encoders_equivalent(monkeypatch):
+    """The native band encoder (csrc/dctpack.cpp) and the numpy fallback
+    must produce byte-identical wire fields."""
+    from accvlab_tpu.pipeline import dct_native
+
+    if dct_native.get_lib() is None:
+        pytest.skip("native DCT encoder unavailable")
+    jpegs = [make_jpeg(seed) for seed in range(2)]
+
+    def run():
+        packer = DCTWirePacker("image", SRC_HW, OUT_HW)
+        samples = packer._process_batch([make_sample(j) for j in jpegs])
+        fields = {}
+        for i, s in enumerate(samples):
+            for name in (
+                [f"image_dct{cs}{g}_bp" for cs in ("y", "c") for g in range(12)]
+                + [f"image_dct{cs}_{x}" for cs in ("y", "c")
+                   for x in ("excp", "excv", "mode")]
+                + ["image_dct_quant"]
+            ):
+                fields[(i, name)] = np.asarray(s[name])
+        return fields, packer.last_batch_stats
+
+    native_fields, native_stats = run()
+    monkeypatch.setattr(dct_native, "get_lib", lambda: None)
+    numpy_fields, numpy_stats = run()
+    assert native_stats == numpy_stats
+    assert native_fields.keys() == numpy_fields.keys()
+    for k in native_fields:
+        np.testing.assert_array_equal(native_fields[k], numpy_fields[k], err_msg=str(k))
+
+
 # --------------------------------------------------------------------------- #
 # format checks (construction-time blueprint contract)
 # --------------------------------------------------------------------------- #
