@@ -14,7 +14,12 @@ from .wire_compression import (
     compress_plane,
     decompress_plane,
 )
-from .dct_wire import DCTWirePacker, DCTWireUnpacker
+from .dct_wire import (
+    DCTWirePacker,
+    DCTWireUnpacker,
+    compress_jpeg_dct,
+    decompress_jpeg_dct,
+)
 from .image_normalizers import ImageMeanStdDevNormalizer, ImageRange01Normalizer
 from .padders import ImageToTileSizePadder, PaddingToUniform
 from .field_utils import AxesLayoutSetter, TensorSizeAdder, UnneededFieldRemover
@@ -67,6 +72,8 @@ __all__ = [
     "YCbCrToRGBConverter",
     "WirePlanePacker",
     "WirePlaneUnpacker",
+    "compress_jpeg_dct",
     "compress_plane",
+    "decompress_jpeg_dct",
     "decompress_plane",
 ]

@@ -668,20 +668,21 @@ class DCTWireUnpacker(PipelineStepBase):
 
     # ------------------------------------------------------------------ #
 
-    def _unpack_groups(self, parent, name: str, cs: str):
-        """Bitplanes -> zigzag values: concatenated ``(m*m, bh, bwp)``."""
+    def _unpack_groups(self, get, cs: str):
+        """Bitplanes -> zigzag values: concatenated ``(m*m, bh, bwp)``.
+        ``get`` maps a field suffix (e.g. ``"dcty0_bp"``) to its array."""
         import jax.numpy as jnp
 
         bh, bwp = self._geo.grid[cs]
         shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
         parts = []
         for g, (a, b_end) in enumerate(self._groups):
-            bp = parent[f"{name}_dct{cs}{g}_bp"]
+            bp = get(f"dct{cs}{g}_bp")
             nb = b_end - a
             b = bp.shape[0]
             if bp.shape[1] != nb * bh or bp.shape[2] * 8 != bwp:
                 raise ValueError(
-                    f"DCTWireUnpacker: '{name}_dct{cs}{g}_bp' is "
+                    f"DCTWireUnpacker: 'dct{cs}{g}_bp' is "
                     f"{tuple(bp.shape)}, expected ({b}, {nb * bh}, {bwp // 8}) "
                     "— source_hw/out_hw/grouping must match the packer"
                 )
@@ -695,15 +696,15 @@ class DCTWireUnpacker(PipelineStepBase):
             parts.append(jnp.sum(bits * weights, axis=0).reshape(nb, bh, bwp))
         return jnp.concatenate(parts, axis=0)
 
-    def _decode_compset(self, parent, name: str, cs: str, quant):
+    def _decode_compset(self, get, cs: str, quant):
         import jax.numpy as jnp
 
         geo = self._geo
         m = geo.m
         bh, bwp = geo.grid[cs]
-        zz = self._unpack_groups(parent, name, cs)
-        excp = parent[f"{name}_dct{cs}_excp"]
-        excv = parent[f"{name}_dct{cs}_excv"]
+        zz = self._unpack_groups(get, cs)
+        excp = get(f"dct{cs}_excp")
+        excv = get(f"dct{cs}_excv")
         zz = (
             zz.reshape(-1)
             .at[excp]
@@ -713,7 +714,7 @@ class DCTWireUnpacker(PipelineStepBase):
         res = (zz >> 1) ^ -(zz & 1)
         # DC band: invert the spatial predictor (mode rides in the SHAPE of
         # the mode field — static at trace time, one variant per mode)
-        mode = parent[f"{name}_dct{cs}_mode"].shape[0] - 1
+        mode = get(f"dct{cs}_mode").shape[0] - 1
         dc = res[0]
         if mode == _MODE_PLANE:
             dc = jnp.cumsum(jnp.cumsum(dc, axis=1), axis=0)
@@ -745,29 +746,36 @@ class DCTWireUnpacker(PipelineStepBase):
 
         return jnp.clip(jnp.round(out), 0.0, 255.0).astype(jnp.uint8)
 
-    def _process(self, data: SampleDataGroup) -> SampleDataGroup:
+    def decode_fields(self, get):
+        """Pure jit-compatible decode: ``get`` maps a field suffix (e.g.
+        ``"dcty0_bp"``, ``"dct_quant"``) to its (unbatched) array. Returns
+        ``(y, cbcr)`` uint8 arrays at ``out_hw`` / half ``out_hw``."""
+        import jax.numpy as jnp
+
         geo = self._geo
+        quant = get("dct_quant")
+        y_plane = self._decode_compset(get, "y", quant[0])
+        c_plane = self._decode_compset(get, "c", quant[1])
+        ch, cw = geo.crop["y"]
+        y = self._resize(y_plane[:ch, :cw], geo.out["y"])
+        # chroma compset = Cb over Cr along block rows
+        half = geo.blocks_c[0] * geo.m
+        ch, cw = geo.crop["c"]
+        cb = self._resize(c_plane[:ch, :cw], geo.out["c"])
+        cr = self._resize(c_plane[half : half + ch, :cw], geo.out["c"])
+        return y, jnp.stack([cb, cr], axis=-1)
+
+    def _process(self, data: SampleDataGroup) -> SampleDataGroup:
         name = self._image_name
         for ip in data.find_all_occurrences(f"{name}_dct_quant"):
             parent = data.get_parent_of_path(list(ip))
-            quant = parent[f"{name}_dct_quant"]
-            y_plane = self._decode_compset(parent, name, "y", quant[0])
-            c_plane = self._decode_compset(parent, name, "c", quant[1])
-            ch, cw = geo.crop["y"]
-            y = self._resize(y_plane[:ch, :cw], geo.out["y"])
-            # chroma compset = Cb over Cr along block rows
-            half = geo.blocks_c[0] * geo.m
-            ch, cw = geo.crop["c"]
-            import jax.numpy as jnp
-
-            cb = self._resize(c_plane[:ch, :cw], geo.out["c"])
-            cr = self._resize(c_plane[half : half + ch, :cw], geo.out["c"])
+            y, cbcr = self.decode_fields(lambda sfx: parent[f"{name}_{sfx}"])
             for fname in _field_names(name, self._groups):
                 parent.remove_field(fname)
             parent.add_data_field(name, DType.UINT8)
             parent[name] = y
             parent.add_data_field(self.chroma_field_name, DType.UINT8)
-            parent[self.chroma_field_name] = jnp.stack([cb, cr], axis=-1)
+            parent[self.chroma_field_name] = cbcr
         return data
 
     def _check_and_adjust_data_format_input_to_output(
@@ -799,3 +807,51 @@ class DCTWireUnpacker(PipelineStepBase):
             parent.add_data_field(name, DType.UINT8)
             parent.add_data_field(self.chroma_field_name, DType.UINT8)
         return data_empty
+
+
+# --------------------------------------------------------------------------- #
+# functional API (outside the pipeline) — the DCT-wire analog of
+# wire_compression.compress_plane / decompress_plane
+# --------------------------------------------------------------------------- #
+
+
+def compress_jpeg_dct(jpeg_bytes, out_hw, grouping: str = "split12"):
+    """One-shot host-side encode of one JPEG to the DCT wire format.
+
+    Returns a dict of wire arrays keyed by field SUFFIX (``"dcty0_bp"``,
+    ..., ``"dct_quant"``) plus ``"source_hw"`` — feed the arrays (after
+    transfer) to :func:`decompress_jpeg_dct` inside a jitted program.
+    Widths/mode are chosen per call, so calls on different content may
+    produce different shapes (= separate jit variants); batch through
+    :class:`DCTWirePacker` for batch-uniform shapes.
+    """
+    from .. import native_jpeg
+
+    jpeg_bytes = np.asarray(jpeg_bytes, np.uint8)
+    source_hw = native_jpeg.probe(jpeg_bytes)
+    packer = DCTWirePacker("image", source_hw, out_hw, grouping=grouping)
+    s = SampleDataGroup()
+    s.add_data_field("image", DType.UINT8)
+    s["image"] = jpeg_bytes
+    (out,) = packer._process_batch([s])
+    fields = {
+        fname[len("image_"):]: np.asarray(out[fname])
+        for fname in _field_names("image", packer._groups)
+    }
+    fields["source_hw"] = source_hw
+    return fields
+
+
+def decompress_jpeg_dct(fields, out_hw, grouping: str = "split12"):
+    """Functional jit-compatible decode of :func:`compress_jpeg_dct` output.
+
+    ``fields`` is the suffix-keyed mapping (``"source_hw"`` may ride along
+    as a plain tuple — it is static geometry, not a traced array). Returns
+    ``(y, cbcr)``: the uint8 luma plane at ``out_hw`` and the half-
+    resolution CbCr, exactly the YUV 4:2:0 wire layout
+    (:func:`accvlab_tpu.color.ycbcr420_to_rgb` completes the decode).
+    """
+    unpacker = DCTWireUnpacker(
+        "image", fields["source_hw"], out_hw, grouping=grouping
+    )
+    return unpacker.decode_fields(lambda sfx: fields[sfx])

@@ -28,6 +28,8 @@ from accvlab_tpu.pipeline.inputs import DataProvider, ShuffledShardedInputCallab
 from accvlab_tpu.pipeline.processing_steps import (
     AffineTransformer,
     BoundingBoxToHeatmapConverter,
+    DCTWirePacker,
+    DCTWireUnpacker,
     ImageDecoder,
     ImageMeanStdDevNormalizer,
     PhotoMetricDistorter,
@@ -99,24 +101,36 @@ class SyntheticNuScenesProvider(DataProvider):
         return self._n
 
 
-def build_pipeline(batch_size=4):
+def build_pipeline(batch_size=4, wire="dct"):
     shard_id, num_shards = host_shard_info()  # DDP-equivalent input sharding
     provider = SyntheticNuScenesProvider()
     input_callable = ShuffledShardedInputCallable(
         provider, batch_size=batch_size, shard_id=shard_id, num_shards=num_shards,
         shuffle=True, seed=21,
     )
-    steps = [
-        # YUV 4:2:0 wire: the host ships planar Y + subsampled CbCr
-        # (1.5 B/px; native libjpeg M/8-scaled decode when available) and the
-        # first device step fuses the color conversion — the TPU analog of
-        # the reference's NVDEC->ColorSpace.cu split
-        ImageDecoder("image", wire_format="yuv420"),
-        # lossless wire compression on top of the YUV wire: bitplane-packed
-        # predictor residuals, decompressed INSIDE the jitted device program
-        # (bit-identical; ~1.2-2x fewer bytes over the host->device wire)
-        WirePlanePacker(["image", "image_cbcr"]),
-        WirePlaneUnpacker(["image", "image_cbcr"]),
+    if wire == "dct":
+        # DCT coefficient wire (default): the host runs only the entropy
+        # half of JPEG decode and ships quantized DCT coefficients; the
+        # device program does dequantize + IDCT (MXU matmuls) + the color
+        # conversion — fewest host->device bytes AND least host CPU
+        # (docs/guides.md "The DCT coefficient wire")
+        wire_steps = [
+            DCTWirePacker("image", source_hw=IMAGE_HW, out_hw=IMAGE_HW),
+            DCTWireUnpacker("image", source_hw=IMAGE_HW, out_hw=IMAGE_HW),
+        ]
+    else:
+        # YUV 4:2:0 pixel wire: the host ships planar Y + subsampled CbCr
+        # (1.5 B/px; native libjpeg M/8-scaled decode when available) — the
+        # TPU analog of the reference's NVDEC->ColorSpace.cu split — plus
+        # lossless wire compression: bitplane-packed predictor residuals,
+        # decompressed INSIDE the jitted device program (bit-identical;
+        # ~1.2-2x fewer bytes). Works for any image source, not just JPEG.
+        wire_steps = [
+            ImageDecoder("image", wire_format="yuv420"),
+            WirePlanePacker(["image", "image_cbcr"]),
+            WirePlaneUnpacker(["image", "image_cbcr"]),
+        ]
+    steps = wire_steps + [
         YCbCrToRGBConverter("image"),
         TensorSizeAdder("image", "_hw"),
         AffineTransformer(

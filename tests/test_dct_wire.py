@@ -251,6 +251,36 @@ def test_odd_out_hw_rejected():
         DCTWirePacker("image", SRC_HW, (255, 704))
 
 
+def test_functional_api_roundtrip_under_jit():
+    import jax
+    import jax.numpy as jnp
+
+    from accvlab_tpu.pipeline.processing_steps import (
+        compress_jpeg_dct,
+        decompress_jpeg_dct,
+    )
+
+    jb = make_jpeg(7)
+    fields = compress_jpeg_dct(jb, OUT_HW)
+    assert fields["source_hw"] == SRC_HW
+    src_hw = fields.pop("source_hw")
+    arrays = {k: jnp.asarray(v) for k, v in fields.items()}
+
+    @jax.jit
+    def decode(arrs):
+        return decompress_jpeg_dct({**arrs, "source_hw": src_hw}, OUT_HW)
+
+    y, cbcr = decode(arrays)
+    assert y.shape == OUT_HW and cbcr.shape == (OUT_HW[0] // 2, OUT_HW[1] // 2, 2)
+    ref_y, ref_cc = native_jpeg.decode_yuv420(jb, OUT_HW)
+    assert np.abs(np.asarray(y).astype(int) - ref_y.astype(int)).max() <= 2
+    assert np.abs(np.asarray(cbcr).astype(float) - ref_cc.astype(float)).mean() <= 6
+    # matches the pipeline-step decode exactly
+    outs, _ = roundtrip([jb])
+    np.testing.assert_array_equal(np.asarray(y), outs[0][0])
+    np.testing.assert_array_equal(np.asarray(cbcr), outs[0][1])
+
+
 def test_native_and_numpy_encoders_equivalent(monkeypatch):
     """The native band encoder (csrc/dctpack.cpp) and the numpy fallback
     must produce byte-identical wire fields."""
