@@ -57,7 +57,7 @@ side starts two stages earlier, at the coefficients.
 
 from __future__ import annotations
 
-from typing import Iterable, List, Tuple, Union
+from typing import Iterable, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -407,6 +407,7 @@ class DCTWirePacker(BatchLevelStepBase):
         source_hw,
         out_hw,
         grouping: str = "split12",
+        num_threads: Optional[int] = None,
     ):
         super().__init__()
         if not isinstance(image_name, str):
@@ -424,10 +425,24 @@ class DCTWirePacker(BatchLevelStepBase):
         self._grouping = grouping
         self._groups = band_groups(self._geo.m, grouping)
         self._order = band_order(self._geo.m)
+        import os
+
+        # per-image encode parallelism (GIL-releasing native calls);
+        # 1 on single-core hosts -> the pool is never created
+        if num_threads is None:
+            num_threads = min(4, os.cpu_count() or 1)
+        self._num_threads = max(1, int(num_threads))
+        self._pool = None
         #: observability (producer-thread-written, monitoring only):
         #: {"m", "dc_mode", "widths": {cs: [b_g]}, "exc_capacity": {cs},
         #:  "raw_bytes", "packed_bytes"} of the most recent batch
         self.last_batch_stats: dict = {}
+
+    def __getstate__(self):
+        # process workers pickle host steps; the thread pool is per-process
+        d = self.__dict__.copy()
+        d["_pool"] = None
+        return d
 
     # ------------------------------------------------------------------ #
 
@@ -473,30 +488,51 @@ class DCTWirePacker(BatchLevelStepBase):
         geo, groups = self._geo, self._groups
         # pass 1: entropy decode + per-group width summaries, summed over
         # the batch (per compset; and per DC-mode candidate for group 0) so
-        # widths/mode minimize the TOTAL batch cost with batch-uniform shapes
-        encs = []  # (sample_idx, path, {cs: _CompsetEncoder}, quant)
-        fits_sum = {}
+        # widths/mode minimize the TOTAL batch cost with batch-uniform shapes.
+        # The per-image work (libjpeg entropy decode + native analyze) runs
+        # on a small thread pool — both release the GIL — mirroring the
+        # reference decoder's demux/decode runner pools
+        # (PyNvGopDecoder.hpp:680-682); order is preserved, so the wire is
+        # byte-identical to the serial path.
+        jobs = []  # (sample_idx, path, encoded)
         for si, sdg in enumerate(samples):
             for ip in sdg.find_all_occurrences(self._image_name):
-                encoded = np.asarray(sdg.get_item_in_path(ip), np.uint8)
-                data = self._read_bands(encoded)
-                ce = {
-                    cs: _CompsetEncoder(data[cs], groups) for cs in _COMPSETS
-                }
-                encs.append((si, tuple(ip), ce, data["quant"]))
-                for cs in _COMPSETS:
-                    for g in range(len(groups)):
-                        modes = (
-                            (_MODE_NONE, _MODE_VERTICAL, _MODE_PLANE)
-                            if groups[g][0] == 0
-                            else (_MODE_NONE,)
+                jobs.append(
+                    (si, tuple(ip),
+                     np.asarray(sdg.get_item_in_path(ip), np.uint8))
+                )
+
+        def encode_one(job):
+            si, ip, encoded = job
+            data = self._read_bands(encoded)
+            ce = {cs: _CompsetEncoder(data[cs], groups) for cs in _COMPSETS}
+            return si, ip, ce, data["quant"]
+
+        if self._num_threads > 1 and len(jobs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    self._num_threads, thread_name_prefix="dct-wire"
+                )
+            encs = list(self._pool.map(encode_one, jobs))
+        else:
+            encs = [encode_one(j) for j in jobs]
+        fits_sum = {}
+        for _, _, ce, _ in encs:
+            for cs in _COMPSETS:
+                for g in range(len(groups)):
+                    modes = (
+                        (_MODE_NONE, _MODE_VERTICAL, _MODE_PLANE)
+                        if groups[g][0] == 0
+                        else (_MODE_NONE,)
+                    )
+                    for mode in modes:
+                        key = (cs, g, mode)
+                        f = ce[cs].fits(g, mode)
+                        fits_sum[key] = (
+                            f if key not in fits_sum else fits_sum[key] + f
                         )
-                        for mode in modes:
-                            key = (cs, g, mode)
-                            f = ce[cs].fits(g, mode)
-                            fits_sum[key] = (
-                                f if key not in fits_sum else fits_sum[key] + f
-                            )
         if not encs:
             raise KeyError(
                 f"DCTWirePacker: no occurrences of '{self._image_name}'"

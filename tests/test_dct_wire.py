@@ -422,3 +422,152 @@ def test_pipeline_dct_wire_is_smaller_on_the_wire():
         assert 0 < st["bytes_per_batch"] < raw * 0.62
     finally:
         pipe.stop()
+
+
+# --------------------------------------------------------------------------- #
+# composition: echo / resume / errors / threading
+# --------------------------------------------------------------------------- #
+
+
+def _build_echo_pipeline(jpegs, seed=3, echo_factor=2):
+    from accvlab_tpu.pipeline import PipelineDefinition
+    from accvlab_tpu.pipeline.inputs import DataProvider, ShuffledShardedInputCallable
+    from accvlab_tpu.pipeline.processing_steps import (
+        PhotoMetricDistorter,
+        YCbCrToRGBConverter,
+    )
+
+    class Provider(DataProvider):
+        @property
+        def sample_data_structure(self):
+            s = SampleDataGroup()
+            s.add_data_field("image", DType.UINT8)
+            return s
+
+        def get_data(self, idx):
+            s = self.sample_data_structure
+            s["image"] = jpegs[idx % len(jpegs)]
+            return s
+
+        def get_number_of_samples(self):
+            return len(jpegs)
+
+    inp = ShuffledShardedInputCallable(Provider(), batch_size=2, shuffle=True)
+    defn = PipelineDefinition(
+        inp,
+        [
+            DCTWirePacker("image", SRC_HW, OUT_HW),
+            DCTWireUnpacker("image", SRC_HW, OUT_HW),
+            YCbCrToRGBConverter("image"),
+            PhotoMetricDistorter(
+                "image",
+                min_max_brightness=(-10.0, 10.0),
+                min_max_hue=(-5.0, 5.0),
+                min_max_contrast=(0.9, 1.1),
+                min_max_saturation=(0.9, 1.1),
+            ),
+        ],
+        copy_external_source_passthrough_outputs=False,
+    )
+    return defn.get_pipeline(
+        batch_size=2, num_threads=2, seed=seed, echo_factor=echo_factor
+    )
+
+
+def test_dct_wire_with_echo_mid_resume_bitwise():
+    """DCT wire x data echoing x checkpoint/resume: replays reuse the
+    transferred coefficient buffers (device decode re-runs per replay with
+    its own augmentation key) and a mid-echo resume continues
+    bit-identically."""
+    jpegs = [make_jpeg(seed=s) for s in range(8)]
+
+    ref = _build_echo_pipeline(jpegs)
+    try:
+        stream = [
+            {k: np.asarray(v) for k, v in ref.run().items()} for _ in range(6)
+        ]
+    finally:
+        ref.stop()
+    assert not np.array_equal(stream[0]["image"], stream[1]["image"])
+
+    pipe = _build_echo_pipeline(jpegs)
+    try:
+        for i in range(3):
+            got = {k: np.asarray(v) for k, v in pipe.run().items()}
+            for k in got:
+                np.testing.assert_array_equal(got[k], stream[i][k])
+        state = pipe.get_state()
+        assert state["echo"] == {"factor": 2, "next": 1}
+    finally:
+        pipe.stop()
+
+    fresh = _build_echo_pipeline(jpegs)
+    try:
+        fresh.set_state(state)
+        for i in range(3, 6):
+            got = {k: np.asarray(v) for k, v in fresh.run().items()}
+            for k in got:
+                np.testing.assert_array_equal(
+                    got[k], stream[i][k], err_msg=f"batch {i} field {k}"
+                )
+    finally:
+        fresh.stop()
+
+
+def test_corrupt_jpeg_handled_cleanly():
+    """Corrupt input must never hang or emit malformed wire fields: garbage
+    raises ValueError; a truncated-mid-scan stream follows libjpeg's own
+    contract (missing blocks zero-padded — same as the pixel decode path),
+    so it either raises or produces a structurally valid wire."""
+    garbage = np.frombuffer(b"\xff\xd8" + b"\x00" * 64, np.uint8).copy()
+    packer = DCTWirePacker("image", SRC_HW, OUT_HW)
+    with pytest.raises(ValueError):
+        packer._process_batch([make_sample(garbage)])
+    good = make_jpeg()
+    bad = good[: good.size // 3].copy()  # truncated mid-scan
+    try:
+        (out,) = packer._process_batch([make_sample(bad)])
+    except ValueError:
+        return  # also acceptable
+    unpacker = DCTWireUnpacker("image", SRC_HW, OUT_HW)
+    dec = unpacker._process(out)
+    assert np.asarray(dec["image"]).shape == OUT_HW
+
+
+def test_threaded_encode_matches_serial():
+    jpegs = [make_jpeg(seed=s) for s in range(3)]
+
+    def run(num_threads):
+        packer = DCTWirePacker("image", SRC_HW, OUT_HW, num_threads=num_threads)
+        samples = packer._process_batch([make_sample(j) for j in jpegs])
+        return [
+            {
+                n: np.asarray(s[n])
+                for n in (
+                    "image_dcty0_bp",
+                    "image_dcty_excp",
+                    "image_dctc_excv",
+                    "image_dct_quant",
+                )
+            }
+            for s in samples
+        ], packer.last_batch_stats
+
+    serial, st1 = run(1)
+    threaded, st2 = run(3)
+    assert st1 == st2
+    for a, b in zip(serial, threaded):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_packer_pickles_without_pool():
+    import pickle
+
+    packer = DCTWirePacker("image", SRC_HW, OUT_HW, num_threads=3)
+    # force pool creation, then pickle (process workers pickle host steps)
+    packer._process_batch([make_sample(make_jpeg(s)) for s in range(2)])
+    clone = pickle.loads(pickle.dumps(packer))
+    assert clone._pool is None
+    out = clone._process_batch([make_sample(make_jpeg(0))])
+    assert out[0].path_exists("image_dct_quant")
