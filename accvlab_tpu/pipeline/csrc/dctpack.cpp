@@ -24,7 +24,13 @@ constexpr int64_t kBins = 1 << 14;
 
 inline uint16_t zig(int v) {
     // unsigned arithmetic: a signed left shift of a negative value is UB
-    // before C++20; this form is well-defined and bit-identical
+    // before C++20; this form is well-defined and bit-identical.
+    // Defense in depth: ajd_read_dct clamps coefficients to +-2047, which
+    // bounds every residual's zigzag under kBins; clamp here anyway so a
+    // caller bug can corrupt the wire but never memory (histogram index
+    // and bitplane width both stay in range).
+    if (v > 8191) v = 8191;
+    if (v < -8191) v = -8191;
     const uint32_t u = static_cast<uint32_t>(v);
     const uint32_t sign = static_cast<uint32_t>(v >> 31);  // 0 or ~0
     return static_cast<uint16_t>((u << 1) ^ sign);

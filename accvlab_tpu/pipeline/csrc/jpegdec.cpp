@@ -395,8 +395,18 @@ int ajd_read_dct(const uint8_t* data, uint64_t size, int32_t m,
                 int16_t* o = dst +
                     (static_cast<size_t>(row) * comp->width_in_blocks + col) * block_out;
                 for (int r = 0; r < m; ++r)
-                    for (int c = 0; c < m; ++c)
-                        o[r * m + c] = static_cast<int16_t>(blk[r * 8 + c]);
+                    for (int c = 0; c < m; ++c) {
+                        // clamp to the legal 8-bit-baseline coefficient
+                        // range: corrupt/adversarial streams can decode
+                        // larger values (libjpeg accepts DC categories up
+                        // to 15 and never clamps the DC accumulator), and
+                        // downstream band encoders size their histograms
+                        // for |coef| <= 2047
+                        int v = blk[r * 8 + c];
+                        if (v > 2047) v = 2047;
+                        if (v < -2047) v = -2047;
+                        o[r * m + c] = static_cast<int16_t>(v);
+                    }
             }
         }
         // quant table subset, natural order (luma -> slot 0, chroma -> 1)

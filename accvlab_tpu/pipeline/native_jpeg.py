@@ -208,15 +208,22 @@ def read_dct(jpeg_bytes: np.ndarray, m: int, info: Optional[dict] = None):
     return y, cb, cr, quant
 
 
+def select_scale_m(source_hw: Tuple[int, int], target_hw: Tuple[int, int]) -> int:
+    """The smallest M in 1..8 whose ceil(dim*M/8) covers ``target_hw`` on
+    both axes — THE scale-selection rule, mirroring the C side
+    (``jpegdec.cpp select_scale``); also used by the DCT wire to pick the
+    shipped coefficient subset."""
+    sh, sw = int(source_hw[0]), int(source_hw[1])
+    th, tw = int(target_hw[0]), int(target_hw[1])
+    for m in range(1, 9):
+        if (sh * m + 7) // 8 >= th and (sw * m + 7) // 8 >= tw:
+            return m
+    return 8
+
+
 def scaled_size(source_hw: Tuple[int, int], hint_hw: Tuple[int, int]) -> Tuple[int, int]:
     """The size libjpeg's best M/8 DCT scale produces for a scale-HINT
-    decode: the smallest M in 1..8 whose ceil(dim*M/8) covers the hint on
-    both axes (mirrors the C selection)."""
+    decode (see :func:`select_scale_m`)."""
     sh, sw = int(source_hw[0]), int(source_hw[1])
-    th, tw = int(hint_hw[0]), int(hint_hw[1])
-    for m in range(1, 9):
-        oh = (sh * m + 7) // 8
-        ow = (sw * m + 7) // 8
-        if oh >= th and ow >= tw:
-            return oh, ow
-    return sh, sw
+    m = select_scale_m(source_hw, hint_hw)
+    return (sh * m + 7) // 8, (sw * m + 7) // 8

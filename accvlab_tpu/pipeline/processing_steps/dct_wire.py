@@ -62,12 +62,9 @@ from typing import Iterable, List, Optional, Tuple, Union
 import numpy as np
 
 from .pipeline_step_base import BatchLevelStepBase, PipelineStepBase
-from .wire_compression import _zigzag
+from .wire_compression import _EXC_BITS, _zigzag
 from ..dtypes import DType
 from ..sample_data_group import SampleDataGroup
-
-#: wire cost of one exception: int32 position + int16 value
-_EXC_BITS = 48
 #: zigzag of the DC plane-predictor residual (+-4*2047) needs 14 bits
 _MAX_BITS = 14
 _MIN_EXC_BUCKET = 64
@@ -83,14 +80,12 @@ _COMPSETS = ("y", "c")
 
 
 def select_m(source_hw, out_hw) -> int:
-    """Smallest M in 1..8 whose M/8-scaled size covers ``out_hw`` — the same
-    selection libjpeg's scaled decode uses (``jpegdec.cpp select_scale``)."""
-    sh, sw = int(source_hw[0]), int(source_hw[1])
-    th, tw = int(out_hw[0]), int(out_hw[1])
-    for m in range(1, 9):
-        if (sh * m + 7) // 8 >= th and (sw * m + 7) // 8 >= tw:
-            return m
-    return 8
+    """Smallest M in 1..8 whose M/8-scaled size covers ``out_hw`` — the
+    ONE scale-selection rule (:func:`native_jpeg.select_scale_m`, mirroring
+    ``jpegdec.cpp select_scale``)."""
+    from ..native_jpeg import select_scale_m
+
+    return select_scale_m(source_hw, out_hw)
 
 
 def band_order(m: int) -> List[Tuple[int, int]]:
@@ -275,25 +270,31 @@ class _CompsetEncoder:
             self.zz = None
             self.dc_zz = None
         else:
-            self._native = False
-            self.zz = _zigzag(bands)  # uint16; band 0 = mode-NONE DC
-            self.dc_zz = {
-                mode: _zigzag(_dc_residual(bands[0], mode))
-                for mode in (_MODE_VERTICAL, _MODE_PLANE)
-            }
-            self.dc_zz[_MODE_NONE] = self.zz[0]
+            self._build_numpy_state()
 
-            def to_fits(zz):
-                cum = np.cumsum(
-                    np.bincount(zz.ravel(), minlength=1 << _MAX_BITS),
-                    dtype=np.int64,
-                )
-                return cum[(1 << np.arange(_MAX_BITS + 1)) - 1]
+    def _build_numpy_state(self):
+        """The numpy backend's encode state (also the mid-run fallback if
+        the native library ever vanishes between analyze and pack)."""
+        self._native = False
+        bands, groups = self._bands, self._groups
+        self.zz = _zigzag(bands)  # uint16; band 0 = mode-NONE DC
+        self.dc_zz = {
+            mode: _zigzag(_dc_residual(bands[0], mode))
+            for mode in (_MODE_VERTICAL, _MODE_PLANE)
+        }
+        self.dc_zz[_MODE_NONE] = self.zz[0]
 
-            for mode, dz in self.dc_zz.items():
-                self._f[(0, mode)] = to_fits(dz)
-            for g, (a, b) in enumerate(groups[1:], start=1):
-                self._f[(g, _MODE_NONE)] = to_fits(self.zz[a:b])
+        def to_fits(zz):
+            cum = np.cumsum(
+                np.bincount(zz.ravel(), minlength=1 << _MAX_BITS),
+                dtype=np.int64,
+            )
+            return cum[(1 << np.arange(_MAX_BITS + 1)) - 1]
+
+        for mode, dz in self.dc_zz.items():
+            self._f[(0, mode)] = to_fits(dz)
+        for g, (a, b) in enumerate(groups[1:], start=1):
+            self._f[(g, _MODE_NONE)] = to_fits(self.zz[a:b])
 
     def group_zz(self, g: int, dc_mode: int) -> np.ndarray:
         a, b = self._groups[g]
@@ -331,9 +332,9 @@ class _CompsetEncoder:
             )
             if new_ne is not None:
                 return bp, new_ne
-            # library vanished mid-run (never observed): rebuild the
-            # numpy state and fall through
-            self.__init__(self._bands, self._groups)  # pragma: no cover
+            # library vanished between analyze and pack (never observed):
+            # rebuild the NUMPY state directly and fall through
+            self._build_numpy_state()  # pragma: no cover
         zz = self.group_zz(g, dc_mode)
         bp[...] = _pack_group(zz, b)
         pos = np.flatnonzero(zz >= (1 << b))
@@ -345,14 +346,11 @@ class _CompsetEncoder:
 
 
 def _optimal_width(fits: np.ndarray, n: int) -> Tuple[int, int]:
-    """Cost-optimal width: minimize ``b*N + exceptions(b)*_EXC_BITS``,
-    where ``fits[b] = count(zigzag < 2**b)`` over the N values."""
-    best_b, best_cost = _MAX_BITS, _MAX_BITS * n
-    for b in range(_MAX_BITS + 1):
-        cost = b * n + (n - int(fits[b])) * _EXC_BITS
-        if cost < best_cost:
-            best_b, best_cost = b, cost
-    return best_b, best_cost
+    """DCT-band entry to the shared width-cost model
+    (:func:`wire_compression.optimal_width_from_fits`)."""
+    from .wire_compression import optimal_width_from_fits
+
+    return optimal_width_from_fits(fits, n, _MAX_BITS, _EXC_BITS)
 
 
 def _exc_bucket(n: int) -> int:
@@ -399,6 +397,10 @@ class DCTWirePacker(BatchLevelStepBase):
         grouping: band-group partition — ``"band"`` (fewest bytes),
             ``"split12"`` (default; ~1/3 the wire fields of ``"band"`` for
             ~10% more bytes), or ``"diag8"``.
+        num_threads: per-image encode parallelism (the entropy decode and
+            the native analyze/pack calls release the GIL). Default
+            ``min(4, cpu_count)``; 1 disables the pool. Order-preserving —
+            the wire is byte-identical to the serial path.
     """
 
     def __init__(
@@ -579,14 +581,12 @@ class DCTWirePacker(BatchLevelStepBase):
             "raw_bytes": 0,
             "packed_bytes": 0,
         }
-        for si, ip, ce, quant in encs:
-            sdg = samples[si]
-            parent = sdg.get_parent_of_path(list(ip))
-            name = ip[-1]
-            parent.remove_field(name)
-            types = _field_types(name, groups)
-            for fname, t in types.items():
-                parent.add_data_field(fname, t)
+        # the byte-heavy emit runs on the same pool as pass 1 (native pack
+        # releases the GIL); only the SampleDataGroup field assignment stays
+        # on the caller thread
+        def pack_one(enc_entry):
+            si, ip, ce, quant = enc_entry
+            fields = {}
             for cs in _COMPSETS:
                 enc = ce[cs]
                 bh, bwp = geo.grid[cs]
@@ -599,25 +599,37 @@ class DCTWirePacker(BatchLevelStepBase):
                     planes, ne = enc.pack_group_into(
                         g, dc_mode[cs], b, excp, excv, ne
                     )
-                    parent[f"{name}_dct{cs}{g}_bp"] = planes
-                    stats["packed_bytes"] += planes.nbytes
+                    fields[f"dct{cs}{g}_bp"] = planes
                 if ne > e:
                     raise RuntimeError(
                         f"DCT wire: {ne} exceptions exceed the sized "
                         f"capacity {e} (capacity comes from the same "
                         "histograms — this is a bug)"
                     )
-                parent[f"{name}_dct{cs}_excp"] = excp
-                parent[f"{name}_dct{cs}_excv"] = excv
-                parent[f"{name}_dct{cs}_mode"] = np.zeros(
-                    (dc_mode[cs] + 1,), np.uint8
-                )
-                stats["packed_bytes"] += excp.nbytes + excv.nbytes + dc_mode[cs] + 1
+                fields[f"dct{cs}_excp"] = excp
+                fields[f"dct{cs}_excv"] = excv
+                fields[f"dct{cs}_mode"] = np.zeros((dc_mode[cs] + 1,), np.uint8)
+            fields["dct_quant"] = quant
+            return si, ip, fields
+
+        if self._pool is not None and len(encs) > 1:
+            packed = list(self._pool.map(pack_one, encs))
+        else:
+            packed = [pack_one(e) for e in encs]
+        for si, ip, fields in packed:
+            sdg = samples[si]
+            parent = sdg.get_parent_of_path(list(ip))
+            name = ip[-1]
+            parent.remove_field(name)
+            for fname, t in _field_types(name, groups).items():
+                parent.add_data_field(fname, t)
+            for sfx, arr in fields.items():
+                parent[f"{name}_{sfx}"] = arr
+                stats["packed_bytes"] += arr.nbytes
+            for cs in _COMPSETS:
                 stats["raw_bytes"] += geo.out[cs][0] * geo.out[cs][1] * (
                     1 if cs == "y" else 2
                 )
-            parent[f"{name}_dct_quant"] = quant
-            stats["packed_bytes"] += quant.nbytes
         self.last_batch_stats = stats
         return samples
 
@@ -764,10 +776,20 @@ class DCTWireUnpacker(PipelineStepBase):
         coef = res[self._inv_perm].reshape(m, m, bh, bwp) * quant[
             :, :, None, None
         ]
-        # scaled IDCT: two small matmuls per block, batched over the grid
+        # scaled IDCT: two small matmuls per block, batched over the grid.
+        # precision=HIGHEST: on TPU the default lowers f32 dots to bf16 MXU
+        # passes, whose 8-bit mantissa would break the +-1-of-ISLOW luma
+        # contract (coefficients reach ~1000s); these are tiny m x m dots,
+        # the f32 passes cost nothing
+        import jax
+
         basis = jnp.asarray(self._basis)
         px = jnp.einsum(
-            "xu,uvhw,yv->hxwy", basis, coef.astype(jnp.float32), basis
+            "xu,uvhw,yv->hxwy",
+            basis,
+            coef.astype(jnp.float32),
+            basis,
+            precision=jax.lax.Precision.HIGHEST,
         )
         plane = px.reshape(bh * m, bwp * m) + 128.0
         plane = jnp.clip(plane, 0.0, 255.0)

@@ -116,24 +116,32 @@ def _hist_cum(zz: np.ndarray) -> np.ndarray:
     return np.cumsum(np.bincount(zz.ravel(), minlength=1 << _MAX_BITS))
 
 
-def _optimal_width(zz_or_hist: np.ndarray, n: Optional[int] = None) -> tuple:
-    """Cost-optimal base width: minimize b*N + exceptions(b)*_EXC_BITS.
+def optimal_width_from_fits(
+    fits, n: int, max_bits: int, exc_bits: int = _EXC_BITS
+) -> tuple:
+    """Cost-optimal base width: minimize ``b*N + exceptions(b)*exc_bits``,
+    where ``fits[b] = count(zigzag < 2**b)`` over the N values. The ONE
+    width-cost model shared by the pixel codec and the DCT band codec
+    (:mod:`dct_wire`); returns ``(b, cost_bits)``."""
+    best_b, best_cost = max_bits, max_bits * n
+    for b in range(max_bits + 1):
+        cost = b * n + (n - int(fits[b])) * exc_bits
+        if cost < best_cost:
+            best_b, best_cost = b, cost
+    return best_b, best_cost
 
-    Accepts either the zigzag value array (convenience/tests) or a
-    precomputed cumulative value histogram with its element count.
-    Returns ``(b, cost_bits)``.
-    """
+
+def _optimal_width(zz_or_hist: np.ndarray, n: Optional[int] = None) -> tuple:
+    """Pixel-codec entry: accepts either the zigzag value array
+    (convenience/tests) or a precomputed cumulative value histogram with
+    its element count. Returns ``(b, cost_bits)``."""
     if n is None:
         hist_cum = _hist_cum(np.ravel(zz_or_hist))
         n = int(zz_or_hist.size)
     else:
         hist_cum = zz_or_hist
-    best_b, best_cost = _MAX_BITS, _MAX_BITS * n
-    for b in range(_MAX_BITS + 1):
-        cost = b * n + _exceptions_at(hist_cum, b) * _EXC_BITS
-        if cost < best_cost:
-            best_b, best_cost = b, cost
-    return best_b, best_cost
+    fits = [n - _exceptions_at(hist_cum, b) for b in range(_MAX_BITS + 1)]
+    return optimal_width_from_fits(fits, n, _MAX_BITS)
 
 
 def _next_pow2(n: int) -> int:

@@ -139,6 +139,15 @@ def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw
     #     ACCVLAB_BENCH_WIRE_PACK=0 (raw A/B).
     wire = os.environ.get("ACCVLAB_BENCH_WIRE", "dct")
     if wire == "dct":
+        from accvlab_tpu.pipeline import native_jpeg
+
+        if not native_jpeg.available():
+            # no libjpeg dev headers on this host: the DCT wire cannot run;
+            # fall back to the pixel wire instead of dying before the
+            # measurement (ACCVLAB_BENCH_WIRE=yuv selects it explicitly)
+            log("native libjpeg unavailable -> falling back to the YUV pixel wire")
+            wire = "yuv"
+    if wire == "dct":
         steps = [
             DCTWirePacker("image", source_hw=(372, 1024), out_hw=out_hw),
             DCTWireUnpacker("image", source_hw=(372, 1024), out_hw=out_hw),

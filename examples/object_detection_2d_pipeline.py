@@ -109,6 +109,12 @@ def build_pipeline(batch_size=4, wire="dct"):
         shuffle=True, seed=21,
     )
     if wire == "dct":
+        from accvlab_tpu.pipeline import native_jpeg
+
+        if not native_jpeg.available():
+            print("native libjpeg unavailable -> using the YUV pixel wire")
+            wire = "yuv"
+    if wire == "dct":
         # DCT coefficient wire (default): the host runs only the entropy
         # half of JPEG decode and ships quantized DCT coefficients; the
         # device program does dequantize + IDCT (MXU matmuls) + the color
