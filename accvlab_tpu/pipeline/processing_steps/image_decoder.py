@@ -24,6 +24,12 @@ class ImageDecoder(PipelineStepBase):
 
     Input fields hold the encoded file bytes as uint8 tensors; outputs are
     decoded uint8 HWC images (RGB, or BGR with ``as_bgr=True``).
+
+    For uniform-size JPEG sources on a wire-bound setup, consider the DCT
+    coefficient wire instead (:class:`dct_wire.DCTWirePacker` — the host
+    ships quantized coefficients and the device runs the IDCT; fewest
+    host->device bytes AND least host CPU). This step is the general path:
+    any format PIL decodes, mixed sources, and the ``yuv420`` pixel wire.
     """
 
     placement = "host"

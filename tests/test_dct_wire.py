@@ -571,3 +571,62 @@ def test_packer_pickles_without_pool():
     assert clone._pool is None
     out = clone._process_batch([make_sample(make_jpeg(0))])
     assert out[0].path_exists("image_dct_quant")
+
+
+def test_dct_wire_on_mesh_pipeline():
+    """DCT wire composed with a sharded (mesh) pipeline: the coefficient
+    fields shard over the data axis, the device decode (bit-unpack ->
+    IDCT -> resize) runs inside the sharded program, and the delivered
+    RGB matches the unsharded pipeline bit for bit."""
+    from jax.sharding import PartitionSpec as P
+
+    from accvlab_tpu.parallel import make_mesh
+    from accvlab_tpu.pipeline import PipelineDefinition
+    from accvlab_tpu.pipeline.inputs import DataProvider, ShuffledShardedInputCallable
+    from accvlab_tpu.pipeline.processing_steps import YCbCrToRGBConverter
+
+    jpegs = [make_jpeg(seed=s) for s in range(8)]
+
+    class Provider(DataProvider):
+        @property
+        def sample_data_structure(self):
+            s = SampleDataGroup()
+            s.add_data_field("image", DType.UINT8)
+            return s
+
+        def get_data(self, idx):
+            s = self.sample_data_structure
+            s["image"] = jpegs[idx % len(jpegs)]
+            return s
+
+        def get_number_of_samples(self):
+            return len(jpegs)
+
+    def build(mesh):
+        inp = ShuffledShardedInputCallable(
+            Provider(), batch_size=8, shuffle=False
+        )
+        defn = PipelineDefinition(
+            inp,
+            [
+                DCTWirePacker("image", SRC_HW, OUT_HW),
+                DCTWireUnpacker("image", SRC_HW, OUT_HW),
+                YCbCrToRGBConverter("image"),
+            ],
+            copy_external_source_passthrough_outputs=False,
+        )
+        return defn.get_pipeline(batch_size=8, num_threads=2, seed=0, mesh=mesh)
+
+    ref = build(mesh=None)
+    try:
+        expected = np.asarray(ref.run()["image"])
+    finally:
+        ref.stop()
+
+    pipe = build(mesh=make_mesh())
+    try:
+        img = pipe.run()["image"]
+        assert img.sharding.spec == P("data", None, None, None)
+        np.testing.assert_array_equal(np.asarray(img), expected)
+    finally:
+        pipe.stop()
