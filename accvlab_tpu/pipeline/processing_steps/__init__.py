@@ -19,6 +19,7 @@ from .dct_wire import (
     DCTWireUnpacker,
     compress_jpeg_dct,
     decompress_jpeg_dct,
+    optimize_band_groups,
 )
 from .image_normalizers import ImageMeanStdDevNormalizer, ImageRange01Normalizer
 from .padders import ImageToTileSizePadder, PaddingToUniform
@@ -75,5 +76,6 @@ __all__ = [
     "compress_jpeg_dct",
     "compress_plane",
     "decompress_jpeg_dct",
+    "optimize_band_groups",
     "decompress_plane",
 ]

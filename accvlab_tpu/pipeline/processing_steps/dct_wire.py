@@ -97,7 +97,7 @@ def band_order(m: int) -> List[Tuple[int, int]]:
     return out
 
 
-def band_groups(m: int, grouping: str) -> List[Tuple[int, int]]:
+def band_groups(m: int, grouping) -> List[Tuple[int, int]]:
     """Static partition of the zigzag band order into groups that share one
     bit width: ``(start, end)`` index pairs.
 
@@ -105,7 +105,32 @@ def band_groups(m: int, grouping: str) -> List[Tuple[int, int]]:
     * ``"split12"`` — DC and first diagonal individually, diagonals 2-5
       split in half, tails merged (good bytes, ~1/3 the fields).
     * ``"diag8"`` — first six diagonals individually, tails merged.
+    * an explicit sequence of ``(start, end)`` pairs — e.g. the output of
+      :func:`optimize_band_groups`, a content-tuned partition at a chosen
+      field budget. Must start with the lone DC group ``(0, 1)`` (the DC
+      band carries the spatial predictor) and tile ``[0, m*m)`` contiguously.
     """
+    if not isinstance(grouping, str):
+        groups = [(int(a), int(b)) for a, b in grouping]
+        if not groups or groups[0] != (0, 1):
+            raise ValueError(
+                "custom band grouping must start with the DC group (0, 1), "
+                f"got {groups[:1]}"
+            )
+        prev = 0
+        for a, b in groups:
+            if a != prev or b <= a:
+                raise ValueError(
+                    f"custom band grouping must tile [0, {m * m}) with "
+                    f"contiguous (start, end) pairs; got {groups}"
+                )
+            prev = b
+        if prev != m * m:
+            raise ValueError(
+                f"custom band grouping covers [0, {prev}) but m={m} has "
+                f"{m * m} bands"
+            )
+        return groups
     diag_sizes = [
         min(s, m - 1) - max(0, s - m + 1) + 1 for s in range(2 * m - 1)
     ]
@@ -139,7 +164,8 @@ def band_groups(m: int, grouping: str) -> List[Tuple[int, int]]:
                 groups.append((int(bounds[mid]), int(bounds[nd])))
         return groups
     raise ValueError(
-        f"grouping must be 'band', 'split12' or 'diag8', got {grouping!r}"
+        "grouping must be 'band', 'split12', 'diag8' or a sequence of "
+        f"(start, end) pairs, got {grouping!r}"
     )
 
 
@@ -396,7 +422,10 @@ class DCTWirePacker(BatchLevelStepBase):
             the analog of ``ImageDecoder(decode_resize_hw=...)``.
         grouping: band-group partition — ``"band"`` (fewest bytes),
             ``"split12"`` (default; ~1/3 the wire fields of ``"band"`` for
-            ~10% more bytes), or ``"diag8"``.
+            ~10% more bytes), ``"diag8"``, or an explicit sequence of
+            ``(start, end)`` pairs such as the content-tuned output of
+            :func:`optimize_band_groups` (recovers most of ``"band"``'s
+            byte win at a chosen field budget).
         num_threads: per-image encode parallelism (the entropy decode and
             the native analyze/pack calls release the GIL). Default
             ``min(4, cpu_count)``; 1 disables the pool. Order-preserving —
@@ -871,6 +900,114 @@ class DCTWireUnpacker(PipelineStepBase):
 # functional API (outside the pipeline) — the DCT-wire analog of
 # wire_compression.compress_plane / decompress_plane
 # --------------------------------------------------------------------------- #
+
+
+def optimize_band_groups(
+    jpeg_samples: Iterable[np.ndarray],
+    source_hw,
+    out_hw,
+    max_groups: int = 12,
+    field_cost_bits: int = 256,
+) -> Tuple[Tuple[int, int], ...]:
+    """Content-tuned static band partition: the best contiguous grouping of
+    the ``m*m`` zigzag bands into at most ``max_groups`` groups, minimizing
+    the same wire-cost model the packer's width chooser uses (bitplane bits
+    + exception cost, summed over both component sets), plus
+    ``field_cost_bits`` per group as a tie-breaker toward fewer wire fields.
+
+    Offline tuning, exact-by-DP: per-band value histograms are additive, so
+    the cost of any candidate group is the width-optimal cost of its summed
+    histogram, and an O(bands^2 * max_groups) dynamic program over
+    contiguous partitions is globally optimal for this model. Run it once
+    on a handful of representative JPEGs and pass the result as the
+    ``grouping`` of BOTH :class:`DCTWirePacker` and :class:`DCTWireUnpacker`
+    — it is static geometry, exactly like ``source_hw``/``out_hw``.
+
+    Measured on the headline bench content: ``"split12"`` ships ~1.13x the
+    bytes of ``"band"`` (36 groups at m=6); the DP partition at the same
+    12-field budget recovers most of that gap (see docs/performance.md).
+
+    Args:
+        jpeg_samples: a few encoded JPEGs (uint8 arrays) of the target
+            content, all of size ``source_hw``.
+        source_hw / out_hw: as for :class:`DCTWirePacker`.
+        max_groups: field budget — groups per component set, including the
+            fixed DC group. More groups = fewer bytes but more wire fields
+            (each field has fixed per-transfer overhead on the real wire).
+        field_cost_bits: modeled per-group-per-compset wire overhead; the
+            default keeps zero-width tail bands merged instead of splitting
+            them for 0 modeled gain.
+
+    Returns:
+        Tuple of ``(start, end)`` pairs, valid as a ``grouping`` argument.
+    """
+    geo = _Geometry(source_hw, out_hw)
+    n_bands = geo.m * geo.m
+    if max_groups < 2:
+        raise ValueError(f"max_groups must be >= 2, got {max_groups}")
+    if n_bands == 1:  # m=1: the DC band is the whole spectrum
+        return ((0, 1),)
+    per_band = band_groups(geo.m, "band")
+    probe = DCTWirePacker(
+        "image", source_hw, out_hw, grouping="band", num_threads=1
+    )
+    # summed per-band fits and value counts, per compset (bands >= 1 only:
+    # the DC band is its own fixed group and cannot move)
+    fits = {cs: None for cs in _COMPSETS}
+    nval = {cs: 0 for cs in _COMPSETS}
+    n_imgs = 0
+    for jpeg in jpeg_samples:
+        data = probe._read_bands(np.asarray(jpeg, np.uint8))
+        n_imgs += 1
+        for cs in _COMPSETS:
+            enc = _CompsetEncoder(data[cs], per_band)
+            f = np.stack(
+                [enc.fits(g, _MODE_NONE) for g in range(1, n_bands)]
+            )
+            fits[cs] = f if fits[cs] is None else fits[cs] + f
+            nval[cs] = enc.n_per_group[1]  # same for every band
+    if n_imgs == 0:
+        raise ValueError("optimize_band_groups needs at least one JPEG")
+
+    # cost of grouping bands [a, b) (1-based band indices -> rows a-1..b-1)
+    pre = {cs: np.cumsum(fits[cs], axis=0) for cs in _COMPSETS}
+
+    def group_cost(a: int, b: int) -> float:
+        c = field_cost_bits * len(_COMPSETS)
+        for cs in _COMPSETS:
+            s = pre[cs][b - 2] - (pre[cs][a - 2] if a > 1 else 0)
+            _, bits = _optimal_width(s, (b - a) * nval[cs] * n_imgs)
+            c += bits
+        return c
+
+    # DP over bands 1..n_bands-1 with at most max_groups-1 groups
+    n = n_bands - 1
+    k_max = min(max_groups - 1, n)
+    inf = float("inf")
+    best = [[inf] * (n + 1) for _ in range(k_max + 1)]
+    back = [[0] * (n + 1) for _ in range(k_max + 1)]
+    best[0][0] = 0.0
+    for k in range(1, k_max + 1):
+        for j in range(k, n + 1):
+            for i in range(k - 1, j):
+                if best[k - 1][i] == inf:
+                    continue
+                c = best[k - 1][i] + group_cost(i + 1, j + 1)
+                if c < best[k][j]:
+                    best[k][j] = c
+                    back[k][j] = i
+    k_best = min(range(1, k_max + 1), key=lambda k: (best[k][n], k))
+    bounds = [n]
+    k, j = k_best, n
+    while k > 0:
+        j = back[k][j]
+        bounds.append(j)
+        k -= 1
+    bounds.reverse()  # [0, ..., n] in band-1-based coordinates
+    groups = [(0, 1)] + [
+        (bounds[i] + 1, bounds[i + 1] + 1) for i in range(len(bounds) - 1)
+    ]
+    return tuple((int(a), int(b)) for a, b in groups)
 
 
 def compress_jpeg_dct(jpeg_bytes, out_hw, grouping: str = "split12"):

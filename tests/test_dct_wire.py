@@ -192,6 +192,62 @@ def test_grouping_invariance(grouping):
     np.testing.assert_array_equal(outs[0][1], ref_outs[0][1])
 
 
+def test_custom_grouping_roundtrip_identical():
+    """Explicit (start, end) partitions are first-class groupings —
+    reconstruction is identical and the wire layout follows the partition."""
+    jpegs = [make_jpeg(5)]
+    ref_outs, _ = roundtrip(jpegs, grouping="split12")
+    custom = ((0, 1), (1, 6), (6, 15), (15, 36))
+    outs, stats = roundtrip(jpegs, grouping=custom)
+    np.testing.assert_array_equal(outs[0][0], ref_outs[0][0])
+    np.testing.assert_array_equal(outs[0][1], ref_outs[0][1])
+    assert len(stats["widths"]["y"]) == len(custom)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        ((0, 2), (2, 36)),  # DC not alone
+        ((0, 1), (2, 36)),  # gap
+        ((0, 1), (1, 20)),  # does not reach m*m
+        ((0, 1), (1, 40)),  # beyond m*m
+        ((0, 1), (20, 1)),  # empty/reversed
+    ],
+)
+def test_custom_grouping_validation(bad):
+    with pytest.raises(ValueError):
+        band_groups(6, bad)
+
+
+def test_optimize_band_groups_is_valid_and_no_worse():
+    from accvlab_tpu.pipeline.processing_steps import optimize_band_groups
+
+    jpegs = [make_jpeg(seed) for seed in range(3)]
+    groups = optimize_band_groups(jpegs[:2], SRC_HW, OUT_HW, max_groups=12)
+    # a valid partition at the requested field budget ...
+    assert band_groups(6, groups) == list(groups)
+    assert len(groups) <= 12
+    # ... that beats the hand-rolled static partition of the same size on
+    # the content it was tuned on (the DP is exact for the cost model)
+    _, st_dp = roundtrip(jpegs, grouping=groups)
+    _, st_static = roundtrip(jpegs, grouping="split12")
+    assert st_dp["packed_bytes"] < st_static["packed_bytes"]
+    # and reconstruction stays bit-identical to every other grouping
+    ref_outs, _ = roundtrip([jpegs[0]], grouping="split12")
+    outs, _ = roundtrip([jpegs[0]], grouping=groups)
+    np.testing.assert_array_equal(outs[0][0], ref_outs[0][0])
+    np.testing.assert_array_equal(outs[0][1], ref_outs[0][1])
+
+
+def test_optimize_band_groups_m1_degenerate():
+    from accvlab_tpu.pipeline.processing_steps import optimize_band_groups
+
+    # out small enough for m=1: the DC band is the whole spectrum
+    jpegs = [make_jpeg(0)]
+    groups = optimize_band_groups(jpegs, SRC_HW, (46, 128), max_groups=8)
+    assert groups == ((0, 1),)
+
+
 def test_wire_bytes_beat_pixel_wire():
     jpegs = [make_jpeg(seed) for seed in range(2)]
     _, stats = roundtrip(jpegs)
