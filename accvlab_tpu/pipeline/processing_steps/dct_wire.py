@@ -34,10 +34,13 @@ and ``c`` (Cb and Cr, concatenated along the block-row axis):
 * ``F_dct{cs}{g}_bp``  uint8 ``(b_g, nb_g*bh, bwp/8)`` — bitplanes of the
   zigzag-mapped values of band group ``g`` (bands in JPEG zigzag order,
   grouped by frequency diagonal; ``nb_g`` static per (m, grouping)).
-* ``F_dct{cs}_excp`` / ``_excv``  int32/int16 ``(E,)`` — ONE unified
-  patched-exception list per component set: flat indices into the
-  concatenated ``(m*m, bh, bwp)`` band array + the full zigzag values;
-  padded with the out-of-range index (device scatter ``mode='drop'``).
+* ``F_dct{cs}_excw``  uint32 ``(E,)`` — ONE unified patched-exception list
+  per component set, one packed word per slot: flat index into the
+  concatenated ``(m*m, bh, bwp)`` band array ``<< 14`` | full zigzag
+  value; padded with the out-of-range index (device scatter
+  ``mode='drop'``). On geometries whose flat index needs more than 18
+  bits the list splits into ``F_dct{cs}_excp`` / ``_excv`` (int32 pos +
+  int16 zigzag) — static per geometry, both halves derive it identically.
 * ``F_dct{cs}_mode``  uint8 zeros — SHAPE ``(mode+1,)`` carries the DC
   band's spatial predictor (0 none, 1 vertical, 2 plane; AC bands are
   never predicted — quantized AC coefficients are block-independent).
@@ -67,6 +70,9 @@ from ..dtypes import DType
 from ..sample_data_group import SampleDataGroup
 #: zigzag of the DC plane-predictor residual (+-4*2047) needs 14 bits
 _MAX_BITS = 14
+#: exceptions pack into ONE uint32 word (``pos << 14 | zigzag``) when every
+#: flat position of the concatenated band array fits the remaining 18 bits
+_PACKED_EXC_POS_LIMIT = 1 << (32 - _MAX_BITS)
 _MIN_EXC_BUCKET = 64
 
 _MODE_NONE, _MODE_VERTICAL, _MODE_PLANE = 0, 1, 2
@@ -210,29 +216,34 @@ class _Geometry:
             "y": self.out_hw,
             "c": (self.out_hw[0] // 2, self.out_hw[1] // 2),
         }
+        # exception wire format, static per geometry (both halves derive the
+        # same decision): one packed uint32 word per exception when every
+        # flat band-array position fits in 18 bits, else pos32 + val16
+        self.total = {
+            cs: self.m * self.m * g[0] * g[1] for cs, g in self.grid.items()
+        }
+        self.packed_exc = {
+            cs: t < _PACKED_EXC_POS_LIMIT for cs, t in self.total.items()
+        }
+        self.exc_bits = {
+            cs: 32 if p else _EXC_BITS for cs, p in self.packed_exc.items()
+        }
 
 
-def _field_names(name: str, groups) -> List[str]:
-    out = []
-    for cs in _COMPSETS:
-        for g in range(len(groups)):
-            out.append(f"{name}_dct{cs}{g}_bp")
-        out += [
-            f"{name}_dct{cs}_excp",
-            f"{name}_dct{cs}_excv",
-            f"{name}_dct{cs}_mode",
-        ]
-    out.append(f"{name}_dct_quant")
-    return out
+def _field_names(name: str, groups, geo: "_Geometry") -> List[str]:
+    return list(_field_types(name, groups, geo))
 
 
-def _field_types(name: str, groups) -> dict:
+def _field_types(name: str, groups, geo: "_Geometry") -> dict:
     t = {}
     for cs in _COMPSETS:
         for g in range(len(groups)):
             t[f"{name}_dct{cs}{g}_bp"] = DType.UINT8
-        t[f"{name}_dct{cs}_excp"] = DType.INT32
-        t[f"{name}_dct{cs}_excv"] = DType.INT16
+        if geo.packed_exc[cs]:
+            t[f"{name}_dct{cs}_excw"] = DType.UINT32
+        else:
+            t[f"{name}_dct{cs}_excp"] = DType.INT32
+            t[f"{name}_dct{cs}_excv"] = DType.INT16
         t[f"{name}_dct{cs}_mode"] = DType.UINT8
     t[f"{name}_dct_quant"] = DType.INT32
     return t
@@ -371,12 +382,15 @@ class _CompsetEncoder:
         return bp, ne + pos.size
 
 
-def _optimal_width(fits: np.ndarray, n: int) -> Tuple[int, int]:
+def _optimal_width(
+    fits: np.ndarray, n: int, exc_bits: int = _EXC_BITS
+) -> Tuple[int, int]:
     """DCT-band entry to the shared width-cost model
-    (:func:`wire_compression.optimal_width_from_fits`)."""
+    (:func:`wire_compression.optimal_width_from_fits`); ``exc_bits`` is 32
+    on packed-exception geometries (``_Geometry.exc_bits``)."""
     from .wire_compression import optimal_width_from_fits
 
-    return optimal_width_from_fits(fits, n, _MAX_BITS, _EXC_BITS)
+    return optimal_width_from_fits(fits, n, _MAX_BITS, exc_bits)
 
 
 def _exc_bucket(n: int) -> int:
@@ -578,6 +592,7 @@ class DCTWirePacker(BatchLevelStepBase):
                 b, cost = _optimal_width(
                     fits_sum[(cs, 0, mode)],
                     encs[0][2][cs].n_per_group[0] * n_imgs,
+                    geo.exc_bits[cs],
                 )
                 if best is None or cost < best[0]:
                     best = (cost, mode, b)
@@ -587,6 +602,7 @@ class DCTWirePacker(BatchLevelStepBase):
                 b, _ = _optimal_width(
                     fits_sum[(cs, g, _MODE_NONE)],
                     encs[0][2][cs].n_per_group[g] * n_imgs,
+                    geo.exc_bits[cs],
                 )
                 ws.append(b)
             widths[cs] = ws
@@ -607,6 +623,10 @@ class DCTWirePacker(BatchLevelStepBase):
             "dc_mode": dict(dc_mode),
             "widths": {cs: list(widths[cs]) for cs in _COMPSETS},
             "exc_capacity": dict(cap),
+            "exc_format": {
+                cs: "packed32" if geo.packed_exc[cs] else "pos32+val16"
+                for cs in _COMPSETS
+            },
             "raw_bytes": 0,
             "packed_bytes": 0,
         }
@@ -635,8 +655,16 @@ class DCTWirePacker(BatchLevelStepBase):
                         f"capacity {e} (capacity comes from the same "
                         "histograms — this is a bug)"
                     )
-                fields[f"dct{cs}_excp"] = excp
-                fields[f"dct{cs}_excv"] = excv
+                if geo.packed_exc[cs]:
+                    # one uint32 word per slot: pos << 14 | zigzag (zigzag
+                    # < 2^14 by _MAX_BITS; padding slots carry pos == total,
+                    # whose scatter index still lands out of range -> drop)
+                    fields[f"dct{cs}_excw"] = (
+                        excp.astype(np.uint32) << _MAX_BITS
+                    ) | excv.astype(np.uint32)
+                else:
+                    fields[f"dct{cs}_excp"] = excp
+                    fields[f"dct{cs}_excv"] = excv
                 fields[f"dct{cs}_mode"] = np.zeros((dc_mode[cs] + 1,), np.uint8)
             fields["dct_quant"] = quant
             return si, ip, fields
@@ -650,7 +678,7 @@ class DCTWirePacker(BatchLevelStepBase):
             parent = sdg.get_parent_of_path(list(ip))
             name = ip[-1]
             parent.remove_field(name)
-            for fname, t in _field_types(name, groups).items():
+            for fname, t in _field_types(name, groups, geo).items():
                 parent.add_data_field(fname, t)
             for sfx, arr in fields.items():
                 parent[f"{name}_{sfx}"] = arr
@@ -678,7 +706,7 @@ class DCTWirePacker(BatchLevelStepBase):
                 )
             parent = data_empty.get_parent_of_path(list(ip))
             parent.remove_field(ip[-1])
-            for fname, ft in _field_types(ip[-1], self._groups).items():
+            for fname, ft in _field_types(ip[-1], self._groups, self._geo).items():
                 parent.add_data_field(fname, ft)
         return data_empty
 
@@ -780,8 +808,13 @@ class DCTWireUnpacker(PipelineStepBase):
         m = geo.m
         bh, bwp = geo.grid[cs]
         zz = self._unpack_groups(get, cs)
-        excp = get(f"dct{cs}_excp")
-        excv = get(f"dct{cs}_excv")
+        if geo.packed_exc[cs]:
+            w = get(f"dct{cs}_excw")
+            excp = (w >> _MAX_BITS).astype(jnp.int32)
+            excv = (w & ((1 << _MAX_BITS) - 1)).astype(jnp.int32)
+        else:
+            excp = get(f"dct{cs}_excp")
+            excv = get(f"dct{cs}_excv")
         zz = (
             zz.reshape(-1)
             .at[excp]
@@ -857,7 +890,7 @@ class DCTWireUnpacker(PipelineStepBase):
         for ip in data.find_all_occurrences(f"{name}_dct_quant"):
             parent = data.get_parent_of_path(list(ip))
             y, cbcr = self.decode_fields(lambda sfx: parent[f"{name}_{sfx}"])
-            for fname in _field_names(name, self._groups):
+            for fname in _field_names(name, self._groups, self._geo):
                 parent.remove_field(fname)
             parent.add_data_field(name, DType.UINT8)
             parent[name] = y
@@ -877,7 +910,7 @@ class DCTWireUnpacker(PipelineStepBase):
             )
         for ip in paths:
             parent = data_empty.get_parent_of_path(list(ip))
-            types = _field_types(name, self._groups)
+            types = _field_types(name, self._groups, self._geo)
             for fname, t in types.items():
                 if not parent.path_exists(fname):
                     raise KeyError(
@@ -976,7 +1009,9 @@ def optimize_band_groups(
         c = field_cost_bits * len(_COMPSETS)
         for cs in _COMPSETS:
             s = pre[cs][b - 2] - (pre[cs][a - 2] if a > 1 else 0)
-            _, bits = _optimal_width(s, (b - a) * nval[cs] * n_imgs)
+            _, bits = _optimal_width(
+                s, (b - a) * nval[cs] * n_imgs, geo.exc_bits[cs]
+            )
             c += bits
         return c
 
@@ -1031,7 +1066,7 @@ def compress_jpeg_dct(jpeg_bytes, out_hw, grouping: str = "split12"):
     (out,) = packer._process_batch([s])
     fields = {
         fname[len("image_"):]: np.asarray(out[fname])
-        for fname in _field_names("image", packer._groups)
+        for fname in _field_names("image", packer._groups, packer._geo)
     }
     fields["source_hw"] = source_hw
     return fields

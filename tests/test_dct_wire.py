@@ -248,6 +248,37 @@ def test_optimize_band_groups_m1_degenerate():
     assert groups == ((0, 1),)
 
 
+def test_packed_exceptions_on_bench_geometry():
+    """SRC_HW's flat band index fits 18 bits -> exceptions travel as ONE
+    uint32 word each (pos << 14 | zigzag), saving 2 bytes/slot and one
+    wire field per component set."""
+    geo = _Geometry(SRC_HW, OUT_HW)
+    assert geo.packed_exc == {"y": True, "c": True}
+    samples = [make_sample(make_jpeg(0))]
+    packer = DCTWirePacker("image", SRC_HW, OUT_HW)
+    (out,) = packer._process_batch(samples)
+    assert packer.last_batch_stats["exc_format"] == {
+        "y": "packed32",
+        "c": "packed32",
+    }
+    assert out.path_exists("image_dcty_excw")
+    assert not out.path_exists("image_dcty_excp")
+    assert np.asarray(out["image_dcty_excw"]).dtype == np.uint32
+
+
+def test_unpacked_exceptions_on_large_geometry():
+    """A band grid too large for 18-bit positions falls back to the split
+    pos32 + val16 exception list — and the roundtrip still holds."""
+    src, out_hw = (744, 2048), (512, 1408)
+    geo = _Geometry(src, out_hw)
+    assert geo.m == 6 and not geo.packed_exc["y"]
+    jb = make_jpeg(seed=1, hw=src)
+    outs, stats = roundtrip([jb], src_hw=src, out_hw=out_hw)
+    assert stats["exc_format"]["y"] == "pos32+val16"
+    ref_y, _ = native_jpeg.decode_yuv420(jb, out_hw)
+    assert np.abs(outs[0][0].astype(int) - ref_y.astype(int)).max() <= 2
+
+
 def test_wire_bytes_beat_pixel_wire():
     jpegs = [make_jpeg(seed) for seed in range(2)]
     _, stats = roundtrip(jpegs)
@@ -347,16 +378,13 @@ def test_native_and_numpy_encoders_equivalent(monkeypatch):
     jpegs = [make_jpeg(seed) for seed in range(2)]
 
     def run():
+        from accvlab_tpu.pipeline.processing_steps.dct_wire import _field_names
+
         packer = DCTWirePacker("image", SRC_HW, OUT_HW)
         samples = packer._process_batch([make_sample(j) for j in jpegs])
         fields = {}
         for i, s in enumerate(samples):
-            for name in (
-                [f"image_dct{cs}{g}_bp" for cs in ("y", "c") for g in range(12)]
-                + [f"image_dct{cs}_{x}" for cs in ("y", "c")
-                   for x in ("excp", "excv", "mode")]
-                + ["image_dct_quant"]
-            ):
+            for name in _field_names("image", packer._groups, packer._geo):
                 fields[(i, name)] = np.asarray(s[name])
         return fields, packer.last_batch_stats
 
@@ -601,8 +629,8 @@ def test_threaded_encode_matches_serial():
                 n: np.asarray(s[n])
                 for n in (
                     "image_dcty0_bp",
-                    "image_dcty_excp",
-                    "image_dctc_excv",
+                    "image_dcty_excw",
+                    "image_dctc_excw",
                     "image_dct_quant",
                 )
             }
