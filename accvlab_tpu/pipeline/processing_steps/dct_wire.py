@@ -78,6 +78,9 @@ _MIN_EXC_BUCKET = 64
 _MODE_NONE, _MODE_VERTICAL, _MODE_PLANE = 0, 1, 2
 _COMPSETS = ("y", "c")
 
+#: a named partition or an explicit (start, end) sequence (see band_groups)
+Grouping = Union[str, Iterable[Tuple[int, int]]]
+
 
 # --------------------------------------------------------------------------- #
 # static layout helpers (shared by packer and unpacker — both derive the
@@ -103,7 +106,7 @@ def band_order(m: int) -> List[Tuple[int, int]]:
     return out
 
 
-def band_groups(m: int, grouping) -> List[Tuple[int, int]]:
+def band_groups(m: int, grouping: Grouping) -> List[Tuple[int, int]]:
     """Static partition of the zigzag band order into groups that share one
     bit width: ``(start, end)`` index pairs.
 
@@ -451,7 +454,7 @@ class DCTWirePacker(BatchLevelStepBase):
         image_name: str,
         source_hw,
         out_hw,
-        grouping: str = "split12",
+        grouping: Grouping = "split12",
         num_threads: Optional[int] = None,
     ):
         super().__init__()
@@ -638,8 +641,7 @@ class DCTWirePacker(BatchLevelStepBase):
             fields = {}
             for cs in _COMPSETS:
                 enc = ce[cs]
-                bh, bwp = geo.grid[cs]
-                total = geo.m * geo.m * bh * bwp
+                total = geo.total[cs]
                 e = cap[cs]
                 excp = np.full((e,), total, np.int32)  # out of range -> drop
                 excv = np.zeros((e,), np.int16)
@@ -751,7 +753,7 @@ class DCTWireUnpacker(PipelineStepBase):
         image_name: str,
         source_hw,
         out_hw,
-        grouping: str = "split12",
+        grouping: Grouping = "split12",
     ):
         super().__init__()
         if not isinstance(image_name, str):
@@ -1005,6 +1007,9 @@ def optimize_band_groups(
     # cost of grouping bands [a, b) (1-based band indices -> rows a-1..b-1)
     pre = {cs: np.cumsum(fits[cs], axis=0) for cs in _COMPSETS}
 
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)  # the k loop revisits every (a, b) interval
     def group_cost(a: int, b: int) -> float:
         c = field_cost_bits * len(_COMPSETS)
         for cs in _COMPSETS:
@@ -1045,7 +1050,7 @@ def optimize_band_groups(
     return tuple((int(a), int(b)) for a, b in groups)
 
 
-def compress_jpeg_dct(jpeg_bytes, out_hw, grouping: str = "split12"):
+def compress_jpeg_dct(jpeg_bytes, out_hw, grouping: Grouping = "split12"):
     """One-shot host-side encode of one JPEG to the DCT wire format.
 
     Returns a dict of wire arrays keyed by field SUFFIX (``"dcty0_bp"``,
@@ -1072,7 +1077,7 @@ def compress_jpeg_dct(jpeg_bytes, out_hw, grouping: str = "split12"):
     return fields
 
 
-def decompress_jpeg_dct(fields, out_hw, grouping: str = "split12"):
+def decompress_jpeg_dct(fields, out_hw, grouping: Grouping = "split12"):
     """Functional jit-compatible decode of :func:`compress_jpeg_dct` output.
 
     ``fields`` is the suffix-keyed mapping (``"source_hw"`` may ride along

@@ -152,22 +152,38 @@ def build_pipeline(batch_size=8, num_threads=None, out_hw=(256, 704), heatmap_hw
         # default "dp16") — a content-tuned DP partition with at most N
         # wire fields per component set, computed from 3 provider JPEGs at
         # setup — or the static "split12" / "band" / "diag8". CPU-measured
-        # on this content (bs=8 pipeline bytes/batch): dp16 5.60 MB vs
-        # split12 6.22 MB (x1.111 fewer) vs full per-band 5.49 MB at twice
-        # dp16's field count. Fields ride the packed hostcopy transfer, so
+        # on this content (bs=8 pipeline bytes/batch, packed 32-bit
+        # exceptions active either way): dp16 5.27 MB vs split12 5.74 MB
+        # (x1.089 fewer; x1.180 vs the r04b split12 + split-exception-list
+        # wire at 6.22 MB). Fields ride the packed hostcopy transfer, so
         # per-field wire overhead is amortized; ACCVLAB_BENCH_DCT_GROUPING=
         # split12 is the A/B if the real wire disagrees.
         grouping = os.environ.get("ACCVLAB_BENCH_DCT_GROUPING", "dp16")
         if grouping.startswith("dp"):
             from accvlab_tpu.pipeline.processing_steps import optimize_band_groups
 
+            try:
+                budget = int(grouping[2:])
+            except ValueError:
+                log(
+                    f"ACCVLAB_BENCH_DCT_GROUPING={grouping!r} is not dpN "
+                    "(e.g. dp16) -> using dp16"
+                )
+                budget = 16
+            budget = max(2, budget)
             probe_jpegs = [
                 provider.get_data(i)["cameras"][0]["image"] for i in range(3)
             ]
             grouping = optimize_band_groups(
-                probe_jpegs, (372, 1024), out_hw, max_groups=int(grouping[2:])
+                probe_jpegs, (372, 1024), out_hw, max_groups=budget
             )
             log(f"DCT band grouping (DP-tuned): {grouping}")
+        elif grouping not in ("split12", "band", "diag8"):
+            log(
+                f"ACCVLAB_BENCH_DCT_GROUPING={grouping!r} unknown "
+                "(dpN | split12 | band | diag8) -> using split12"
+            )
+            grouping = "split12"
         steps = [
             DCTWirePacker("image", source_hw=(372, 1024), out_hw=out_hw,
                           grouping=grouping),
