@@ -119,10 +119,23 @@ def build_pipeline(batch_size=4, wire="dct"):
         # half of JPEG decode and ships quantized DCT coefficients; the
         # device program does dequantize + IDCT (MXU matmuls) + the color
         # conversion — fewest host->device bytes AND least host CPU
-        # (docs/guides.md "The DCT coefficient wire")
+        # (docs/guides.md "The DCT coefficient wire"). The band partition
+        # is tuned offline to the content at a 16-field budget — the
+        # optimizer is an exact DP over per-band histograms, and the
+        # result is static geometry shared by both wire halves.
+        from accvlab_tpu.pipeline.processing_steps import optimize_band_groups
+
+        probe_jpegs = [
+            provider.get_data(i)["cameras"][0]["image"] for i in range(3)
+        ]
+        groups = optimize_band_groups(
+            probe_jpegs, IMAGE_HW, IMAGE_HW, max_groups=16
+        )
         wire_steps = [
-            DCTWirePacker("image", source_hw=IMAGE_HW, out_hw=IMAGE_HW),
-            DCTWireUnpacker("image", source_hw=IMAGE_HW, out_hw=IMAGE_HW),
+            DCTWirePacker("image", source_hw=IMAGE_HW, out_hw=IMAGE_HW,
+                          grouping=groups),
+            DCTWireUnpacker("image", source_hw=IMAGE_HW, out_hw=IMAGE_HW,
+                            grouping=groups),
         ]
     else:
         # YUV 4:2:0 pixel wire: the host ships planar Y + subsampled CbCr
