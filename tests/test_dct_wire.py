@@ -288,6 +288,40 @@ def test_wire_bytes_beat_pixel_wire():
     assert stats_band["packed_bytes"] <= stats["packed_bytes"]
 
 
+def test_geometry_fuzz_roundtrip():
+    """Randomized (source_hw, out_hw, quality, grouping) sweep: every
+    geometry must agree with the pixel-path oracle within the luma
+    tolerance, across scale factors m=1..8, odd dims, packed and split
+    exception formats, and all grouping styles."""
+    rng = np.random.default_rng(7)
+    groupings = ["band", "split12", "diag8"]
+    for case in range(10):
+        sh = int(rng.integers(18, 420))
+        sw = int(rng.integers(18, 520))
+        oh = max(2, int(rng.integers(sh // 4, sh + 1)) // 2 * 2)
+        ow = max(2, int(rng.integers(sw // 4, sw + 1)) // 2 * 2)
+        quality = int(rng.integers(55, 98))
+        grouping = groupings[case % len(groupings)]
+        jb = make_jpeg(seed=case, hw=(sh, sw), quality=quality)
+        geo = _Geometry((sh, sw), (oh, ow))
+        outs, stats = roundtrip(
+            [jb], grouping=grouping, src_hw=(sh, sw), out_hw=(oh, ow)
+        )
+        ref_y, ref_cbcr = native_jpeg.decode_yuv420(jb, (oh, ow))
+        dy = np.abs(outs[0][0].astype(int) - ref_y.astype(int)).max()
+        ctx = f"case {case}: src=({sh},{sw}) out=({oh},{ow}) q={quality} " \
+              f"{grouping} m={geo.m} packed={geo.packed_exc}"
+        # +-2 at m>=6 (float vs ISLOW + resize rounding); small-m scaled
+        # decodes diverge more because libjpeg's fixed-point m-point
+        # kernels are themselves approximate (reference oracle uses 21:
+        # on_demand_video_decoder/tests/utils.py diff_tolerance)
+        tol = 2 if geo.m >= 6 else 6
+        assert dy <= tol, f"{ctx}: luma diff {dy}"
+        assert outs[0][1].shape == (oh // 2, ow // 2, 2), ctx
+        exp = "packed32" if geo.packed_exc["y"] else "pos32+val16"
+        assert stats["exc_format"]["y"] == exp, ctx
+
+
 def test_high_entropy_content_exceptions_path():
     # checkerboard-heavy content stresses wide values + exception patching
     from PIL import Image
