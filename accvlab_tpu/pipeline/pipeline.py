@@ -288,6 +288,9 @@ class TPUPipeline:
         self._stat_consumer_wait_s = 0.0
         self._stat_device_stage_s = 0.0
         self._stat_transfer_bytes = 0  # bytes of the last H2D transfer
+        # opt-in phase-timeline recording (see start_trace); when None the
+        # hot paths pay one attribute read per phase
+        self._trace = None
 
     # ------------------------------------------------------------------ #
     # Host stage                                                         #
@@ -459,7 +462,11 @@ class TPUPipeline:
             ctx = DeviceRandomContext(key)
             for step in self._device_steps:
                 step.set_random_context(ctx)
-                sdg = step(sdg) if self._check else step._process(sdg)
+                # named_scope: step boundaries show up in jax.profiler device
+                # traces and in the lowered HLO's op metadata — the fused
+                # program's analog of per-operator NVTX ranges (SURVEY §5.1)
+                with jax.named_scope(type(step).__name__):
+                    sdg = step(sdg) if self._check else step._process(sdg)
             return tuple(sdg.get_data())
 
         def device_fn_all(batch_leaves, batch_key):
@@ -610,9 +617,14 @@ class TPUPipeline:
                 return
             t1 = time.monotonic()
             self._queue.put(item)
+            t2 = time.monotonic()
             self._stat_producer_busy_s += t1 - t0
-            self._stat_producer_blocked_s += time.monotonic() - t1
+            self._stat_producer_blocked_s += t2 - t1
             self._stat_produced += 1
+            tr = self._trace
+            if tr is not None:
+                tr.complete("host_build", "producer", t0, t1 - t0, batch=item[0])
+                tr.complete("queue_put", "producer", t1, t2 - t1, batch=item[0])
 
     def _ensure_producer(self):
         # spawn only when no producer exists for this run (reset()/set_state
@@ -663,11 +675,20 @@ class TPUPipeline:
                         )
             if item is self._END:
                 self._exhausted = True
+                if self._trace is not None:
+                    self._trace.instant("epoch_end", "consumer", epoch=self._epoch)
                 raise StopIteration
             if isinstance(item, Exception):
                 self._exhausted = True
                 raise item
-            self._stat_consumer_wait_s += time.monotonic() - t_wait0
+            t_wait1 = time.monotonic()
+            self._stat_consumer_wait_s += t_wait1 - t_wait0
+            tr = self._trace
+            if tr is not None:
+                tr.complete(
+                    "consumer_wait", "consumer", t_wait0, t_wait1 - t_wait0,
+                    batch=item[0],
+                )
             # start this host batch at echo 0, or mid-echo after a resume
             self._echo_item = (item, self._echo_start)
             self._echo_start = 0
@@ -679,8 +700,15 @@ class TPUPipeline:
             self._exhausted = True
             self._echo_item = None
             raise
-        self._stat_device_stage_s += time.monotonic() - t_dev0
+        t_dev1 = time.monotonic()
+        self._stat_device_stage_s += t_dev1 - t_dev0
         self._stat_consumed += 1
+        tr = self._trace
+        if tr is not None:
+            tr.complete(
+                "device_dispatch", "consumer", t_dev0, t_dev1 - t_dev0,
+                batch=batch_idx, echo=echo_i, bytes=self._stat_transfer_bytes,
+            )
         # batch delivered: advance the consumed position (resume point)
         if echo_i + 1 < self._echo_factor:
             # keep the (now device-resident) host batch for its next echo
@@ -781,6 +809,8 @@ class TPUPipeline:
         the post-``set_state`` no-op applies to."""
         self._resume_armed = False
         self._halt_producer()
+        if self._trace is not None:
+            self._trace.instant("reset", "consumer", epoch=self._epoch)
         if self._exhausted or self._iteration > 0:
             self._epoch += 1
         self._iteration = 0
@@ -954,6 +984,44 @@ class TPUPipeline:
             "bytes_per_batch": self._stat_transfer_bytes,
             "input_bound_frac": (wait / denom) if denom > 0.0 else 0.0,
         }
+
+    def start_trace(self, max_events: int = 100_000):
+        """Start recording the pipeline's phase timeline (producer
+        ``host_build``/``queue_put``, consumer ``consumer_wait``/
+        ``device_dispatch``, ``epoch_end``/``reset`` instants) into a
+        :class:`~accvlab_tpu.tools.chrome_trace.ChromeTraceRecorder`.
+
+        Returns the recorder (also handed back by :meth:`stop_trace`).
+        Where ``stats()`` aggregates, the trace shows each batch's spans on
+        a shared clock — open the saved file in chrome://tracing /
+        Perfetto to see wait gaps and their alignment. Device-internal op
+        timing still belongs to ``jax.profiler``; this is the host-side
+        orchestration view (SURVEY §5.1 — the reference's analog is an
+        external nsys timeline of its NVTX ranges).
+        """
+        if self._trace is not None:
+            raise RuntimeError(
+                "a pipeline trace is already active (stop_trace() first)"
+            )
+        from ..tools.chrome_trace import ChromeTraceRecorder
+
+        trace = ChromeTraceRecorder(max_events=max_events)
+        self._trace = trace
+        return trace
+
+    def stop_trace(self, path: Optional[str] = None):
+        """Stop recording; optionally save to ``path`` (Chrome trace JSON).
+        Returns the recorder. A producer span already in flight may still
+        append to the returned recorder moments after this call (it belongs
+        to this trace); a later :meth:`start_trace` gets a fresh recorder,
+        so traces never mix."""
+        trace = self._trace
+        if trace is None:
+            raise RuntimeError("no active pipeline trace (start_trace() first)")
+        self._trace = None
+        if path is not None:
+            trace.save(path)
+        return trace
 
     def stop(self):
         """Shut down the producer thread and worker pool."""

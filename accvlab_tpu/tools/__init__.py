@@ -12,6 +12,7 @@ functions that trace into the fused device program, where
 per-sample code is ordinary Python, covered by :class:`TraceRangeWrapper`.
 """
 
+from .chrome_trace import ChromeTraceRecorder
 from .singleton_base import SingletonBase
 from .stopwatch import Stopwatch
 from .tensor_dumper import TensorDumper
@@ -24,6 +25,7 @@ from .trace_range import (
 )
 
 __all__ = [
+    "ChromeTraceRecorder",
     "NVTXRangeWrapper",
     "SingletonBase",
     "Stopwatch",
