@@ -288,6 +288,7 @@ class TPUPipeline:
         self._stat_consumer_wait_s = 0.0
         self._stat_device_stage_s = 0.0
         self._stat_transfer_bytes = 0  # bytes of the last H2D transfer
+        self._last_dispatch_bytes = 0  # bytes the most recent dispatch moved
         # opt-in phase-timeline recording (see start_trace); when None the
         # hot paths pay one attribute read per phase
         self._trace = None
@@ -552,8 +553,13 @@ class TPUPipeline:
         device-resident buffers without a second host->device transfer."""
         import jax
 
-        if isinstance(host_batch[0], np.ndarray):
+        transferred = isinstance(host_batch[0], np.ndarray)
+        if transferred:
             host_batch = self._transfer(host_batch)
+        # bytes this dispatch actually moved host->device: echo replays
+        # reuse device-resident buffers and move nothing (the trace must
+        # not overstate wire traffic by echo_factor)
+        self._last_dispatch_bytes = self._stat_transfer_bytes if transferred else 0
         if not self._device_steps:
             return host_batch, host_batch
         # the key derives from the batch's own index (carried through the
@@ -675,8 +681,9 @@ class TPUPipeline:
                         )
             if item is self._END:
                 self._exhausted = True
-                if self._trace is not None:
-                    self._trace.instant("epoch_end", "consumer", epoch=self._epoch)
+                tr = self._trace  # snapshot: stop_trace may race from a
+                if tr is not None:  # monitoring thread
+                    tr.instant("epoch_end", "consumer", epoch=self._epoch)
                 raise StopIteration
             if isinstance(item, Exception):
                 self._exhausted = True
@@ -707,7 +714,7 @@ class TPUPipeline:
         if tr is not None:
             tr.complete(
                 "device_dispatch", "consumer", t_dev0, t_dev1 - t_dev0,
-                batch=batch_idx, echo=echo_i, bytes=self._stat_transfer_bytes,
+                batch=batch_idx, echo=echo_i, bytes=self._last_dispatch_bytes,
             )
         # batch delivered: advance the consumed position (resume point)
         if echo_i + 1 < self._echo_factor:
@@ -809,8 +816,9 @@ class TPUPipeline:
         the post-``set_state`` no-op applies to."""
         self._resume_armed = False
         self._halt_producer()
-        if self._trace is not None:
-            self._trace.instant("reset", "consumer", epoch=self._epoch)
+        tr = self._trace  # snapshot: stop_trace may race from another thread
+        if tr is not None:
+            tr.instant("reset", "consumer", epoch=self._epoch)
         if self._exhausted or self._iteration > 0:
             self._epoch += 1
         self._iteration = 0
@@ -1012,9 +1020,11 @@ class TPUPipeline:
     def stop_trace(self, path: Optional[str] = None):
         """Stop recording; optionally save to ``path`` (Chrome trace JSON).
         Returns the recorder. A producer span already in flight may still
-        append to the returned recorder moments after this call (it belongs
-        to this trace); a later :meth:`start_trace` gets a fresh recorder,
-        so traces never mix."""
+        append to the returned recorder moments after this call — after the
+        ``path`` snapshot was written — so for the complete picture call
+        ``trace.save(path)`` yourself once the pipeline is quiescent (after
+        ``stop()`` or an epoch end). A later :meth:`start_trace` gets a
+        fresh recorder, so traces never mix."""
         trace = self._trace
         if trace is None:
             raise RuntimeError("no active pipeline trace (start_trace() first)")

@@ -67,14 +67,15 @@ class ChromeTraceRecorder:
 
     # ------------------------------------------------------------------ #
 
-    def _tid(self, thread: str) -> int:
-        tid = self._tids.get(thread)
-        if tid is None:
-            tid = self._tids[thread] = len(self._tids) + 1
-        return tid
-
-    def _append(self, ev: dict) -> None:
+    def _append(self, ev: dict, thread: str) -> None:
         with self._lock:
+            # tid assignment must share the event lock: two threads
+            # registering concurrently would otherwise both read len() and
+            # merge onto one timeline row
+            tid = self._tids.get(thread)
+            if tid is None:
+                tid = self._tids[thread] = len(self._tids) + 1
+            ev["tid"] = tid
             if len(self._events) >= self._max:
                 self.dropped += 1
                 return
@@ -84,17 +85,23 @@ class ChromeTraceRecorder:
         self, name: str, thread: str, ts_s: float, dur_s: float, **args
     ) -> None:
         """Record a complete span ("X"): began at monotonic ``ts_s``,
-        lasted ``dur_s`` seconds, on the named logical thread."""
+        lasted ``dur_s`` seconds, on the named logical thread. A span that
+        began before this recorder existed (e.g. a producer batch in flight
+        across ``start_trace``) is clipped to the recorder's origin."""
+        rel_s = ts_s - self.t0
+        if rel_s < 0.0:
+            dur_s += rel_s
+            rel_s = 0.0
         self._append(
             {
                 "name": name,
                 "ph": "X",
                 "pid": 1,
-                "tid": self._tid(thread),
-                "ts": (ts_s - self.t0) * 1e6,
+                "ts": rel_s * 1e6,
                 "dur": max(0.0, dur_s) * 1e6,
                 "args": args,
-            }
+            },
+            thread,
         )
 
     def instant(self, name: str, thread: str, **args) -> None:
@@ -105,10 +112,10 @@ class ChromeTraceRecorder:
                 "ph": "i",
                 "s": "t",
                 "pid": 1,
-                "tid": self._tid(thread),
                 "ts": (time.monotonic() - self.t0) * 1e6,
                 "args": args,
-            }
+            },
+            thread,
         )
 
     # ------------------------------------------------------------------ #

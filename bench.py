@@ -453,7 +453,6 @@ def _arm_deadman(deadline: float) -> None:
     This daemon thread fires ~15 s before the deadline: if no fresh JSON
     has been printed yet it emits the stale-fallback line and exits 0.
     """
-    import threading
 
     def _fire():
         global _json_emitted
@@ -480,6 +479,7 @@ def main():
     # compile) hits a tunnel slow-compile episode — see the bounded thread
     # around measure_input_idle below and the deadman timer.
     global _json_emitted
+    _json_emitted = False  # a prior in-process main() must not mute this one
     t_wall0 = time.time()
     deadline = t_wall0 + float(os.environ.get("ACCVLAB_BENCH_DEADLINE_S", "520"))
     _arm_deadman(deadline)
@@ -569,8 +569,6 @@ def main():
     # slow phases — a hang here must not swallow the already-measured
     # headline. On timeout the JSON reports input_idle_frac: null and the
     # process exits without waiting for the stuck compile.
-    import threading
-
     _idle_box = {}
 
     def _measure_idle():

@@ -114,6 +114,13 @@ def test_trace_with_echo_factor_counts_replays():
             (0, 0), (0, 1), (1, 0), (1, 1)
         ]
         assert len(builds) >= 2
+        # replays reuse device-resident buffers: only the first delivery of
+        # each host batch moves bytes over the wire
+        for e in disps:
+            if e["args"]["echo"] == 0:
+                assert e["args"]["bytes"] > 0
+            else:
+                assert e["args"]["bytes"] == 0
     finally:
         pipe.stop()
 
@@ -189,3 +196,32 @@ def test_recorder_bounds_and_validation():
     rec2.complete("y", "t", rec2.t0 + 0.5, -1.0)
     (ev,) = [e for e in rec2.to_dict()["traceEvents"] if e["ph"] == "X"]
     assert ev["dur"] == 0.0 and ev["ts"] == pytest.approx(5e5, rel=0.01)
+    # a span that began before the recorder existed (in-flight across
+    # start_trace) is clipped to the origin, keeping its tail duration
+    rec3 = ChromeTraceRecorder()
+    rec3.complete("z", "t", rec3.t0 - 0.1, 0.3)
+    (ev,) = [e for e in rec3.to_dict()["traceEvents"] if e["ph"] == "X"]
+    assert ev["ts"] == 0.0 and ev["dur"] == pytest.approx(2e5, rel=0.01)
+
+
+def test_recorder_tid_assignment_is_race_free():
+    # two threads registering their first event concurrently must land on
+    # distinct timeline rows (tid assignment shares the event lock)
+    import threading
+
+    for _ in range(20):
+        rec = ChromeTraceRecorder()
+        barrier = threading.Barrier(2)
+
+        def emit(name):
+            barrier.wait()
+            rec.complete("e", name, rec.t0, 0.001)
+
+        ts = [threading.Thread(target=emit, args=(f"t{i}",)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        evs = rec.to_dict()["traceEvents"]
+        tids = {e["tid"] for e in evs if e["ph"] == "X"}
+        assert len(tids) == 2
