@@ -546,6 +546,12 @@ def main():
     # consume every sample.
     PASS_BUDGET_S = 110.0
     t_budget0 = time.perf_counter()
+    # optional phase-timeline capture of the measurement passes (open the
+    # file in chrome://tracing / Perfetto): per-batch producer/consumer spans
+    # with transferred bytes — the per-batch view behind the aggregate stats
+    trace_path = os.environ.get("ACCVLAB_BENCH_TRACE")
+    if trace_path:
+        pipe.start_trace()
     passes = [measure(), measure(), measure()]
     while len(passes) < 8 and time.perf_counter() - t_budget0 < PASS_BUDGET_S:
         passes.append(measure())
@@ -556,6 +562,12 @@ def main():
         "pass medians (ms/batch): "
         + ", ".join(f"{sorted(p[0])[len(p[0]) // 2] * 1e3:.0f}" for p in passes)
     )
+    if trace_path:
+        try:
+            trace = pipe.stop_trace(trace_path)
+            log(f"phase timeline: {len(trace)} events -> {trace_path}")
+        except Exception as e:  # capture is best-effort, never the headline
+            log("trace save failed:", repr(e))
     st = pipe.stats()
     log(
         f"pipeline stats: produced {st['produced']}, consumed {st['consumed']}, "

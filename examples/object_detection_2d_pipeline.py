@@ -200,11 +200,18 @@ def build_pipeline(batch_size=4, wire="dct"):
 
 
 def main():
+    import os
+
     import jax
 
     sw = Stopwatch()
     sw.enable(num_warmup_iters=1, print_every_n_iters=None, do_device_sync=True)
     loader, pipe = build_pipeline()
+    # optional phase timeline (chrome://tracing / Perfetto): per-batch
+    # producer/consumer spans — see docs/guides.md "Pipeline observability"
+    trace_path = os.environ.get("ACCVLAB_EXAMPLE_TRACE")
+    if trace_path:
+        pipe.start_trace()
     print(f"devices: {jax.devices()}  batches/epoch: {len(loader)}")
     for i, batch in enumerate(loader):
         sw.start_meas("batch")
@@ -216,6 +223,9 @@ def main():
         if i == 0:
             print(f"image {img.shape} {img.dtype} | heatmap {heat.shape}")
     sw.print_eval_times()
+    if trace_path:
+        trace = pipe.stop_trace(trace_path)
+        print(f"phase timeline: {len(trace)} events -> {trace_path}")
     pipe.stop()
 
 
