@@ -19,7 +19,7 @@ from accvlab_tpu.tools import ChromeTraceRecorder
 from test_pipeline_end_to_end import SyntheticProvider
 
 
-def build_pipeline(batch_size=4, echo_factor=1):
+def build_pipeline(batch_size=4, echo_factor=1, worker_mode="thread"):
     inp = ShuffledShardedInputCallable(
         SyntheticProvider(), batch_size=batch_size, shuffle=False
     )
@@ -42,7 +42,8 @@ def build_pipeline(batch_size=4, echo_factor=1):
         copy_external_source_passthrough_outputs=False,
     )
     return definition.get_pipeline(
-        batch_size=batch_size, num_threads=2, seed=7, echo_factor=echo_factor
+        batch_size=batch_size, num_threads=2, seed=7, echo_factor=echo_factor,
+        worker_mode=worker_mode,
     )
 
 
@@ -155,6 +156,22 @@ def test_trace_lifecycle_errors_and_isolation():
         pipe.run()
         pipe.stop_trace()
         assert len(second) > 0
+    finally:
+        pipe.stop()
+
+
+def test_trace_with_process_workers():
+    # worker_mode="process" produces host batches through the worker pool —
+    # a different _produce_host_batch path; spans must still appear and the
+    # producer timeline must stay on its own row
+    pipe = build_pipeline(batch_size=4, worker_mode="process")
+    try:
+        trace = pipe.start_trace()
+        n = sum(1 for _ in pipe)
+        pipe.stop_trace()
+        assert n == 2
+        assert len(_events(trace, "host_build")) >= n
+        assert len(_events(trace, "device_dispatch")) == n
     finally:
         pipe.stop()
 
