@@ -65,6 +65,31 @@ def roundtrip(jpegs, grouping="split12", src_hw=SRC_HW, out_hw=OUT_HW):
     return outs, packer.last_batch_stats
 
 
+def jit_roundtrip(jpegs, grouping="split12", src_hw=SRC_HW, out_hw=OUT_HW):
+    """Like :func:`roundtrip`, but runs the device half as ONE jitted
+    program per sample instead of eagerly. Equivalent by construction (the
+    same ``decode_fields``); used by the geometry fuzz, where every case
+    has unique shapes and eager op-by-op dispatch would pay hundreds of
+    uncached tiny compiles per case."""
+    import jax
+
+    from accvlab_tpu.pipeline.processing_steps.dct_wire import _field_names
+
+    packer = DCTWirePacker("image", src_hw, out_hw, grouping=grouping)
+    unpacker = DCTWireUnpacker("image", src_hw, out_hw, grouping=grouping)
+    samples = packer._process_batch([make_sample(j) for j in jpegs])
+    names = _field_names("image", packer._groups, packer._geo)
+    decode = jax.jit(
+        lambda fields: unpacker.decode_fields(lambda sfx: fields[sfx])
+    )
+    outs = []
+    for s in samples:
+        fields = {n[len("image_"):]: np.asarray(s[n]) for n in names}
+        y, cbcr = decode(fields)
+        outs.append((np.asarray(y), np.asarray(cbcr)))
+    return outs, packer.last_batch_stats
+
+
 # --------------------------------------------------------------------------- #
 # geometry / layout
 # --------------------------------------------------------------------------- #
@@ -304,7 +329,7 @@ def test_geometry_fuzz_roundtrip():
         grouping = groupings[case % len(groupings)]
         jb = make_jpeg(seed=case, hw=(sh, sw), quality=quality)
         geo = _Geometry((sh, sw), (oh, ow))
-        outs, stats = roundtrip(
+        outs, stats = jit_roundtrip(
             [jb], grouping=grouping, src_hw=(sh, sw), out_hw=(oh, ow)
         )
         ref_y, ref_cbcr = native_jpeg.decode_yuv420(jb, (oh, ow))
