@@ -239,6 +239,10 @@ class TPUPipeline:
         )
         # built lazily (jit), keyed by (donate, batch shape signature)
         self._device_fns: dict = {}
+        # abstract (shape, dtype) specs of the most recent device-stage
+        # inputs — lets device_program_text() re-lower the fused program
+        # on demand without holding any buffers alive
+        self._last_device_spec = None
 
         self._epoch = 0
         self._iteration = 0
@@ -590,6 +594,13 @@ class TPUPipeline:
             self._device_fns[sig] = self._build_device_fn(
                 host_batch, key, donate=donate
             )
+        self._last_device_spec = (
+            tuple(
+                jax.ShapeDtypeStruct(tuple(leaf.shape), leaf.dtype)
+                for leaf in host_batch
+            ),
+            jax.ShapeDtypeStruct(tuple(key.shape), key.dtype),
+        )
         fn = self._device_fns[sig]
         if self._mesh is not None:
             with self._mesh:
@@ -992,6 +1003,51 @@ class TPUPipeline:
             "bytes_per_batch": self._stat_transfer_bytes,
             "input_bound_frac": (wait / denom) if denom > 0.0 else 0.0,
         }
+
+    def device_program_text(self, optimized: bool = False) -> str:
+        """Text of the ONE fused device program (the jit of all
+        device-placed steps, vmapped over the batch) for the most recent
+        batch shape — the device-stage analog of the reference's pipeline
+        graph printing (``print_sample_data_group_format`` /
+        ``print_tensor_op``, dali ``pipeline.py:196-209``), and the static
+        complement of :meth:`start_trace`'s runtime timeline.
+
+        ``optimized=False`` (default) returns the lowered StableHLO with
+        debug info — each op's metadata carries the ``jax.named_scope``
+        of the step that produced it, so the program is auditable
+        step-by-step. ``optimized=True`` returns the backend-compiled HLO
+        (post-fusion), showing what will actually execute.
+
+        Inspection-only guards this enables (see the suite): no host
+        callbacks inside the device program, no accidental float64, every
+        step present. Requires at least one delivered batch (the program
+        is built lazily per batch shape); raises ``RuntimeError`` before
+        that or when the pipeline has no device-placed steps.
+        """
+        import jax
+
+        if not self._device_steps:
+            raise RuntimeError(
+                "this pipeline has no device-placed steps (no fused device "
+                "program exists)"
+            )
+        if self._last_device_spec is None:
+            raise RuntimeError(
+                "no device program built yet — deliver at least one batch "
+                "(pipe.run()) first"
+            )
+        batch_spec, key_spec = self._last_device_spec
+        # donate=False variant: identical program modulo buffer donation,
+        # and its jit exposes .lower() directly
+        fn = self._build_device_fn(batch_spec, key_spec, donate=False)
+        if self._mesh is not None:
+            with self._mesh:
+                lowered = fn.lower(batch_spec, key_spec)
+        else:
+            lowered = fn.lower(batch_spec, key_spec)
+        if optimized:
+            return lowered.compile().as_text()
+        return lowered.as_text(debug_info=True)
 
     def start_trace(self, max_events: int = 100_000):
         """Start recording the pipeline's phase timeline (producer

@@ -242,3 +242,51 @@ def test_recorder_tid_assignment_is_race_free():
         evs = rec.to_dict()["traceEvents"]
         tids = {e["tid"] for e in evs if e["ph"] == "X"}
         assert len(tids) == 2
+
+
+def test_device_program_text_public_inspection():
+    """device_program_text(): the public fused-program audit surface.
+
+    Guards three invariants of the device stage at once: every
+    device-placed step's named_scope is present (the program really is the
+    fused composition), no float64 ever enters it (TPU-hostile dtype), and
+    no host callback is embedded (a pure_callback/io_callback smuggled
+    into a step would serialize the device stage on the host)."""
+    pipe = build_pipeline(batch_size=4)
+    try:
+        with pytest.raises(RuntimeError, match="no device program built yet"):
+            pipe.device_program_text()
+        pipe.run()
+        txt = pipe.device_program_text()
+        for name in [type(s).__name__ for s in pipe._device_steps]:
+            assert name in txt, f"step scope {name!r} missing"
+        assert "f64" not in txt
+        for marker in ("python_cpu_callback", "xla_ffi_python"):
+            assert marker not in txt, f"host callback ({marker}) in device program"
+        # optimized=True compiles: post-fusion backend HLO, non-empty and
+        # distinct from the lowered text
+        opt = pipe.device_program_text(optimized=True)
+        assert isinstance(opt, str) and opt and opt != txt
+    finally:
+        pipe.stop()
+
+
+def test_device_program_text_requires_device_steps():
+    from accvlab_tpu.pipeline import PipelineDefinition
+    from accvlab_tpu.pipeline.inputs import ShuffledShardedInputCallable
+
+    inp = ShuffledShardedInputCallable(
+        SyntheticProvider(), batch_size=2, shuffle=False
+    )
+    defn = PipelineDefinition(
+        inp,
+        [ImageDecoder("image"), ImageToTileSizePadder("image", 8)],
+        copy_external_source_passthrough_outputs=False,
+    )
+    pipe = defn.get_pipeline(batch_size=2, num_threads=1, seed=0)
+    try:
+        pipe.run()
+        with pytest.raises(RuntimeError, match="no device-placed steps"):
+            pipe.device_program_text()
+    finally:
+        pipe.stop()
