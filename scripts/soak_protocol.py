@@ -209,15 +209,31 @@ def run_resume_chain(cfg, jpegs, rng):
         pipe.stop()
 
     # chained resume: random segment lengths, state handoff between
-    # pipelines; epoch boundaries advance via reset() like the oracle
+    # pipelines; epoch boundaries advance via reset() like the oracle.
+    # Observability calls (tracing, stats, device_program_text) interleave
+    # randomly — they must never perturb the bit-exact stream.
     pipe = build()
     pos = 0
+    tracing = False
+    delivered = False  # a batch delivered on the CURRENT pipeline object
     try:
         while pos < len(stream):
             seg = int(rng.integers(1, 6))
             for _ in range(seg):
                 if pos >= len(stream):
                     break
+                r = rng.random()
+                if r < 0.10 and not tracing:
+                    pipe.start_trace()
+                    tracing = True
+                elif r < 0.20 and tracing:
+                    pipe.stop_trace()
+                    tracing = False
+                elif r < 0.25:
+                    pipe.stats()
+                elif r < 0.30 and delivered:
+                    txt = pipe.device_program_text()
+                    assert "f64" not in txt
                 try:
                     got = _arrays(pipe.run())
                 except StopIteration:
@@ -233,10 +249,13 @@ def run_resume_chain(cfg, jpegs, rng):
                         got[k], exp[k], err_msg=f"pos {pos} field {k}"
                     )
                 pos += 1
+                delivered = True
             if pos >= len(stream):
                 break
             state = pipe.get_state()
             pipe.stop()
+            tracing = False
+            delivered = False
             pipe = build()
             pipe.set_state(state)
     finally:
