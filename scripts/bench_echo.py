@@ -1,11 +1,12 @@
 """Data-echoing throughput at the headline bench config.
 
 Measures delivered (batch, augmented) throughput for echo_factor in
-{1, 2, 4} on the same 6-camera 1024x372 -> 256x704 YUV-wire pipeline as
-``bench.py``. On the wire-bound tunnel setup each replay skips host decode
-AND the host->device transfer, so delivered frames/s should scale ~linearly
-with the factor until device compute (the fused augment program) becomes
-the gate.
+{1, 2, 4} on the same 6-camera 1024x372 -> 256x704 pipeline as ``bench.py``
+(same wire selection: ``ACCVLAB_BENCH_WIRE``, default the DCT coefficient
+wire). On the wire-bound tunnel setup each replay skips host decode AND the
+host->device transfer, so delivered frames/s should scale ~linearly with
+the factor until device compute (the fused augment program) becomes the
+gate.
 
 Usage: python scripts/bench_echo.py [--factors 1,2,4] [--batches 12]
 Prints one JSON line per factor; appends nothing (copy results into

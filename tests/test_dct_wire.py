@@ -771,5 +771,9 @@ def test_dct_wire_on_mesh_pipeline():
         img = pipe.run()["image"]
         assert img.sharding.spec == P("data", None, None, None)
         np.testing.assert_array_equal(np.asarray(img), expected)
+        # the program-audit surface must work on mesh pipelines too (the
+        # re-lowering happens inside the mesh context)
+        txt = pipe.device_program_text()
+        assert "DCTWireUnpacker" in txt and "f64" not in txt
     finally:
         pipe.stop()
