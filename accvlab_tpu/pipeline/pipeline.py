@@ -824,13 +824,33 @@ class TPUPipeline:
         the epoch (discarding the restored position). The one automatic
         reset that iterator fronts issue on construction goes through
         :meth:`_reset_from_iterator_front` instead, which is the only path
-        the post-``set_state`` no-op applies to."""
+        the post-``set_state`` no-op applies to.
+
+        A MID-epoch reset behaves, for the augmentation key stream, as if
+        the abandoned epoch had been consumed to its end: the key counter
+        rolls forward to the epoch boundary (when the input advertises its
+        epoch length), so the next epoch's batches are bit-identical to an
+        uninterrupted run's — NOT dependent on how far the prefetch
+        producer happened to run ahead at reset time. Inputs with unknown
+        length keep the producer's (timing-dependent) counter; their
+        post-reset streams are unique-keyed but not reproducible."""
         self._resume_armed = False
         self._halt_producer()
         tr = self._trace  # snapshot: stop_trace may race from another thread
         if tr is not None:
             tr.instant("reset", "consumer", epoch=self._epoch)
         if self._exhausted or self._iteration > 0:
+            # deterministic key-stream rollover: _global_batch - _iteration
+            # is the epoch's first host-batch index (stable — the producer
+            # run-ahead cancels), so epoch_start + steps is the counter an
+            # uninterrupted epoch would have ended with. Monotone: the
+            # producer can never have produced past the epoch end, so this
+            # only moves forward and never reuses a delivered batch's key.
+            steps = self._epoch_steps_hint(self._epoch)
+            if steps is not None:
+                self._global_batch = (
+                    self._global_batch - self._iteration + int(steps)
+                )
             self._epoch += 1
         self._iteration = 0
         self._exhausted = False
@@ -841,6 +861,21 @@ class TPUPipeline:
         self._consumed_iteration = 0
         self._consumed_global = self._global_batch
         self._input_state_captured = False
+
+    def _epoch_steps_hint(self, epoch_idx: int) -> Optional[int]:
+        """Host batches the input delivers in ``epoch_idx``, if knowable:
+        ``steps_in_epoch(epoch)`` (exact, offset-aware — e.g.
+        ``ElasticShardedInputCallable``) over the static ``length``
+        property; ``None`` for unbounded/unsized inputs."""
+        inp = self._definition._input
+        f = getattr(inp, "steps_in_epoch", None)
+        if callable(f):
+            try:
+                return int(f(epoch_idx))
+            except Exception:
+                return None
+        n = getattr(inp, "length", None)
+        return None if n is None else int(n)
 
     # ------------------------------------------------------------------ #
     # Checkpoint / resume                                                #

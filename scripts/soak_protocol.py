@@ -256,6 +256,17 @@ def run_resume_chain(cfg, jpegs, rng):
             pipe.stop()
             tracing = False
             delivered = False
+            per_epoch = len(stream) // 2
+            if rng.random() < 0.15 and pos % per_epoch:
+                # a USER reset right after set_state is a genuine epoch
+                # restart (only the iterator-front construction reset is
+                # swallowed — ADVICE r3 #2): the oracle position jumps to
+                # the next epoch boundary
+                pipe = build()
+                pipe.set_state(state)
+                pipe.reset()
+                pos = min((pos // per_epoch + 1) * per_epoch, len(stream))
+                continue
             pipe = build()
             pipe.set_state(state)
     finally:

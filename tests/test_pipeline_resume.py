@@ -30,6 +30,9 @@ from accvlab_tpu.pipeline.processing_steps import (
     ImageToTileSizePadder,
     PhotoMetricDistorter,
 )
+from accvlab_tpu.pipeline.processing_steps.pipeline_step_base import (
+    PipelineStepBase,
+)
 
 from test_pipeline_end_to_end import SyntheticProvider
 
@@ -401,3 +404,92 @@ def test_set_state_waits_out_inflight_producer():
     got = _batch_arrays(fresh.run())
     _assert_batches_equal(expected, got)
     fresh.stop()
+
+
+class _KeyNoiseStep(PipelineStepBase):
+    """Device step whose output IS its random draw — makes the augmentation
+    key stream directly observable."""
+
+    placement = "device"
+
+    def _process(self, data):
+        data["image"] = data["image"] + self.random.uniform(0.0, 1.0, (1,))
+        return data
+
+    def _check_and_adjust_data_format_input_to_output(self, data_empty):
+        return data_empty
+
+
+class TestMidEpochResetDeterminism:
+    """A MID-epoch reset() must behave, for the augmentation key stream, as
+    if the epoch had been consumed to its end: the next epoch's batches are
+    bit-identical to an uninterrupted run's and independent of how far the
+    prefetch producer ran ahead (regression: the key counter used to
+    re-sync to the producer's racy position)."""
+
+    N, BS = 24, 2  # 12 steps/epoch — far past any prefetch depth
+
+    def _build(self, depth):
+        from accvlab_tpu.pipeline import DType, SampleDataGroup
+        from accvlab_tpu.pipeline.inputs import DataProvider
+
+        class P(DataProvider):
+            @property
+            def sample_data_structure(inner):
+                s = SampleDataGroup()
+                s.add_data_field("image", DType.FLOAT)
+                return s
+
+            def get_data(inner, i):
+                s = inner.sample_data_structure
+                s["image"] = np.zeros((4,), np.float32)
+                return s
+
+            def get_number_of_samples(inner):
+                return self.N
+
+        inp = ShuffledShardedInputCallable(P(), batch_size=self.BS, shuffle=False)
+        defn = PipelineDefinition(
+            inp,
+            [_KeyNoiseStep()],
+            check_data_format=False,
+            copy_external_source_passthrough_outputs=False,
+        )
+        return defn.get_pipeline(
+            batch_size=self.BS, num_threads=1, seed=0, prefetch_queue_depth=depth
+        )
+
+    def _epoch2_after_early_reset(self, depth, let_producer_run_ahead):
+        import time
+
+        pipe = self._build(depth)
+        try:
+            pipe.run()  # ONE batch of epoch 1, then abandon the epoch
+            if let_producer_run_ahead:
+                time.sleep(0.25)
+            pipe.reset()
+            return np.asarray(pipe.run()["image"]), pipe.get_state()["global_batch"]
+        finally:
+            pipe.stop()
+
+    def test_post_reset_stream_is_prefetch_independent_and_oracle_exact(self):
+        a, ga = self._epoch2_after_early_reset(1, False)
+        b, gb = self._epoch2_after_early_reset(4, True)
+        assert ga == gb  # the key counter rolled to the epoch boundary
+        np.testing.assert_array_equal(a, b)
+
+        # uninterrupted oracle: full epoch 1 -> reset -> epoch 2
+        pipe = self._build(depth=2)
+        try:
+            while True:
+                try:
+                    pipe.run()
+                except StopIteration:
+                    break
+            pipe.reset()
+            oracle = np.asarray(pipe.run()["image"])
+            g_oracle = pipe.get_state()["global_batch"]
+        finally:
+            pipe.stop()
+        assert ga == g_oracle
+        np.testing.assert_array_equal(a, oracle)
