@@ -239,10 +239,14 @@ class TPUPipeline:
         )
         # built lazily (jit), keyed by (donate, batch shape signature)
         self._device_fns: dict = {}
-        # abstract (shape, dtype) specs of the most recent device-stage
-        # inputs — lets device_program_text() re-lower the fused program
-        # on demand without holding any buffers alive
+        # abstract (shape, dtype, sharding) specs of the most recent
+        # device-stage inputs — lets device_program_text() re-lower the
+        # fused program on demand without holding any buffers alive
         self._last_device_spec = None
+        # device_program_text() results keyed by (input specs, optimized):
+        # each audit call would otherwise re-trace (and for optimized=True
+        # re-compile) the whole fused program — seconds per call
+        self._program_text_cache: dict = {}
 
         self._epoch = 0
         self._iteration = 0
@@ -594,12 +598,22 @@ class TPUPipeline:
             self._device_fns[sig] = self._build_device_fn(
                 host_batch, key, donate=donate
             )
+        # carry each leaf's sharding so device_program_text() lowers the
+        # program that actually executes (on mesh pipelines the SPMD
+        # partitioning changes fusion/layout; an unsharded re-lower would
+        # audit a different program)
         self._last_device_spec = (
             tuple(
-                jax.ShapeDtypeStruct(tuple(leaf.shape), leaf.dtype)
+                jax.ShapeDtypeStruct(
+                    tuple(leaf.shape), leaf.dtype,
+                    sharding=getattr(leaf, "sharding", None),
+                )
                 for leaf in host_batch
             ),
-            jax.ShapeDtypeStruct(tuple(key.shape), key.dtype),
+            jax.ShapeDtypeStruct(
+                tuple(key.shape), key.dtype,
+                sharding=getattr(key, "sharding", None),
+            ),
         )
         fn = self._device_fns[sig]
         if self._mesh is not None:
@@ -835,11 +849,17 @@ class TPUPipeline:
         length keep the producer's (timing-dependent) counter; their
         post-reset streams are unique-keyed but not reproducible."""
         self._resume_armed = False
+        # a partially-echoed batch means this epoch HAS delivered output even
+        # when _iteration is still 0 (echo counters advance before the host
+        # batch completes) — snapshot before _halt_producer clears them, so
+        # the epoch-advance check below sees it (e.g. reset() right after
+        # restoring a mid-echo checkpoint of an epoch's first batch)
+        mid_echo = self._consumed_echo_next > 0 or self._echo_start > 0
         self._halt_producer()
         tr = self._trace  # snapshot: stop_trace may race from another thread
         if tr is not None:
             tr.instant("reset", "consumer", epoch=self._epoch)
-        if self._exhausted or self._iteration > 0:
+        if self._exhausted or self._iteration > 0 or mid_echo:
             # deterministic key-stream rollover: _global_batch - _iteration
             # is the epoch's first host-batch index (stable — the producer
             # run-ahead cancels), so epoch_start + steps is the counter an
@@ -848,8 +868,13 @@ class TPUPipeline:
             # only moves forward and never reuses a delivered batch's key.
             steps = self._epoch_steps_hint(self._epoch)
             if steps is not None:
+                # monotonicity guard: if a static `length` hint underestimates
+                # this epoch's true step count (variable-epoch-length
+                # samplers), never move the counter backward past batches the
+                # producer already keyed
+                steps = max(int(steps), self._iteration)
                 self._global_batch = (
-                    self._global_batch - self._iteration + int(steps)
+                    self._global_batch - self._iteration + steps
                 )
             self._epoch += 1
         self._iteration = 0
@@ -1072,6 +1097,16 @@ class TPUPipeline:
                 "(pipe.run()) first"
             )
         batch_spec, key_spec = self._last_device_spec
+        cache_key = (
+            tuple(
+                (s.shape, str(s.dtype), str(s.sharding))
+                for s in batch_spec + (key_spec,)
+            ),
+            bool(optimized),
+        )
+        cached = self._program_text_cache.get(cache_key)
+        if cached is not None:
+            return cached
         # donate=False variant: identical program modulo buffer donation,
         # and its jit exposes .lower() directly
         fn = self._build_device_fn(batch_spec, key_spec, donate=False)
@@ -1081,8 +1116,11 @@ class TPUPipeline:
         else:
             lowered = fn.lower(batch_spec, key_spec)
         if optimized:
-            return lowered.compile().as_text()
-        return lowered.as_text(debug_info=True)
+            text = lowered.compile().as_text()
+        else:
+            text = lowered.as_text(debug_info=True)
+        self._program_text_cache[cache_key] = text
+        return text
 
     def start_trace(self, max_events: int = 100_000):
         """Start recording the pipeline's phase timeline (producer

@@ -67,7 +67,10 @@ def main():
                 dt = time.perf_counter() - t1
                 best = dt if best is None else min(best, dt)
             frames = n * batch_size * num_cams
-            upload_mb = batch_size * num_cams * 256 * 704 * 1.5 / 1e6
+            # actual bytes of one host->device transfer (reflects the
+            # configured wire: DCT / packed-YUV / raw — a hardcoded
+            # 1.5 B/px YUV estimate would overstate the DCT wire ~2.5x)
+            upload_mb = pipe.stats()["bytes_per_batch"] / 1e6
             host_batches = n / factor
             print(
                 json.dumps(

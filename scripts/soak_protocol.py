@@ -322,7 +322,6 @@ def run_elastic_chain(cfg, rng):
     epoch = 0
     echo_next = 0  # delivery sub-position within the current host batch
     pending = None  # ids of the in-flight (partially delivered) host batch
-    steps_done = 0
     try:
         while epoch < n_epochs:
             # run one DELIVERY on every shard (lockstep)
@@ -330,9 +329,16 @@ def run_elastic_chain(cfg, rng):
                 rows = [np.asarray(p.run()["idx"]).ravel() for p in fleet]
             except StopIteration:
                 # all shards hit the epoch end together (lockstep contract)
-                expected_steps = (N - offset) // (B * W)
                 if pending is not None:
                     raise AssertionError("epoch ended with an in-flight batch")
+                # exactly-once: every full global batch of the epoch's
+                # permutation was delivered before the epoch ended
+                remaining = (N - offset) // (B * W)
+                if remaining != 0:
+                    raise AssertionError(
+                        f"epoch ended with {remaining} undelivered full "
+                        f"batches (N={N} offset={offset} B={B} W={W})"
+                    )
                 for p in fleet[1:]:
                     try:
                         p.run()
@@ -343,7 +349,6 @@ def run_elastic_chain(cfg, rng):
                     p.reset()
                 epoch += 1
                 offset = 0
-                steps_done = 0
                 continue
             ids = np.concatenate(rows)
             if echo_next == 0:
@@ -365,13 +370,11 @@ def run_elastic_chain(cfg, rng):
                 offset += B * W
                 echo_next = 0
                 pending = None
-                steps_done += 1
             # random reshard point (possibly mid-echo)
-            if rng.random() < 0.15 and epoch < n_epochs:
+            if rng.random() < 0.15:
                 state = fleet[0].get_state()
                 for p in fleet:
                     p.stop()
-                in_flight = pending is not None
                 W = int(rng.integers(1, 5))
                 input_kwargs, new_state = elastic_reshard(state)
                 fleet = _build_fleet(cfg, N, W, input_kwargs)
@@ -386,7 +389,6 @@ def run_elastic_chain(cfg, rng):
                 assert input_kwargs["start_epoch"] == epoch
                 echo_next = 0
                 pending = None
-                steps_done = 0
     finally:
         for p in fleet:
             p.stop()

@@ -775,5 +775,15 @@ def test_dct_wire_on_mesh_pipeline():
         # re-lowering happens inside the mesh context)
         txt = pipe.device_program_text()
         assert "DCTWireUnpacker" in txt and "f64" not in txt
+        # the audited program is the SPMD-partitioned one that actually
+        # executes: the recorded input specs carry the NamedSharding and the
+        # lowered text has sharding annotations (regression: the specs used
+        # to drop leaf.sharding, auditing a single-device program)
+        specs, _ = pipe._last_device_spec
+        assert any(s.sharding is not None for s in specs)
+        assert "sharding" in txt
+        # repeat audits are served from the per-spec text cache — no
+        # re-trace/re-compile of the whole fused program per call
+        assert pipe.device_program_text() is txt
     finally:
         pipe.stop()

@@ -493,3 +493,125 @@ class TestMidEpochResetDeterminism:
             pipe.stop()
         assert ga == g_oracle
         np.testing.assert_array_equal(a, oracle)
+
+
+def test_reset_after_mid_echo_first_batch_restore_advances_epoch():
+    """reset() after restoring a mid-echo checkpoint of an epoch's FIRST
+    batch is a genuine epoch restart: echo 0 of batch 0 was already
+    delivered, so the restart must advance to the next epoch — not
+    re-deliver epoch 0 (regression: ``_halt_producer`` cleared the echo
+    counters before ``reset()``'s epoch-has-started check, and
+    ``_iteration`` is still 0 mid-echo on the first batch)."""
+    from accvlab_tpu.pipeline import DType, SampleDataGroup
+    from accvlab_tpu.pipeline.inputs import DataProvider
+
+    N, BS = 8, 2
+
+    class P(DataProvider):
+        @property
+        def sample_data_structure(self):
+            s = SampleDataGroup()
+            s.add_data_field("image", DType.FLOAT)
+            return s
+
+        def get_data(self, i):
+            s = self.sample_data_structure
+            s["image"] = np.zeros((4,), np.float32)
+            return s
+
+        def get_number_of_samples(self):
+            return N
+
+    def build():
+        inp = ShuffledShardedInputCallable(P(), batch_size=BS, shuffle=False)
+        defn = PipelineDefinition(
+            inp,
+            [_KeyNoiseStep()],
+            check_data_format=False,
+            copy_external_source_passthrough_outputs=False,
+        )
+        return defn.get_pipeline(
+            batch_size=BS, num_threads=1, seed=0, prefetch_queue_depth=2,
+            echo_factor=2,
+        )
+
+    # oracle: consume epoch 1 fully, reset, observe epoch 2's first delivery
+    pipe = build()
+    try:
+        while True:
+            try:
+                pipe.run()
+            except StopIteration:
+                break
+        pipe.reset()
+        oracle = np.asarray(pipe.run()["image"])
+    finally:
+        pipe.stop()
+
+    # restore a mid-echo checkpoint of epoch 1's FIRST batch, then reset()
+    pipe = build()
+    try:
+        pipe.run()  # batch 0, echo 0 — delivered
+        state = pipe.get_state()
+        assert state["iteration"] == 0 and state["echo"]["next"] == 1
+    finally:
+        pipe.stop()
+    fresh = build()
+    try:
+        fresh.set_state(state)
+        fresh.reset()
+        assert fresh.get_state()["epoch"] == 1
+        got = np.asarray(fresh.run()["image"])
+        np.testing.assert_array_equal(got, oracle)
+    finally:
+        fresh.stop()
+
+
+def test_reset_rollover_never_reuses_delivered_keys_on_lying_length():
+    """If an input's static ``length`` hint UNDERESTIMATES the epoch's true
+    step count, the mid-epoch-reset key rollover must not move the key
+    counter backward past batches already delivered (regression: the
+    fallback trusted ``length`` verbatim; the clamp keeps monotonicity and
+    the 'never reuses a delivered batch's key' contract)."""
+    from accvlab_tpu.pipeline import DType, SampleDataGroup
+    from accvlab_tpu.pipeline.inputs import CallableBase
+
+    TRUE_STEPS, BS = 6, 2
+
+    class LyingLengthInput(CallableBase):
+        @property
+        def used_sample_data_structure(self):
+            s = SampleDataGroup()
+            s.add_data_field("image", DType.FLOAT)
+            return s
+
+        def __call__(self, si):
+            if si.iteration >= TRUE_STEPS:
+                raise StopIteration
+            s = self.used_sample_data_structure
+            s["image"] = np.zeros((4,), np.float32)
+            return tuple(s.get_data())
+
+        @property
+        def length(self):
+            return 2  # lies: the epoch actually has TRUE_STEPS batches
+
+    defn = PipelineDefinition(
+        LyingLengthInput(),
+        [_KeyNoiseStep()],
+        check_data_format=False,
+        copy_external_source_passthrough_outputs=False,
+    )
+    pipe = defn.get_pipeline(
+        batch_size=BS, num_threads=1, seed=0, prefetch_queue_depth=2
+    )
+    try:
+        epoch1 = {float(np.asarray(pipe.run()["image"])[0, 0]) for _ in range(4)}
+        pipe.reset()  # mid-epoch: producer is past the claimed length
+        epoch2 = {float(np.asarray(pipe.run()["image"])[0, 0]) for _ in range(2)}
+        # distinct augmentation keys => distinct noise values
+        assert epoch1.isdisjoint(epoch2), (
+            f"epoch 2 reused delivered augmentation keys: {epoch1 & epoch2}"
+        )
+    finally:
+        pipe.stop()
