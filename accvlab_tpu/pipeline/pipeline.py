@@ -61,6 +61,14 @@ def _split_steps(steps: Sequence[PipelineStepBase]):
     return host_steps, device_steps
 
 
+# Fused device programs are jitted through the process-global shared-
+# program cache: structurally identical pipeline instances (checkpoint
+# resume, preemption restart, elastic reshard) reuse one compiled
+# executable instead of paying a full XLA compile per instance. See
+# tools/program_cache.py for the design.
+from ..tools.program_cache import shared_jit as _shared_jit
+
+
 class PipelineDefinition:
     """Composes an input source and processing steps into a TPU input pipeline.
 
@@ -498,7 +506,7 @@ class TPUPipeline:
         # leaf shapes (string fields padded to a per-batch max) each get
         # their own correctly matched split.
         if not donate:  # echo replays reuse the transferred buffers
-            return jax.jit(device_fn_all)
+            return _shared_jit(device_fn_all, (example_batch, example_key))
         out_spec = jax.eval_shape(device_fn_all, example_batch, example_key)
         available: dict = {}
         for leaf in jax.tree_util.tree_leaves(out_spec):
@@ -523,7 +531,11 @@ class TPUPipeline:
                 leaves[i] = kept[j]
             return device_fn_all(tuple(leaves), batch_key)
 
-        fn = jax.jit(device_fn, donate_argnums=(0,))
+        donated_ex = tuple(example_batch[i] for i in donate_idx)
+        kept_ex = tuple(example_batch[i] for i in keep_idx)
+        fn = _shared_jit(
+            device_fn, (donated_ex, kept_ex, example_key), donate_argnums=(0,)
+        )
 
         def run(batch_leaves, batch_key):
             donated = tuple(batch_leaves[i] for i in donate_idx)

@@ -13,6 +13,7 @@ per-sample code is ordinary Python, covered by :class:`TraceRangeWrapper`.
 """
 
 from .chrome_trace import ChromeTraceRecorder
+from .program_cache import clear_program_cache, program_cache_stats, shared_jit
 from .singleton_base import SingletonBase
 from .stopwatch import Stopwatch
 from .tensor_dumper import TensorDumper
@@ -27,6 +28,9 @@ from .trace_range import (
 __all__ = [
     "ChromeTraceRecorder",
     "NVTXRangeWrapper",
+    "clear_program_cache",
+    "program_cache_stats",
+    "shared_jit",
     "SingletonBase",
     "Stopwatch",
     "TensorDumper",

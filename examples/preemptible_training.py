@@ -141,7 +141,24 @@ def make_train_state(mesh, batch_size):
         updates, opt_state2 = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, loss
 
-    return params, opt_state, jax.jit(train_step)
+    # shared_jit instead of jax.jit: a restarted/resumed run rebuilds this
+    # exact step function, and the process-global program cache hands back
+    # the already-compiled executable — the restart pays no XLA compile
+    # (accvlab_tpu/tools/program_cache.py; the pipeline's fused device
+    # program shares the same way). Built lazily on the first batch because
+    # the padded image shape is only known then.
+    from accvlab_tpu.tools import shared_jit
+
+    cell = []
+
+    def step(params, opt_state, images, labels):
+        if not cell:
+            cell.append(
+                shared_jit(train_step, (params, opt_state, images, labels))
+            )
+        return cell[0](params, opt_state, images, labels)
+
+    return params, opt_state, step
 
 
 def next_batch(pipe):

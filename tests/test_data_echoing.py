@@ -354,8 +354,11 @@ def test_echo_with_mesh_sharded_batches():
     try:
         a = pipe.run()["image"]
         b = pipe.run()["image"]
-        assert a.sharding.spec == P("data", None, None, None)
-        assert b.sharding.spec == P("data", None, None, None)
+        from jax.sharding import NamedSharding
+
+        want = NamedSharding(mesh, P("data", None, None, None))
+        assert a.sharding.is_equivalent_to(want, a.ndim)
+        assert b.sharding.is_equivalent_to(want, b.ndim)
         assert not np.array_equal(np.asarray(a), np.asarray(b))
         st = pipe.stats()
         assert st["consumed"] == 2 and st["produced"] >= 1

@@ -447,10 +447,15 @@ def test_packed_wire_on_mesh_pipeline():
     finally:
         ref.stop()
 
-    pipe = build(mesh=make_mesh())
+    mesh = make_mesh()
+    pipe = build(mesh=mesh)
     try:
         img = pipe.run()["image"]
-        assert img.sharding.spec == P("data", None, None, None)
+        from jax.sharding import NamedSharding
+
+        assert img.sharding.is_equivalent_to(
+            NamedSharding(mesh, P("data", None, None, None)), img.ndim
+        )
         np.testing.assert_array_equal(np.asarray(img), expected)
     finally:
         pipe.stop()
