@@ -49,9 +49,12 @@ _LOCK = threading.Lock()
 # LRU-bounded so a long-lived trainer cycling through many batch-shape
 # families doesn't pin every executable forever.
 _CACHE_MAX = 64
-# Host-resident consts re-ship per dispatch; decline sharing when they are
-# large enough for that to matter.
-_CONST_BYTES_MAX = 4 << 20
+# Host-resident consts re-ship per dispatch (a plain jax.jit bakes them
+# into the executable once). 64 KB is negligible against any real batch
+# (the DCT wire ships ~5.3 MB/batch; its decode consts are ~2 KB) — larger
+# captures fall back to plain jit, which costs the compile but never the
+# per-dispatch transfer.
+_CONST_BYTES_MAX = 64 << 10
 
 _stats = {"hits": 0, "misses": 0, "declined": 0}
 
@@ -93,9 +96,14 @@ class _SharedProgram:
             )
         for x, (shape, dtype) in zip(flat, self._in_specs):
             got_shape = tuple(getattr(x, "shape", np.shape(x)))
-            # python scalars have no committed dtype (weak types): shape-only
             got_dtype = getattr(x, "dtype", None)
-            got = (got_shape, str(got_dtype) if got_dtype is not None else dtype)
+            if got_dtype is None:
+                # python scalar leaf: canonicalize the way tracing did
+                # (python int traces as the default int, not int64)
+                from jax.dtypes import canonicalize_dtype
+
+                got_dtype = canonicalize_dtype(np.result_type(x))
+            got = (got_shape, str(got_dtype))
             if got != (shape, dtype):
                 raise TypeError(
                     f"shared program called with leaf {got}, traced with "
@@ -134,9 +142,12 @@ def _try_share(fn, example_args, donate_argnums):
         # normalize every const to a host numpy array: committed jax arrays
         # would pin the program to their device (conflicting with mesh-
         # sharded batch args), and jax 0.9's TypedNdArray consts don't
-        # expose nbytes directly
+        # expose nbytes directly. Always COPY: a plain jax.jit bakes the
+        # captured table's trace-time VALUE into the executable, so a
+        # caller mutating the table afterwards must not change this
+        # program's results either (np.asarray aliases numpy captures).
         try:
-            arr = np.asarray(c)
+            arr = np.array(c, copy=True)
         except Exception:
             return None  # opaque capture: don't share
         if arr.dtype == object:
@@ -146,7 +157,14 @@ def _try_share(fn, example_args, donate_argnums):
     if const_bytes > _CONST_BYTES_MAX:
         return None
     # arg-level donate positions -> flat leaf positions (all leaves of a
-    # donated argument are donated, matching jax.jit semantics)
+    # donated argument are donated, matching jax.jit semantics — including
+    # rejecting out-of-range positions, which must not be silently dropped)
+    bad = [i for i in donate_argnums if not 0 <= i < len(example_args)]
+    if bad:
+        raise ValueError(
+            f"shared_jit got donate_argnums={tuple(donate_argnums)}, but the "
+            f"function only accepts {len(example_args)} positional arguments"
+        )
     donate_flat = []
     pos = 0
     for i, a in enumerate(example_args):

@@ -149,14 +149,19 @@ def make_train_state(mesh, batch_size):
     # the padded image shape is only known then.
     from accvlab_tpu.tools import shared_jit
 
-    cell = []
+    # keyed by the batch's shape/dtype signature (like the pipeline executor
+    # keys its device fns): a shared program is pinned to its traced shapes,
+    # and a later batch may pad differently
+    fns = {}
 
     def step(params, opt_state, images, labels):
-        if not cell:
-            cell.append(
-                shared_jit(train_step, (params, opt_state, images, labels))
+        sig = (images.shape, str(images.dtype), labels.shape, str(labels.dtype))
+        fn = fns.get(sig)
+        if fn is None:
+            fn = fns[sig] = shared_jit(
+                train_step, (params, opt_state, images, labels)
             )
-        return cell[0](params, opt_state, images, labels)
+        return fn(params, opt_state, images, labels)
 
     return params, opt_state, step
 

@@ -122,7 +122,7 @@ def test_env_kill_switch(monkeypatch):
 
 
 def test_large_consts_fall_back_to_plain_jit():
-    big = np.ones((1200, 1200), np.float32)  # 5.8 MB > the 4 MB cap
+    big = np.ones((300, 300), np.float32)  # 360 KB > the 64 KB cap
 
     def f(x):
         return x + jnp.asarray(big)[: x.shape[0], : x.shape[1]]
@@ -277,3 +277,37 @@ def test_typed_prng_key_args_share():
         np.asarray(f1(jnp.ones((3,)), jax.random.key(7))),
         np.asarray(f2(jnp.ones((3,)), jax.random.key(7))),
     )
+
+
+def test_consts_are_captured_by_value():
+    """Mutating a captured table after build must not change results (plain
+    jax.jit bakes the trace-time value; the shared path must match)."""
+    table = np.full((2, 2), 1.0, np.float32)
+
+    def f(x):
+        return x + jnp.asarray(table)
+
+    fn = shared_jit(f, (jnp.zeros((2, 2)),))
+    table[:] = 100.0
+    np.testing.assert_allclose(np.asarray(fn(jnp.zeros((2, 2)))), 1.0)
+
+
+def test_out_of_range_donate_argnums_raises():
+    def f(x, y):
+        return x + y
+
+    with pytest.raises(ValueError, match="donate_argnums"):
+        shared_jit(f, (jnp.ones((2,)), jnp.ones((2,))), donate_argnums=(5,))
+
+
+def test_scalar_leaf_dtype_guard():
+    """Python-scalar leaves are dtype-checked via canonicalization, so an
+    int where a float was traced fails at the boundary, not inside
+    eval_jaxpr."""
+    def f(x, s):
+        return x * s
+
+    fn = shared_jit(f, (jnp.ones((3,)), 0.5))
+    np.testing.assert_allclose(np.asarray(fn(jnp.ones((3,)), 2.0)), 2.0)
+    with pytest.raises(TypeError, match="traced with"):
+        fn(jnp.ones((3,)), 7)
