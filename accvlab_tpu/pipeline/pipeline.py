@@ -66,6 +66,7 @@ def _split_steps(steps: Sequence[PipelineStepBase]):
 # resume, preemption restart, elastic reshard) reuse one compiled
 # executable instead of paying a full XLA compile per instance. See
 # tools/program_cache.py for the design.
+from ..tools.program_cache import program_cache_stats
 from ..tools.program_cache import shared_jit as _shared_jit
 
 
@@ -1054,6 +1055,10 @@ class TPUPipeline:
         * ``input_bound_frac`` — ``consumer_wait_s`` as a fraction of
           consumer wall time (wait + device stage); ~0 means the prefetch
           ring fully hides host work, ~1 means the device starves.
+        * ``program_cache`` — the process-global shared-program cache's
+          ``{hits, misses, declined, size}`` (``tools.program_cache_stats``;
+          global, not per-pipeline — a resumed/re-created pipeline should
+          show its fused program landing as a hit).
 
         Each counter is written by exactly one thread (producer or
         consumer) and read racily here — values are monotone and
@@ -1074,6 +1079,7 @@ class TPUPipeline:
             "queue_size": self._queue.qsize(),
             "bytes_per_batch": self._stat_transfer_bytes,
             "input_bound_frac": (wait / denom) if denom > 0.0 else 0.0,
+            "program_cache": program_cache_stats(),
         }
 
     def device_program_text(self, optimized: bool = False) -> str:

@@ -311,3 +311,35 @@ def test_scalar_leaf_dtype_guard():
     np.testing.assert_allclose(np.asarray(fn(jnp.ones((3,)), 2.0)), 2.0)
     with pytest.raises(TypeError, match="traced with"):
         fn(jnp.ones((3,)), 7)
+
+
+def test_stats_surface_in_pipeline_stats():
+    """pipe.stats() exposes the global program-cache counters."""
+    from accvlab_tpu.pipeline import DType, PipelineDefinition, SampleDataGroup
+    from accvlab_tpu.pipeline.inputs import DataProvider, ShuffledShardedInputCallable
+
+    class P(DataProvider):
+        @property
+        def sample_data_structure(self):
+            s = SampleDataGroup()
+            s.add_data_field("x", DType.FLOAT)
+            return s
+
+        def get_data(self, i):
+            s = self.sample_data_structure
+            s["x"] = np.zeros((2,), np.float32)
+            return s
+
+        def get_number_of_samples(self):
+            return 4
+
+    inp = ShuffledShardedInputCallable(P(), batch_size=2, shuffle=False)
+    pipe = PipelineDefinition(
+        inp, [], copy_external_source_passthrough_outputs=False
+    ).get_pipeline(batch_size=2, num_threads=1, seed=0)
+    try:
+        pipe.run()
+        pc = pipe.stats()["program_cache"]
+        assert set(pc) == {"hits", "misses", "declined", "size"}
+    finally:
+        pipe.stop()
