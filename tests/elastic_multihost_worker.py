@@ -31,6 +31,13 @@ def main():
     seed = int(sys.argv[6])
     n_samples = int(sys.argv[7])
     batch_size = int(sys.argv[8])
+    # optional: path to a JSON file {"kwargs": ..., "state": ...} produced
+    # by elastic_reshard on ANOTHER fleet's checkpoint — this worker then
+    # joins a RESUMED fleet (the growth direction, e.g. W=1 -> W'=2)
+    resume = None
+    if len(sys.argv) > 9 and sys.argv[9]:
+        with open(sys.argv[9]) as f:
+            resume = json.load(f)
 
     import jax
 
@@ -60,6 +67,7 @@ def main():
         num_shards=num_shards,
         shuffle=True,
         seed=seed,
+        **(resume["kwargs"] if resume else {}),
     )
     defn = PipelineDefinition(
         inp, [], copy_external_source_passthrough_outputs=False
@@ -80,6 +88,8 @@ def main():
     ids_per_delivery = []
     global_sums = []
     try:
+        if resume:
+            pipe.set_state(resume["state"])
         for _ in range(n_deliveries):
             out = pipe.run()["idx"]  # global (B*W, 1) array on the mesh
             # this process's rows = its addressable shards (its input shard)

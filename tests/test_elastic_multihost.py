@@ -36,8 +36,10 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_fleet(n_deliveries, echo_factor):
-    """Launch the 2-process fleet; return the parsed per-process payloads."""
+def _run_fleet(n_deliveries, echo_factor, resume_file=""):
+    """Launch the 2-process fleet; return the parsed per-process payloads.
+    ``resume_file`` (optional) makes the fleet RESUME another fleet's
+    ``elastic_reshard``-translated checkpoint."""
     worker = os.path.join(os.path.dirname(__file__), "elastic_multihost_worker.py")
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
@@ -55,6 +57,7 @@ def _run_fleet(n_deliveries, echo_factor):
                 str(SEED),
                 str(N),
                 str(B),
+                str(resume_file),
             ],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
@@ -181,3 +184,65 @@ def test_two_process_mid_echo_checkpoint_resumes_on_one():
     for idx in covered:
         expect = E + (1 if idx in partial_window else 0)
         assert views[idx] == expect, (idx, views[idx], expect)
+
+
+def test_one_process_checkpoint_resumes_on_two(tmp_path):
+    """The GROWTH direction with real processes: a W=1 run checkpoints
+    mid-epoch, ``elastic_reshard`` translates the checkpoint, and a fresh
+    2-process ``jax.distributed`` fleet resumes it — lockstep stays exact
+    and every epoch sample is consumed exactly once across the fleets."""
+    t_ckpt = 3
+
+    # pre-preemption W=1 fleet (in-process pipeline, same input contract)
+    inp = ElasticShardedInputCallable(
+        IdxProvider(N), B, shard_id=0, num_shards=1, shuffle=True, seed=SEED
+    )
+    defn = PipelineDefinition(
+        inp, [], copy_external_source_passthrough_outputs=False
+    )
+    pipe = defn.get_pipeline(batch_size=B, num_threads=1, seed=1)
+    consumed = []
+    try:
+        for _ in range(t_ckpt):
+            consumed.extend(np.asarray(pipe.run()["idx"]).ravel().tolist())
+        state = pipe.get_state()
+    finally:
+        pipe.stop()
+
+    # checkpoint crosses the process boundary as JSON, W=1 -> W'=2
+    kwargs, new_state = elastic_reshard(
+        json.loads(json.dumps(state)), batch_size=B, checkpoint_num_shards=1
+    )
+    assert kwargs["start_offset"] == t_ckpt * B
+    resume_file = tmp_path / "resume.json"
+    resume_file.write_text(json.dumps({"kwargs": kwargs, "state": new_state}))
+
+    steps = (N - t_ckpt * B) // (B * 2)
+    payloads = _run_fleet(
+        n_deliveries=steps, echo_factor=1, resume_file=str(resume_file)
+    )
+
+    # the resumed fleet runs in exact lockstep from the restored position
+    assert payloads[0]["state"] == payloads[1]["state"]
+    assert payloads[0]["global_sums"] == payloads[1]["global_sums"]
+
+    perm = _perm(N, SEED, epoch=0)
+    np.testing.assert_array_equal(sorted(consumed), sorted(perm[: t_ckpt * B]))
+    for t in range(steps):
+        step_ids = (
+            payloads[0]["ids_per_delivery"][t] + payloads[1]["ids_per_delivery"][t]
+        )
+        assert not (
+            set(payloads[0]["ids_per_delivery"][t])
+            & set(payloads[1]["ids_per_delivery"][t])
+        ), "process shards overlap"
+        off = t_ckpt * B + t * B * 2
+        np.testing.assert_array_equal(
+            sorted(step_ids), sorted(perm[off : off + B * 2])
+        )
+        consumed.extend(step_ids)
+
+    # exactly-once across the W=1 -> W'=2 handoff
+    assert len(consumed) == len(set(consumed)), "a sample was repeated"
+    total = t_ckpt * B + steps * B * 2
+    np.testing.assert_array_equal(sorted(consumed), sorted(perm[:total]))
