@@ -3,15 +3,72 @@
 The reference ships no checkpoint/restart support (SURVEY §5.4 — "training
 state is the user's"); a production TPU training framework needs it, so this
 goes beyond parity: save/restore of (params, opt_state, step) plus the input
-pipeline's reproducibility anchors (seed, epoch, iteration) so a run can
-resume mid-training with the same shuffling stream.
+pipeline's full resume state (``TPUPipeline.get_state()``) so a run resumes
+mid-training with a bit-identical batch stream.
+
+Production surface:
+
+* **Asynchronous saves** (``asynchronous=True``): the device arrays are
+  snapshotted synchronously (cheap) and serialization runs in a background
+  thread — the train loop never blocks on checkpoint I/O. Call
+  :func:`wait_for_checkpoints` before exiting (or rely on the next save,
+  which serializes behind the previous one).
+* **Retention** (``keep=N``): completed older checkpoints beyond the newest
+  ``N`` are garbage-collected at save time.
+* **Sharded restore**: pass a restore template whose leaves are
+  ``jax.ShapeDtypeStruct`` with a ``sharding`` — parameters land directly
+  on the target mesh layout (restore-on-resize: the saving and restoring
+  topologies are independent). Concrete template leaves restore host-side
+  as before.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import threading
 from typing import Any, Dict, Optional, Tuple
+
+_async_ckptr = None
+_async_lock = threading.Lock()
+
+
+def _get_async_checkpointer():
+    """One process-wide AsyncCheckpointer (owns the background thread)."""
+    global _async_ckptr
+    import orbax.checkpoint as ocp
+
+    with _async_lock:
+        if _async_ckptr is None:
+            _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_checkpoints():
+    """Block until every in-flight asynchronous save has committed."""
+    with _async_lock:
+        ckptr = _async_ckptr
+    if ckptr is not None:
+        ckptr.wait_until_finished()
+
+
+def _gc_old(directory: str, keep: int):
+    """Delete completed checkpoints beyond the newest ``keep``. Only
+    completed directories are listed (orbax commits atomically), so an
+    in-flight async save is never collected."""
+    steps = sorted(
+        d
+        for d in os.listdir(directory)
+        if d.startswith("step_") and os.path.isdir(os.path.join(directory, d))
+    )
+    for d in steps[:-keep] if keep > 0 else []:
+        path = os.path.join(directory, d)
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.remove(path + ".meta.json")
+        except OSError:
+            pass
 
 
 def save_checkpoint(
@@ -19,28 +76,47 @@ def save_checkpoint(
     step: int,
     params: Any,
     opt_state: Any,
-    pipeline_state: Optional[Dict[str, int]] = None,
+    pipeline_state: Optional[Dict] = None,
+    *,
+    asynchronous: bool = False,
+    keep: Optional[int] = None,
 ):
     """Write a checkpoint for ``step`` under ``directory``.
 
-    ``pipeline_state``: e.g. ``{"seed": s, "epoch": e, "iteration": i}`` —
-    enough to reconstruct the ShuffledSharded permutation stream (per-epoch
-    permutations are pure functions of (seed, epoch)).
+    ``pipeline_state``: ``TPUPipeline.get_state()`` (or any JSON-able dict)
+    — restored verbatim by :func:`restore_checkpoint` for
+    ``pipe.set_state``.
+
+    ``asynchronous=True`` returns as soon as the on-device state is
+    snapshotted; serialization runs on orbax's background thread (saves
+    queue behind each other). ``keep=N`` prunes completed checkpoints
+    beyond the newest ``N`` (the one being written counts toward N).
     """
     import orbax.checkpoint as ocp
 
-    path = os.path.join(os.path.abspath(directory), f"step_{step:08d}")
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, {"params": params, "opt_state": opt_state}, force=True)
-    ckptr.wait_until_finished()
-    # meta as a JSON sidecar: structure-free restore
+    directory = os.path.abspath(directory)
+    path = os.path.join(directory, f"step_{step:08d}")
+    state = {"params": params, "opt_state": opt_state}
+    if asynchronous:
+        ckptr = _get_async_checkpointer()
+        ckptr.save(path, state, force=True)
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, state, force=True)
+        ckptr.wait_until_finished()
+    # meta as a JSON sidecar, written immediately: structure-free restore.
+    # If an async save later fails, the stale sidecar is harmless —
+    # latest_checkpoint() lists only committed checkpoint DIRECTORIES.
     with open(path + ".meta.json", "w") as f:
         json.dump({"step": step, "pipeline": pipeline_state or {}}, f)
+    if keep is not None:
+        _gc_old(directory, int(keep))
     return path
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
-    """Path of the newest checkpoint under ``directory``, or None."""
+    """Path of the newest COMMITTED checkpoint under ``directory``, or
+    None (an in-flight asynchronous save is not yet a directory)."""
     if not os.path.isdir(directory):
         return None
     steps = sorted(
@@ -51,9 +127,14 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 
 
 def restore_checkpoint(path: str, abstract_state: Any) -> Tuple[Any, Any, Dict]:
-    """Restore ``(params, opt_state, meta)``; ``abstract_state`` is a pytree
-    of the same structure (e.g. the freshly initialized state) used as the
-    restore template."""
+    """Restore ``(params, opt_state, meta)``.
+
+    ``abstract_state`` is a pytree of the same structure used as the
+    restore template: concrete arrays restore like-for-like; leaves that
+    are ``jax.ShapeDtypeStruct`` with a ``sharding`` restore DIRECTLY onto
+    that sharding (mesh-aware restore — the saving topology does not
+    constrain the restoring one).
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
