@@ -46,6 +46,7 @@ from accvlab_tpu.models.checkpoint import (
     latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 from accvlab_tpu.parallel import make_mesh
 from accvlab_tpu.pipeline import DType, PipelineDefinition, SampleDataGroup
@@ -202,11 +203,19 @@ def train(mesh, batch_size, num_steps, ckpt_dir=None, ckpt_every=0,
         losses.append(float(loss))
         step += 1
         if ckpt_every and ckpt_dir and step % ckpt_every == 0:
+            # asynchronous: the loop never blocks on checkpoint I/O;
+            # keep=3: older committed checkpoints are garbage-collected
             save_checkpoint(
-                ckpt_dir, step, params, opt_state, pipeline_state=pipe.get_state()
+                ckpt_dir, step, params, opt_state,
+                pipeline_state=pipe.get_state(),
+                asynchronous=True, keep=3,
             )
         if preempt_after is not None and step >= preempt_after:
             break  # simulated preemption: no cleanup, no draining
+    if ckpt_dir:
+        # a real preemption handler flushes in-flight saves on SIGTERM —
+        # uncommitted async saves are lost with the process otherwise
+        wait_for_checkpoints()
     pipe.stop()
     return losses, params
 
