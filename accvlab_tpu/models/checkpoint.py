@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 from typing import Any, Dict, Optional, Tuple
@@ -53,15 +54,26 @@ def wait_for_checkpoints():
         ckptr.wait_until_finished()
 
 
-def _gc_old(directory: str, keep: int):
-    """Delete completed checkpoints beyond the newest ``keep``. Only
-    completed directories are listed (orbax commits atomically), so an
-    in-flight async save is never collected."""
-    steps = sorted(
+_STEP_DIR = re.compile(r"^step_\d{8}$")
+
+
+def _committed_steps(directory: str):
+    """Sorted names of COMMITTED checkpoint directories. The name must match
+    ``step_NNNNNNNN`` exactly: orbax writes an in-flight async save to
+    ``step_NNNNNNNN.orbax-checkpoint-tmp`` in the same parent and renames on
+    commit — a loose ``startswith`` filter would list (and worse, collect or
+    resume from) the uncommitted tmp."""
+    return sorted(
         d
         for d in os.listdir(directory)
-        if d.startswith("step_") and os.path.isdir(os.path.join(directory, d))
+        if _STEP_DIR.match(d) and os.path.isdir(os.path.join(directory, d))
     )
+
+
+def _gc_old(directory: str, keep: int):
+    """Delete committed checkpoints beyond the newest ``keep``; an in-flight
+    async save is neither listed nor counted toward ``keep``."""
+    steps = _committed_steps(directory)
     for d in steps[:-keep] if keep > 0 else []:
         path = os.path.join(directory, d)
         shutil.rmtree(path, ignore_errors=True)
@@ -104,25 +116,35 @@ def save_checkpoint(
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, state, force=True)
         ckptr.wait_until_finished()
-    # meta as a JSON sidecar, written immediately: structure-free restore.
-    # If an async save later fails, the stale sidecar is harmless —
-    # latest_checkpoint() lists only committed checkpoint DIRECTORIES.
-    with open(path + ".meta.json", "w") as f:
-        json.dump({"step": step, "pipeline": pipeline_state or {}}, f)
-    if keep is not None:
-        _gc_old(directory, int(keep))
+    # In a jax.distributed fleet orbax's save() is a collective every
+    # process enters, but the host-side bookkeeping (sidecar write, GC)
+    # must happen once: concurrent truncate-and-write of the same sidecar
+    # on shared storage can expose partial JSON to a reader, and W-fold
+    # rmtree races are wasted work.
+    try:
+        import jax
+
+        is_primary = jax.process_index() == 0
+    except Exception:
+        is_primary = True
+    if is_primary:
+        # meta as a JSON sidecar, written immediately: structure-free
+        # restore. If an async save later fails, the stale sidecar is
+        # harmless — latest_checkpoint() lists only COMMITTED directories.
+        with open(path + ".meta.json", "w") as f:
+            json.dump({"step": step, "pipeline": pipeline_state or {}}, f)
+        if keep is not None:
+            _gc_old(directory, int(keep))
     return path
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
-    """Path of the newest COMMITTED checkpoint under ``directory``, or
-    None (an in-flight asynchronous save is not yet a directory)."""
+    """Path of the newest COMMITTED checkpoint under ``directory``, or None
+    (an in-flight or orphaned async save — orbax's
+    ``*.orbax-checkpoint-tmp`` — is never returned)."""
     if not os.path.isdir(directory):
         return None
-    steps = sorted(
-        d for d in os.listdir(directory) if d.startswith("step_") and
-        os.path.isdir(os.path.join(directory, d))
-    )
+    steps = _committed_steps(directory)
     return os.path.join(directory, steps[-1]) if steps else None
 
 

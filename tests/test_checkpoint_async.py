@@ -86,3 +86,29 @@ def test_sharded_restore_onto_mesh(tmp_path):
     assert len(rp["w"].sharding.device_set) == int(np.prod(mesh.devices.shape))
     np.testing.assert_array_equal(np.asarray(rp["w"]), np.asarray(params["w"]))
     np.testing.assert_array_equal(np.asarray(ro["mu"]), 0.0)
+
+
+def test_inflight_tmp_is_never_listed_or_collected(tmp_path):
+    """orbax writes an in-flight async save to
+    ``step_NNNNNNNN.orbax-checkpoint-tmp`` IN the checkpoint directory and
+    renames on commit. An orphaned/in-flight tmp must never be returned by
+    latest_checkpoint (resume would crash on the incomplete checkpoint)
+    and must never count toward ``keep`` (with keep=1 it would evict the
+    only committed checkpoint — total checkpoint loss on the next
+    preemption)."""
+    params, opt = _state()
+    committed = save_checkpoint(str(tmp_path), 7, params, opt)
+    # simulate a preemption mid-async-save: the tmp dir is left behind
+    orphan = tmp_path / "step_00000008.orbax-checkpoint-tmp"
+    orphan.mkdir()
+    (orphan / "partial").write_text("x")
+
+    assert latest_checkpoint(str(tmp_path)) == committed
+    # retention with keep=1: the committed checkpoint survives
+    save_checkpoint(str(tmp_path), 9, params, opt, keep=1)
+    wait_for_checkpoints()
+    assert latest_checkpoint(str(tmp_path)).endswith("step_00000009")
+    dirs = {d for d in os.listdir(tmp_path)}
+    assert "step_00000009" in dirs and "step_00000007" not in dirs
+    # the orphan is untouched (cleanup is the owner's call, not GC's)
+    assert orphan.is_dir()
