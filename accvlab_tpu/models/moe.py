@@ -23,19 +23,28 @@ import jax.numpy as jnp
 
 
 class SwitchFFN(nn.Module):
-    """Top-1 routed expert FFN (dense dispatch).
+    """Top-k routed expert FFN (dense dispatch).
 
-    Input/output: ``(batch, tokens, dim)``. Aux output: load-balancing loss
-    (Switch Transformer Eq. 4: E * sum_e f_e * P_e).
+    ``num_selected=1`` is the Switch Transformer (token weighted by its raw
+    top-1 router probability); ``num_selected=2`` is GShard-style top-2
+    (the selected gates renormalize to sum to 1, so the block stays an
+    affine combination of expert outputs). Input/output:
+    ``(batch, tokens, dim)``. Aux output: load-balancing loss
+    (Switch Transformer Eq. 4: E * sum_e f_e * P_e, with f_e the top-1
+    dispatch fraction — the standard form for both routings).
     """
 
     num_experts: int
     dim: int
     hidden: int
+    num_selected: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         e, d, h = self.num_experts, self.dim, self.hidden
+        k = self.num_selected
+        if not 1 <= k <= e:
+            raise ValueError(f"num_selected={k} must be in [1, num_experts={e}]")
         router = nn.Dense(e, dtype=jnp.float32, name="router")
         w_in = self.param(
             "w_in", nn.initializers.lecun_normal(), (e, d, h), jnp.float32
@@ -46,19 +55,28 @@ class SwitchFFN(nn.Module):
 
         logits = router(x)  # (B, T, E)
         probs = jax.nn.softmax(logits, axis=-1)
-        top = jnp.argmax(probs, axis=-1)  # (B, T)
-        mask = jax.nn.one_hot(top, e, dtype=x.dtype)  # (B, T, E)
-        gate = jnp.sum(probs * mask, axis=-1, keepdims=True)  # (B, T, 1)
+        gate_vals, top_idx = jax.lax.top_k(probs, k)  # (B, T, k)
+        if k == 1:
+            gates = gate_vals  # Switch: the raw top-1 probability
+        else:
+            # GShard: renormalize over the selected experts
+            gates = gate_vals / (
+                jnp.sum(gate_vals, axis=-1, keepdims=True) + 1e-9
+            )
+        sel = jax.nn.one_hot(top_idx, e, dtype=x.dtype)  # (B, T, k, E)
+        # per-token per-expert combine weight (k-hot, gate-valued)
+        gate_e = jnp.einsum("btk,btke->bte", gates, sel)
 
         # dense dispatch: every expert sees every token (masked at combine);
         # the E dim shards over the mesh "expert" axis via the param specs
         hdn = jnp.einsum("btd,edh->beth", x.astype(jnp.bfloat16), w_in.astype(jnp.bfloat16))
         hdn = nn.gelu(hdn)
         y = jnp.einsum("beth,ehd->betd", hdn, w_out.astype(jnp.bfloat16))
-        out = jnp.einsum("bte,betd->btd", mask, y.astype(jnp.float32)) * gate
+        out = jnp.einsum("bte,betd->btd", gate_e, y.astype(jnp.float32))
 
-        # load-balancing aux (fraction routed vs mean prob per expert)
-        frac = jnp.mean(mask, axis=(0, 1))  # (E,)
+        # load-balancing aux (top-1 dispatch fraction vs mean prob per
+        # expert — identical for k=1 and the GShard convention for k=2)
+        frac = jnp.mean(sel[:, :, 0, :], axis=(0, 1))  # (E,)
         mean_prob = jnp.mean(probs, axis=(0, 1))  # (E,)
         aux = e * jnp.sum(frac * mean_prob)
         return out, aux
@@ -70,11 +88,15 @@ class MoEClassifier(nn.Module):
     num_experts: int
     dim: int
     num_classes: int
+    num_selected: int = 1
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x = nn.Dense(self.dim)(tokens)
-        y, aux = SwitchFFN(self.num_experts, self.dim, self.dim * 2)(x)
+        y, aux = SwitchFFN(
+            self.num_experts, self.dim, self.dim * 2,
+            num_selected=self.num_selected,
+        )(x)
         x = nn.LayerNorm()(x + y)
         logits = nn.Dense(self.num_classes)(jnp.mean(x, axis=1))
         return logits, aux
