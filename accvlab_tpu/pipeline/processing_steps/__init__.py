@@ -22,7 +22,7 @@ from .dct_wire import (
     optimize_band_groups,
 )
 from .image_normalizers import ImageMeanStdDevNormalizer, ImageRange01Normalizer
-from .padders import ImageToTileSizePadder, PaddingToUniform
+from .padders import ImageToTileSizePadder, PaddingToUniform, optimize_size_buckets
 from .field_utils import AxesLayoutSetter, TensorSizeAdder, UnneededFieldRemover
 from .photo_metric_distorter import PhotoMetricDistorter
 from .affine_transformer import AffineTransformer
@@ -77,5 +77,6 @@ __all__ = [
     "compress_plane",
     "decompress_jpeg_dct",
     "optimize_band_groups",
+    "optimize_size_buckets",
     "decompress_plane",
 ]

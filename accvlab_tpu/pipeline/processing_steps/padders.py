@@ -151,3 +151,80 @@ class PaddingToUniform(BatchLevelStepBase):
                 if len(data_empty.find_all_occurrences(fnm)) == 0:
                     raise KeyError(f"No occurrences of field '{fnm}' found.")
         return data_empty
+
+
+def optimize_size_buckets(sizes, max_buckets, weights=None):
+    """Exactly-optimal padding buckets for ragged sizes under a compile
+    budget (the static-shapes discipline, SURVEY §7): with at most
+    ``max_buckets`` distinct padded sizes, choose the bucket values that
+    minimize total padding waste ``sum_i w_i * (bucket(size_i) - size_i)``.
+
+    TPU context: every distinct padded shape is a separate XLA compile of
+    the fused device program, so ``PaddingToUniform(size_buckets=...)``
+    bounds compile count — but hand-picked buckets over-pad. Observed sizes
+    (a sample of your dataset's sequence lengths / object counts / image
+    dims) pin the trade exactly: any optimal bucket set uses only observed
+    values (lowering a bucket to the largest size it serves never hurts),
+    so a 1-D k-segmentation DP over the sorted distinct sizes is exact —
+    the same shape of argument as the DCT wire's ``optimize_band_groups``.
+
+    Args:
+        sizes: observed sizes (any iterable of non-negative ints).
+        max_buckets: maximum number of distinct padded sizes (>= 1).
+        weights: optional per-size weights (e.g. observation counts when
+            ``sizes`` are unique values; cost of a padded element). Defaults
+            to 1 per entry.
+
+    Returns:
+        Ascending list of bucket sizes (the last is ``max(sizes)``), of
+        length ``min(max_buckets, #distinct sizes)``.
+    """
+    sizes = np.asarray(list(sizes), dtype=np.int64)
+    if sizes.size == 0:
+        raise ValueError("optimize_size_buckets needs at least one size")
+    if max_buckets < 1:
+        raise ValueError(f"max_buckets={max_buckets} must be >= 1")
+    if weights is None:
+        w = np.ones_like(sizes, dtype=np.float64)
+    else:
+        w = np.asarray(list(weights), dtype=np.float64)
+        if w.shape != sizes.shape:
+            raise ValueError("weights must match sizes")
+    # aggregate to distinct sizes with summed weights
+    vals, inv = np.unique(sizes, return_inverse=True)
+    wsum = np.zeros(vals.shape[0], np.float64)
+    np.add.at(wsum, inv, w)
+    n = vals.shape[0]
+    k = min(int(max_buckets), n)
+    # prefix sums: cost of serving segment [i..j] with bucket vals[j] is
+    # vals[j] * W[i..j] - S[i..j]  (W = sum of weights, S = sum w*val)
+    pw = np.concatenate([[0.0], np.cumsum(wsum)])
+    ps = np.concatenate([[0.0], np.cumsum(wsum * vals)])
+
+    def seg_cost(i, j):  # inclusive
+        return vals[j] * (pw[j + 1] - pw[i]) - (ps[j + 1] - ps[i])
+
+    INF = float("inf")
+    # dp[b][j]: min waste covering distinct sizes [0..j] with b buckets
+    dp = np.full((k + 1, n), INF)
+    arg = np.zeros((k + 1, n), np.int64)
+    for j in range(n):
+        dp[1][j] = seg_cost(0, j)
+    for b in range(2, k + 1):
+        for j in range(b - 1, n):
+            best, best_i = INF, 0
+            for i in range(b - 1, j + 1):  # segment [i..j] is bucket b
+                c = dp[b - 1][i - 1] + seg_cost(i, j)
+                if c < best:
+                    best, best_i = c, i
+            dp[b][j] = best
+            arg[b][j] = best_i
+    # backtrack the bucket values (segment maxima)
+    buckets = []
+    b, j = k, n - 1
+    while b >= 1:
+        i = int(arg[b][j]) if b > 1 else 0
+        buckets.append(int(vals[j]))
+        j = i - 1
+        b -= 1
+    return sorted(buckets)
