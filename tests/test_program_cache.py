@@ -343,3 +343,24 @@ def test_stats_surface_in_pipeline_stats():
         assert set(pc) == {"hits", "misses", "declined", "size"}
     finally:
         pipe.stop()
+
+
+def test_matmul_precision_config_keys_separately():
+    """jax_default_matmul_precision affects lowering but not the jaxpr
+    text: builds under different settings must NOT share an executable
+    (a stale-precision reuse would silently change numerics)."""
+    def f(x, y):
+        return x @ y
+
+    ex = (jnp.ones((4, 4)), jnp.ones((4, 4)))
+    before = program_cache_stats()
+    shared_jit(f, ex)
+    with jax.default_matmul_precision("float32"):
+        shared_jit(f, ex)
+    d = _stats_delta(before, program_cache_stats())
+    assert d["misses"] == 2 and d["hits"] == 0
+    # and the SAME setting still shares
+    with jax.default_matmul_precision("float32"):
+        shared_jit(f, ex)
+    d = _stats_delta(before, program_cache_stats())
+    assert d["hits"] == 1
