@@ -102,6 +102,33 @@ class MoEClassifier(nn.Module):
         return logits, aux
 
 
+def make_moe_shardings(mesh, params, batch):
+    """NamedSharding trees for expert-parallel training on ``mesh``
+    (axes ``("data", "expert")``): expert weights (leading expert dim)
+    shard over ``expert``, everything else replicates; batch leaves shard
+    over ``data``. One definition for the tests, the example, and user
+    code — the sharding recipe IS the expert-parallel contract."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def param_spec(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        if any(n in ("w_in", "w_out") for n in names):
+            return P("expert", None, None)
+        return P()
+
+    params_sh = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params
+    )
+    batch_sh = jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(
+            mesh, P("data", *([None] * (getattr(leaf, "ndim", 1) - 1)))
+        ),
+        batch,
+    )
+    return params_sh, batch_sh
+
+
 def make_moe_train_step(model: MoEClassifier, aux_weight: float = 0.01):
     """(init_fn, train_step) for the dry run: cross-entropy + aux loss,
     plain SGD (no optimizer state tree to shard)."""

@@ -81,18 +81,32 @@ class PaddingToUniform(BatchLevelStepBase):
         field_names: Optional[Union[Name, List[Name], Tuple[Name, ...]]] = None,
         fill_value: Union[int, float] = 0.0,
         size_buckets: Optional[Sequence[int]] = None,
+        bucket_dims: Optional[Sequence[int]] = None,
     ):
         """``size_buckets``: optional ascending sizes; the per-batch maximum
         of each padded dimension is rounded UP to the next bucket. This bounds
         XLA recompilation (SURVEY §7 "static shapes vs raggedness"): without
-        buckets every new batch maximum is a new device-program shape."""
+        buckets every new batch maximum is a new device-program shape.
+
+        ``bucket_dims``: dimensions the buckets apply to (default: all).
+        Restrict this to the RAGGED axes — e.g. ``bucket_dims=(0,)`` for
+        ``(num_objects, 4)`` boxes; otherwise the fixed coordinate dim 4
+        would also round up to the nearest bucket, silently inflating the
+        field with fill values. Pair with :func:`optimize_size_buckets` to
+        choose the bucket values from observed sizes."""
         super().__init__()
         self._field_names = as_name_list(field_names)
         self._fill_value = fill_value
         self._size_buckets = sorted(size_buckets) if size_buckets else None
+        self._bucket_dims = (
+            frozenset(int(d) for d in bucket_dims) if bucket_dims is not None
+            else None
+        )
 
-    def _bucketed(self, size: int) -> int:
+    def _bucketed(self, size: int, dim: int) -> int:
         if self._size_buckets is None:
+            return size
+        if self._bucket_dims is not None and dim not in self._bucket_dims:
             return size
         for b in self._size_buckets:
             if size <= b:
@@ -134,7 +148,7 @@ class PaddingToUniform(BatchLevelStepBase):
             ndim = max(a.ndim for a in arrs)
             arrs = [a.reshape(a.shape + (1,) * (ndim - a.ndim)) for a in arrs]
             target = tuple(
-                self._bucketed(max(a.shape[d] for a in arrs)) for d in range(ndim)
+                self._bucketed(max(a.shape[d] for a in arrs), d) for d in range(ndim)
             )
             for s, a in zip(samples, arrs):
                 pad = [(0, target[d] - a.shape[d]) for d in range(ndim)]
@@ -179,9 +193,21 @@ def optimize_size_buckets(sizes, max_buckets, weights=None):
         Ascending list of bucket sizes (the last is ``max(sizes)``), of
         length ``min(max_buckets, #distinct sizes)``.
     """
-    sizes = np.asarray(list(sizes), dtype=np.int64)
-    if sizes.size == 0:
+    raw = np.asarray(list(sizes))
+    if raw.size == 0:
         raise ValueError("optimize_size_buckets needs at least one size")
+    sizes = raw.astype(np.int64)
+    # fail loudly on non-integer inputs (e.g. percentile statistics): a
+    # silently truncated max bucket would sit BELOW real observed sizes and
+    # the padder would fall past it — one fresh compile per novel shape,
+    # defeating the compile budget
+    if not np.array_equal(sizes, raw):
+        raise ValueError(
+            "sizes must be integers (got non-integer values — pass raw "
+            "observed sizes, not statistics)"
+        )
+    if sizes.min() < 0:
+        raise ValueError("sizes must be non-negative")
     if max_buckets < 1:
         raise ValueError(f"max_buckets={max_buckets} must be >= 1")
     if weights is None:
@@ -205,20 +231,26 @@ def optimize_size_buckets(sizes, max_buckets, weights=None):
         return vals[j] * (pw[j + 1] - pw[i]) - (ps[j + 1] - ps[i])
 
     INF = float("inf")
-    # dp[b][j]: min waste covering distinct sizes [0..j] with b buckets
+    # dp[b][j]: min waste covering distinct sizes [0..j] with b buckets.
+    # seg_cost(i, j) = vals[j]*pw[j+1] - ps[j+1] + (ps[i] - vals[j]*pw[i]),
+    # affine in the prefix arrays — the minimization over the segment
+    # start i vectorizes per (b, j), keeping the DP numpy-speed at the
+    # dataset-statistics scale it is advertised for (thousands of
+    # distinct sizes)
     dp = np.full((k + 1, n), INF)
     arg = np.zeros((k + 1, n), np.int64)
     for j in range(n):
         dp[1][j] = seg_cost(0, j)
+    pw_i = pw[:n]  # pw[i] indexed by segment start i
+    ps_i = ps[:n]
     for b in range(2, k + 1):
+        base = np.concatenate([[INF], dp[b - 1][:-1]]) + ps_i  # dp[b-1][i-1]+ps[i]
         for j in range(b - 1, n):
-            best, best_i = INF, 0
-            for i in range(b - 1, j + 1):  # segment [i..j] is bucket b
-                c = dp[b - 1][i - 1] + seg_cost(i, j)
-                if c < best:
-                    best, best_i = c, i
-            dp[b][j] = best
-            arg[b][j] = best_i
+            i0 = b - 1
+            cand = base[i0 : j + 1] - vals[j] * pw_i[i0 : j + 1]
+            rel = int(np.argmin(cand))
+            arg[b][j] = i0 + rel
+            dp[b][j] = cand[rel] + vals[j] * pw[j + 1] - ps[j + 1]
     # backtrack the bucket values (segment maxima)
     buckets = []
     b, j = k, n - 1

@@ -174,19 +174,18 @@ def _try_share(fn, example_args, donate_argnums):
         pos += n
     _, in_tree = tree_flatten(example_args)
     out_tree = tree_structure(out_shape)
-    cfg = jax.config
+    # Compile-affecting jax config (default matmul precision, x64) is
+    # deliberately NOT in this key: the executable compiles at DISPATCH
+    # time, and jax's own jit cache keys every dispatch on the then-active
+    # trace context (verified: the same jitted wrapper grows one cache
+    # entry per distinct precision/x64 context) — a build-time config
+    # snapshot could neither enforce nor relax that, only split wrappers.
     key = (
         hashlib.sha256(str(closed.jaxpr).encode()).hexdigest(),
         tuple((tuple(c.shape), str(c.dtype)) for c in consts),
         str(in_tree),
         str(out_tree),
         tuple(donate_flat),
-        # compile-affecting config that does NOT show in the jaxpr text:
-        # unannotated dots lower per the default matmul precision, x64
-        # changes weak-type promotion at compile — two builds under
-        # different settings must not share an executable
-        str(getattr(cfg, "jax_default_matmul_precision", None)),
-        bool(getattr(cfg, "jax_enable_x64", False)),
     )
     with _LOCK:
         jitted = _CACHE.get(key)

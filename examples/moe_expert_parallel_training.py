@@ -24,11 +24,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import jax
 from jax.experimental import mesh_utils
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from accvlab_tpu.models.moe import (
     MoEClassifier,
     make_moe_example_batch,
+    make_moe_shardings,
     make_moe_train_step,
 )
 
@@ -50,22 +51,7 @@ def train(num_selected: int, steps: int = 40):
     params = init_fn(jax.random.PRNGKey(0), batch["tokens"])
 
     mesh = _expert_mesh()
-
-    def param_spec(path, leaf):
-        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
-        if any(n in ("w_in", "w_out") for n in names):
-            return P("expert", None, None)  # expert dim over the mesh
-        return P()  # everything else replicated
-
-    params_sh = jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params
-    )
-    batch_sh = jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(
-            mesh, P("data", *([None] * (getattr(leaf, "ndim", 1) - 1)))
-        ),
-        batch,
-    )
+    params_sh, batch_sh = make_moe_shardings(mesh, params, batch)
     with mesh:
         params = jax.device_put(params, params_sh)
         b = jax.device_put(batch, batch_sh)
@@ -78,7 +64,9 @@ def train(num_selected: int, steps: int = 40):
         first = None
         for _ in range(steps):
             params, metrics = step(params, b, 5e-2)
-        first = first or float(metrics["loss"])
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first, "training did not reduce the loss"
 
     # the expert weights really live sharded over the expert axis
     w_in = params["params"]["SwitchFFN_0"]["w_in"]

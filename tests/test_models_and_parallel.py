@@ -355,6 +355,7 @@ def test_moe_expert_parallel_matches_single_device():
     from accvlab_tpu.models.moe import (
         MoEClassifier,
         make_moe_example_batch,
+        make_moe_shardings,
         make_moe_train_step,
     )
 
@@ -367,22 +368,7 @@ def test_moe_expert_parallel_matches_single_device():
     _, ref_metrics = jax.jit(train_step)(params, batch)
 
     mesh = Mesh(mesh_utils.create_device_mesh((2, 4)), axis_names=("data", "expert"))
-
-    def param_spec(path, leaf):
-        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
-        if any(n in ("w_in", "w_out") for n in names):
-            return P("expert", None, None)
-        return P()
-
-    params_sh = jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params
-    )
-    batch_sh = jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(
-            mesh, P("data", *([None] * (getattr(leaf, "ndim", 1) - 1)))
-        ),
-        batch,
-    )
+    params_sh, batch_sh = make_moe_shardings(mesh, params, batch)
     with mesh:
         p = jax.device_put(params, params_sh)
         b = jax.device_put(batch, batch_sh)

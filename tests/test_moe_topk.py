@@ -90,9 +90,10 @@ def test_top1_unchanged_vs_topk_path():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
-def test_top2_gates_sum_to_one_property():
-    """GShard renormalization: scaling the router's selected probabilities
-    uniformly must not change the output (only the selection matters)."""
+def test_full_selection_equals_probability_mixture():
+    """num_selected == num_experts: the renormalized gates are exactly the
+    softmax probabilities (they already sum to 1), so the block computes
+    the full probability-weighted mixture — checked against the oracle."""
     e, d, h = 4, 6, 8
     model = SwitchFFN(num_experts=e, dim=d, hidden=h, num_selected=e)
     # num_selected == num_experts: gates renormalize over ALL experts, so
@@ -107,9 +108,13 @@ def test_top2_expert_parallel_matches_single_device():
     """Top-2 routing under the expert-parallel mesh: loss matches the
     single-device step (GSPMD inserts the cross-expert combine)."""
     from jax.experimental import mesh_utils
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
 
-    from accvlab_tpu.models.moe import make_moe_example_batch, make_moe_train_step
+    from accvlab_tpu.models.moe import (
+        make_moe_example_batch,
+        make_moe_shardings,
+        make_moe_train_step,
+    )
 
     model = MoEClassifier(num_experts=8, dim=16, num_classes=5, num_selected=2)
     batch = make_moe_example_batch(batch_size=4, tokens=8, in_dim=12, num_classes=5)
@@ -118,22 +123,7 @@ def test_top2_expert_parallel_matches_single_device():
     _, ref_metrics = jax.jit(train_step)(params, batch)
 
     mesh = Mesh(mesh_utils.create_device_mesh((2, 4)), axis_names=("data", "expert"))
-
-    def param_spec(path, leaf):
-        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
-        if any(n in ("w_in", "w_out") for n in names):
-            return P("expert", None, None)
-        return P()
-
-    params_sh = jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)), params
-    )
-    batch_sh = jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(
-            mesh, P("data", *([None] * (getattr(leaf, "ndim", 1) - 1)))
-        ),
-        batch,
-    )
+    params_sh, batch_sh = make_moe_shardings(mesh, params, batch)
     with mesh:
         p = jax.device_put(params, params_sh)
         b = jax.device_put(batch, batch_sh)

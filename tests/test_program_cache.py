@@ -345,22 +345,37 @@ def test_stats_surface_in_pipeline_stats():
         pipe.stop()
 
 
-def test_matmul_precision_config_keys_separately():
-    """jax_default_matmul_precision affects lowering but not the jaxpr
-    text: builds under different settings must NOT share an executable
-    (a stale-precision reuse would silently change numerics)."""
+def test_dispatch_context_still_keys_compiles_on_shared_wrapper():
+    """Compile-affecting config (default matmul precision) is handled at
+    DISPATCH by jax's own jit cache, not by the build-time sharing key:
+    builds under different settings share ONE wrapper, and dispatching it
+    under distinct precision contexts compiles distinct executables (no
+    stale-precision reuse)."""
     def f(x, y):
         return x @ y
 
     ex = (jnp.ones((4, 4)), jnp.ones((4, 4)))
     before = program_cache_stats()
-    shared_jit(f, ex)
+    s1 = shared_jit(f, ex)
+    # a TRACE-time precision context bakes precision= into the jaxpr's dot
+    # eqns, so builds under different contexts key apart via the text —
+    # no explicit config entry needed in the key
     with jax.default_matmul_precision("float32"):
-        shared_jit(f, ex)
+        s_f32 = shared_jit(f, ex)
     d = _stats_delta(before, program_cache_stats())
     assert d["misses"] == 2 and d["hits"] == 0
-    # and the SAME setting still shares
-    with jax.default_matmul_precision("float32"):
-        shared_jit(f, ex)
+    assert s1._jitted is not s_f32._jitted
+    s2 = shared_jit(f, ex)  # same (default) context -> shares
     d = _stats_delta(before, program_cache_stats())
     assert d["hits"] == 1
+    assert s1._jitted is s2._jitted
+
+    jitted = s1._jitted
+    s1(*ex)
+    n0 = jitted._cache_size()
+    with jax.default_matmul_precision("highest"):
+        s1(*ex)
+    assert jitted._cache_size() == n0 + 1  # distinct executable
+    with jax.default_matmul_precision("highest"):
+        s2(*ex)
+    assert jitted._cache_size() == n0 + 1  # same context -> reused

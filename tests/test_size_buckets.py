@@ -79,6 +79,11 @@ def test_errors():
         optimize_size_buckets([3], 0)
     with pytest.raises(ValueError):
         optimize_size_buckets([3, 4], 2, weights=[1.0])
+    with pytest.raises(ValueError, match="integers"):
+        optimize_size_buckets([7.9, 15.6], 2)  # silent truncation would
+        # put the max bucket BELOW observed sizes -> compile per shape
+    with pytest.raises(ValueError, match="non-negative"):
+        optimize_size_buckets([3, -1], 2)
 
 
 def test_padder_integration_bounds_program_shapes():
@@ -91,7 +96,10 @@ def test_padder_integration_bounds_program_shapes():
     rng = np.random.default_rng(0)
     batch_maxes = rng.integers(5, 30, 20).tolist()
     buckets = optimize_size_buckets(batch_maxes, 3)
-    step = PaddingToUniform("pts", size_buckets=buckets)
+    # bucket_dims=(0,): only the ragged object axis is bucketed — the fixed
+    # coordinate dim stays 2 (without it the buckets would inflate dim 1
+    # to the nearest bucket, filling the field with junk columns)
+    step = PaddingToUniform("pts", size_buckets=buckets, bucket_dims=(0,))
 
     seen_shapes = set()
     for m in batch_maxes:
@@ -107,3 +115,4 @@ def test_padder_integration_bounds_program_shapes():
         seen_shapes.add(shapes.pop())
     assert len({sh[0] for sh in seen_shapes}) <= 3
     assert {sh[0] for sh in seen_shapes} <= set(buckets)
+    assert {sh[1] for sh in seen_shapes} == {2}  # fixed dim untouched

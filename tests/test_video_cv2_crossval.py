@@ -24,7 +24,7 @@ import pytest
 cv2 = pytest.importorskip("cv2")
 
 from accvlab_tpu.video import GopDecoder, write_video
-from test_video import make_moving_shape_frames
+from accvlab_tpu.video.encode import make_moving_shape_frames
 
 
 @pytest.fixture(scope="module")
