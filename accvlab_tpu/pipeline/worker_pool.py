@@ -200,11 +200,52 @@ class ProcessSampleWorkers:
             initargs=(input_callable, host_steps, input_blueprint, check, seed,
                       os.getpid()),
         )
+        # liveness baseline for the produce_batch watchdog (reading the
+        # private worker list is the only visibility mp.Pool offers; the
+        # attribute has been stable across CPython 3.x)
+        self._worker_pids = {w.pid for w in self._pool._pool}
+        self._broken = False
+
+    def _check_workers_alive(self):
+        """Detect a hard-killed worker (OOM killer, SIGKILL). mp.Pool
+        silently REPLACES a dead worker but the task it was running is
+        lost, so a bare ``map`` blocks forever — the watchdog turns that
+        into a loud error. Both signals are needed: ``exitcode`` catches a
+        death the pool has not reaped yet; a changed pid set catches one
+        it already replaced."""
+        workers = list(self._pool._pool)
+        dead = [w for w in workers if w.exitcode not in (None, 0)]
+        now_pids = {w.pid for w in workers}
+        if dead or now_pids != self._worker_pids:
+            self._broken = True
+            detail = (
+                f"exitcode {dead[0].exitcode} (pid {dead[0].pid})"
+                if dead
+                else f"worker set changed {sorted(self._worker_pids)} -> "
+                     f"{sorted(now_pids)}"
+            )
+            raise RuntimeError(
+                "a pipeline worker process died mid-batch — "
+                f"{detail}. The in-flight sample is lost (commonly the OOM "
+                "killer: reduce num_threads/batch memory or use "
+                "worker_mode='thread'); the pool is marked broken."
+            )
 
     def produce_batch(self, batch_size: int, iteration: int, epoch: int):
         """Returns a list of flat-leaf lists, or raises StopIteration."""
+        if self._broken:
+            raise RuntimeError(
+                "pipeline worker pool is broken (a worker died earlier); "
+                "re-create the pipeline"
+            )
         args = [(i, iteration, epoch, batch_size) for i in range(batch_size)]
-        results = [_import_result(r) for r in self._pool.map(_worker_process_sample, args)]
+        async_res = self._pool.map_async(_worker_process_sample, args)
+        while True:
+            async_res.wait(0.5)
+            if async_res.ready():
+                break
+            self._check_workers_alive()
+        results = [_import_result(r) for r in async_res.get()]
         # every successful sample's shm is now attached+freed; only then
         # surface worker errors
         for r in results:

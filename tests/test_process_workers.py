@@ -132,3 +132,60 @@ def test_process_worker_error_surfaces_without_shm_leak():
         pipe.stop()
     leaked = set(glob.glob("/dev/shm/accvlab*")) - before
     assert not leaked, f"leaked shm segments after worker failure: {leaked}"
+
+
+class SlowProvider(DataProvider):
+    """Picklable slow provider: keeps a batch in flight long enough for the
+    test to kill a worker mid-map."""
+
+    @property
+    def sample_data_structure(self):
+        sdg = SampleDataGroup()
+        sdg.add_data_field("x", DType.FLOAT)
+        return sdg
+
+    def get_data(self, sample_index):
+        import time
+
+        time.sleep(0.15)
+        sdg = self.sample_data_structure
+        sdg["x"] = np.zeros((4,), np.float32)
+        return sdg
+
+    def get_number_of_samples(self):
+        return 256
+
+
+def test_hard_killed_worker_raises_instead_of_hanging():
+    """OOM-killer scenario: SIGKILL a process worker mid-batch. mp.Pool
+    silently replaces the dead worker but its in-flight sample is lost —
+    a bare pool.map blocks forever. The liveness watchdog must surface a
+    RuntimeError to the consumer within seconds, and the pipeline must
+    still stop cleanly (regression: pipe.run() hung until an external
+    timeout killed the process)."""
+    import os
+    import signal
+    import time
+
+    inp = ShuffledShardedInputCallable(SlowProvider(), batch_size=4, shuffle=False)
+    definition = PipelineDefinition(
+        inp, [], check_data_format=False,
+        copy_external_source_passthrough_outputs=False,
+    )
+    pipe = definition.get_pipeline(
+        batch_size=4, num_threads=2, seed=0, worker_mode="process"
+    )
+    try:
+        pipe.run()  # pool is warm, a batch is in flight in the producer
+        victim = pipe._workers._pool._pool[0].pid
+        os.kill(victim, signal.SIGKILL)
+        t0 = time.time()
+        with pytest.raises(RuntimeError, match="worker process died"):
+            for _ in range(16):
+                pipe.run()
+        assert time.time() - t0 < 30.0, "watchdog too slow"
+        # the pool is marked broken: further production fails fast
+        with pytest.raises(RuntimeError, match="broken|died"):
+            pipe._workers.produce_batch(4, 0, 0)
+    finally:
+        pipe.stop()  # must not hang
