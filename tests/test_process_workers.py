@@ -147,7 +147,7 @@ class SlowProvider(DataProvider):
     def get_data(self, sample_index):
         import time
 
-        time.sleep(0.15)
+        time.sleep(0.08)
         sdg = self.sample_data_structure
         sdg["x"] = np.zeros((4,), np.float32)
         return sdg
@@ -181,7 +181,7 @@ def test_hard_killed_worker_raises_instead_of_hanging():
         os.kill(victim, signal.SIGKILL)
         t0 = time.time()
         with pytest.raises(RuntimeError, match="worker process died"):
-            for _ in range(16):
+            for _ in range(8):
                 pipe.run()
         assert time.time() - t0 < 30.0, "watchdog too slow"
         # the pool is marked broken: further production fails fast
