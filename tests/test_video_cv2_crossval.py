@@ -76,3 +76,21 @@ def test_batch_decode_matches_cv2(clip):
     for fid, ours in zip(fids, outs):
         diff = np.abs(np.asarray(ours, np.int16) - oracle[fid].astype(np.int16))
         assert diff.mean() < 2.0, (fid, float(diff.mean()))
+
+
+def test_hevc_random_access_matches_cv2(tmp_path):
+    """Same oracle on HEVC (the reference's other primary codec): this
+    FFmpeg pairing decodes bit-identically, so the comparison is exact."""
+    frames = make_moving_shape_frames(24, hw=(96, 128), seed=11)
+    path = str(tmp_path / "clip_hevc.mp4")
+    write_video(
+        path, frames, fps=12, gop_size=8, codec="libx265",
+        options="pix_fmt=yuv420p,x265-params=log-level=none",
+    )
+    oracle = _cv2_all_frames(path)
+    assert len(oracle) == 24
+    dec = GopDecoder()
+    for fid in [0, 7, 8, 15, 23]:
+        ours = np.asarray(dec.Decode([path], [fid])[0], np.int16)
+        diff = np.abs(ours - oracle[fid].astype(np.int16))
+        assert diff.mean() < 2.0, (fid, float(diff.mean()))
