@@ -68,6 +68,29 @@ def test_graft_entry_single_and_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_generalizes_to_16_devices():
+    """The sharding family must not be pinned to the 8-device shape the
+    driver checks: all five stanzas (dp x tp, dp x sp x tp, ep, pp,
+    composed dp x pp x tp) compile AND execute on a 16-device mesh too.
+    Subprocess: the suite's own process is pinned to 8 virtual devices."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    env.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""})
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {repo!r});"
+         "import __graft_entry__ as g; g.dryrun_multichip(16)"],
+        env=env, capture_output=True, text=True, timeout=480,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "composed dp x pp x tp: mesh 4x2x2" in out.stdout, out.stdout
+
+
 def test_centernet_loss_masks_padded_objects():
     from accvlab_tpu.models.centernet import CenterNetDetector, centernet_loss
     from accvlab_tpu.ragged import RaggedBatch
