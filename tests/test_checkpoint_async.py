@@ -112,3 +112,35 @@ def test_inflight_tmp_is_never_listed_or_collected(tmp_path):
     assert "step_00000009" in dirs and "step_00000007" not in dirs
     # the orphan is untouched (cleanup is the owner's call, not GC's)
     assert orphan.is_dir()
+
+
+def test_sharded_save_restores_onto_different_mesh_layout(tmp_path):
+    """Production resize: params SAVED sharded on a (4, 2) mesh restore
+    onto a (2, 4) mesh with a different partition spec — values exact,
+    target sharding honored (orbax reads per-shard, the layouts are
+    independent)."""
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh_a = Mesh(mesh_utils.create_device_mesh((4, 2)), ("data", "model"))
+    mesh_b = Mesh(mesh_utils.create_device_mesh((2, 4)), ("data", "model"))
+
+    w = jnp.arange(8 * 12, dtype=jnp.float32).reshape(8, 12)
+    params = {
+        "w": jax.device_put(w, NamedSharding(mesh_a, P("data", "model")))
+    }
+    opt = {"mu": jax.device_put(jnp.zeros((8, 12)),
+                                NamedSharding(mesh_a, P("data", None)))}
+    path = save_checkpoint(str(tmp_path), 1, params, opt)
+
+    tgt = NamedSharding(mesh_b, P("model", "data"))  # transposed layout
+    template = {
+        "params": {"w": jax.ShapeDtypeStruct((8, 12), jnp.float32, sharding=tgt)},
+        "opt_state": {
+            "mu": jax.ShapeDtypeStruct((8, 12), jnp.float32, sharding=tgt)
+        },
+    }
+    rp, ro, _ = restore_checkpoint(path, template)
+    assert rp["w"].sharding.is_equivalent_to(tgt, 2)
+    np.testing.assert_array_equal(np.asarray(rp["w"]), np.asarray(w))
+    np.testing.assert_array_equal(np.asarray(ro["mu"]), 0.0)
