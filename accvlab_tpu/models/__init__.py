@@ -21,8 +21,10 @@ from .petr import (
     petr_loss,
     propagate_queries,
 )
+from .train_utils import make_grad_accum_step
 
 __all__ = [
+    "make_grad_accum_step",
     "CenterNetDetector",
     "PETRDetector",
     "centernet_loss",

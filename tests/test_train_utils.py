@@ -1,0 +1,124 @@
+"""make_grad_accum_step: accumulation == the full-batch step.
+
+For a mean-reduced loss, the mean of per-microbatch gradients over equal
+microbatches IS the full-batch gradient — so accumulation must reproduce
+the plain step's trajectory (allclose at f32), at any accum_steps that
+divides the batch, under jit, and sharded over the data axis.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from accvlab_tpu.models import make_grad_accum_step
+
+
+def _loss_fn(params, batch):
+    pred = batch["x"] @ params["w"] + params["b"]
+    return jnp.mean((pred - batch["y"]) ** 2)
+
+
+def _data(n=16, d=5, k=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "x": jnp.asarray(rng.normal(size=(n, d)).astype(np.float32)),
+        "y": jnp.asarray(rng.normal(size=(n, k)).astype(np.float32)),
+    }
+
+
+def _params(d=5, k=3):
+    return {"w": jnp.ones((d, k)) * 0.1, "b": jnp.zeros((k,))}
+
+
+@pytest.mark.parametrize("accum", [1, 2, 4, 8])
+def test_accumulation_matches_full_batch_step(accum):
+    opt = optax.adam(1e-2)
+    batch = _data()
+    params = _params()
+    opt_state = opt.init(params)
+
+    def full_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(_loss_fn)(params, batch)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    accum_step = jax.jit(make_grad_accum_step(_loss_fn, opt, accum))
+    full_step = jax.jit(full_step)
+
+    p_a, o_a, p_f, o_f = params, opt_state, params, opt_state
+    for _ in range(5):
+        p_a, o_a, l_a = accum_step(p_a, o_a, batch)
+        p_f, o_f, l_f = full_step(p_f, o_f, batch)
+        np.testing.assert_allclose(float(l_a), float(l_f), rtol=1e-6)
+    for a, f in zip(jax.tree_util.tree_leaves(p_a), jax.tree_util.tree_leaves(p_f)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(f), rtol=1e-5, atol=1e-7)
+
+
+def test_remat_variant_matches():
+    opt = optax.sgd(0.1)
+    batch = _data()
+    params = _params()
+    s_plain = jax.jit(make_grad_accum_step(_loss_fn, opt, 4))
+    s_remat = jax.jit(make_grad_accum_step(_loss_fn, opt, 4, remat=True))
+    p1, _, l1 = s_plain(params, opt.init(params), batch)
+    p2, _, l2 = s_remat(params, opt.init(params), batch)
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_indivisible_batch_fails_loudly():
+    opt = optax.sgd(0.1)
+    step = make_grad_accum_step(_loss_fn, opt, 3)
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(step)(_params(), opt.init(_params()), _data(n=16))
+    with pytest.raises(ValueError):
+        make_grad_accum_step(_loss_fn, opt, 0)
+
+
+def test_sharded_over_data_axis():
+    """The accumulation step composes with data-axis sharding: same result
+    as unsharded, batch leaves distributed over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from accvlab_tpu.parallel import make_mesh
+
+    opt = optax.adam(1e-2)
+    batch = _data()
+    params = _params()
+    step = jax.jit(make_grad_accum_step(_loss_fn, opt, 2))
+    p_ref, _, l_ref = step(params, opt.init(params), batch)
+
+    mesh = make_mesh()
+    bsh = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, P("data", *([None] * (leaf.ndim - 1))))
+        ),
+        batch,
+    )
+    with mesh:
+        p_sh, _, l_sh = step(params, opt.init(params), bsh)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sh), jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_composes_with_shared_jit():
+    """A restarted trainer's accumulation step shares the compiled
+    executable (the program-cache contract extends here)."""
+    from accvlab_tpu.tools import program_cache_stats, shared_jit
+
+    opt = optax.adam(1e-2)
+    batch = _data()
+    params = _params()
+    ex = (params, opt.init(params), batch)
+    before = program_cache_stats()
+    s1 = shared_jit(make_grad_accum_step(_loss_fn, opt, 4), ex)
+    s2 = shared_jit(make_grad_accum_step(_loss_fn, opt, 4), ex)
+    d = {k: program_cache_stats()[k] - before[k] for k in ("hits", "misses")}
+    assert d == {"hits": 1, "misses": 1}
+    a = s1(*ex)
+    b = s2(*ex)
+    np.testing.assert_array_equal(np.asarray(a[0]["w"]), np.asarray(b[0]["w"]))
