@@ -15,11 +15,14 @@ from .centernet import (
 )
 from .petr import (
     PETRDetector,
+    compensate_ref_points,
     decode_detections_3d,
+    make_motion_petr_train_step,
     make_petr_train_step,
     make_streaming_petr_train_step,
     petr_loss,
     propagate_queries,
+    propagate_queries_with_motion,
 )
 from .train_utils import make_grad_accum_step
 

@@ -15,7 +15,7 @@ axis, attention heads/MLP over ``model``.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -81,9 +81,19 @@ class PETRDetector(nn.Module):
     num_layers: int = 3
     num_memory: int = 0
     remat: bool = False
+    motion_aware: bool = False
 
     @nn.compact
-    def __call__(self, images, memory=None):
+    def __call__(self, images, memory=None, memory_ref=None, ego_transform=None):
+        """``motion_aware=True`` (StreamPETR's motion-aware propagation,
+        ``num_memory > 0`` required) adds explicit 3-D reference points:
+        fresh queries carry learned anchors, memory queries carry the
+        PREVIOUS frame's propagated object centers compensated by
+        ``ego_transform`` (``(B, 4, 4)``, frame t-1 ego coords -> frame t),
+        a position encoder injects the anchors into the query features, and
+        the box head predicts xyz as an OFFSET from each query's reference —
+        so a tracked object's query stays spatially aligned under ego
+        motion. Outputs gain ``ref_points (B, Q+M, 3)``."""
         tokens = CameraBackbone()(images)
         tokens = nn.Dense(self.dim, dtype=jnp.bfloat16)(tokens)
         # learned 3-D-aware query embeddings (PETR's positional queries)
@@ -92,13 +102,30 @@ class PETRDetector(nn.Module):
         )
         b = images.shape[0]
         q = jnp.broadcast_to(queries[None], (b, *queries.shape)).astype(jnp.float32)
+        refs = None
+        if self.motion_aware:
+            assert self.num_memory > 0, "motion_aware needs num_memory > 0"
+            anchors = self.param(
+                "ref_anchors", nn.initializers.normal(1.0), (self.num_queries, 3)
+            )
+            refs = jnp.broadcast_to(anchors[None], (b, self.num_queries, 3))
+            pos_enc = nn.Sequential(
+                [nn.Dense(self.dim), nn.relu, nn.Dense(self.dim)],
+                name="position_encoder",
+            )
+            q = q + pos_enc(refs)
         if self.num_memory:
             if memory is None:
                 memory = jnp.zeros((b, self.num_memory, self.dim), jnp.float32)
             # propagated queries join through a projection (StreamPETR's
-            # motion-aware layer analog; ego-motion compensation would
-            # premultiply the reference points here)
+            # motion-aware layer)
             mem_q = nn.Dense(self.dim, name="memory_proj")(memory)
+            if self.motion_aware:
+                if memory_ref is None:
+                    memory_ref = jnp.zeros((b, self.num_memory, 3), jnp.float32)
+                mem_ref = compensate_ref_points(memory_ref, ego_transform)
+                mem_q = mem_q + pos_enc(mem_ref)
+                refs = jnp.concatenate([refs, mem_ref], axis=1)
             q = jnp.concatenate([q, mem_q], axis=1)
         # remat=True rematerializes each decoder layer in the backward pass
         # (jax.checkpoint): activations are recomputed instead of stored,
@@ -111,14 +138,56 @@ class PETRDetector(nn.Module):
             # memory/compute trade
             q = layer_cls(self.dim, name=f"DecoderLayer_{i}")(q, tokens)
         boxes = nn.Dense(7, name="head_boxes")(q)  # x,y,z,w,l,h,yaw
+        if self.motion_aware:
+            # xyz is an offset from each query's 3-D reference (StreamPETR's
+            # anchor-relative regression: ego compensation moves the anchor,
+            # keeping a tracked object's offset stationary)
+            boxes = boxes.at[..., :3].add(refs)
         logits = nn.Dense(self.num_classes, name="head_classes")(q)
         existence = nn.Dense(1, name="head_existence")(q)[..., 0]
-        return {
+        out = {
             "boxes3d": boxes,
             "logits": logits,
             "existence": existence,
             "queries": q,
         }
+        if self.motion_aware:
+            out["ref_points"] = refs
+        return out
+
+
+def compensate_ref_points(ref_points, ego_transform):
+    """Apply an ego-motion transform to 3-D reference points.
+
+    ``ref_points (B, M, 3)`` in frame t-1 ego coordinates;
+    ``ego_transform (B, 4, 4)`` maps frame t-1 ego coords to frame t
+    (homogeneous). ``None`` means identity (no ego motion). StreamPETR's
+    memory alignment: without this, a stationary world object's propagated
+    query drifts by the ego's own motion every frame.
+    """
+    if ego_transform is None:
+        return ref_points
+    rot = ego_transform[:, :3, :3]  # (B, 3, 3)
+    trans = ego_transform[:, :3, 3]  # (B, 3)
+    return jnp.einsum("bij,bmj->bmi", rot, ref_points) + trans[:, None, :]
+
+
+def propagate_queries_with_motion(
+    outputs: Dict[str, Any], num_memory: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Motion-aware propagation: select the top-``num_memory`` queries by
+    existence score and carry (features, predicted object centers) — the
+    centers become the next frame's memory reference points (StreamPETR
+    propagates the detected center, so the anchor tracks the object, and
+    the next frame's ``ego_transform`` re-expresses it in the new ego
+    frame). Requires ``motion_aware=True`` outputs."""
+    scores = jax.nn.sigmoid(outputs["existence"])  # (B, Q)
+    top_scores, idx = jax.lax.top_k(scores, num_memory)
+    feats = jnp.take_along_axis(outputs["queries"], idx[..., None], axis=1)
+    centers = jnp.take_along_axis(
+        outputs["boxes3d"][..., :3], idx[..., None], axis=1
+    )
+    return feats * top_scores[..., None], centers
 
 
 def propagate_queries(outputs: Dict[str, Any], num_memory: int) -> jnp.ndarray:
@@ -285,6 +354,58 @@ def make_streaming_petr_train_step(model: PETRDetector, optimizer=None):
             propagate_queries(outputs, model.num_memory)
         )
         return optax.apply_updates(params, updates), opt_state2, new_memory, metrics
+
+    return init_fn, train_step
+
+
+def make_motion_petr_train_step(model: PETRDetector, optimizer=None):
+    """Streaming train step with motion-aware memory: the carry is
+    ``(memory, memory_ref)`` and each batch supplies ``ego_transform``
+    (``(B, 4, 4)``, previous ego frame -> current). Gradient-stopped
+    temporal carry like :func:`make_streaming_petr_train_step`.
+
+    ``train_step(params, opt_state, batch, memory, memory_ref)`` returns
+    ``(params, opt_state, new_memory, new_memory_ref, metrics)``.
+    """
+    assert model.motion_aware and model.num_memory > 0
+    optimizer = optimizer or optax.adamw(2e-4)
+
+    def init_fn(key, example_images):
+        b = example_images.shape[0]
+        memory0 = jnp.zeros((b, model.num_memory, model.dim), jnp.float32)
+        ref0 = jnp.zeros((b, model.num_memory, 3), jnp.float32)
+        params = model.init(key, example_images, memory0, ref0, None)
+        return params, optimizer.init(params), memory0, ref0
+
+    def train_step(params, opt_state, batch, memory, memory_ref):
+        def loss_fn(p):
+            outputs = model.apply(
+                p, batch["images"], memory, memory_ref,
+                batch.get("ego_transform"),
+            )
+            losses = petr_loss(
+                outputs,
+                batch["gt_boxes"],
+                batch["gt_classes"],
+                batch["matches_gt"],
+                batch["matches_pred"],
+            )
+            return losses["loss"], (losses, outputs)
+
+        (_, (metrics, outputs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        new_memory, new_ref = jax.lax.stop_gradient(
+            propagate_queries_with_motion(outputs, model.num_memory)
+        )
+        return (
+            optax.apply_updates(params, updates),
+            opt_state2,
+            new_memory,
+            new_ref,
+            metrics,
+        )
 
     return init_fn, train_step
 
