@@ -31,10 +31,13 @@ __all__ = [
     "CenterNetDetector",
     "PETRDetector",
     "centernet_loss",
+    "compensate_ref_points",
     "decode_detections_3d",
+    "make_motion_petr_train_step",
     "make_petr_train_step",
     "make_streaming_petr_train_step",
     "propagate_queries",
+    "propagate_queries_with_motion",
     "make_train_step",
     "petr_loss",
 ]

@@ -109,11 +109,20 @@ class PETRDetector(nn.Module):
                 "ref_anchors", nn.initializers.normal(1.0), (self.num_queries, 3)
             )
             refs = jnp.broadcast_to(anchors[None], (b, self.num_queries, 3))
-            pos_enc = nn.Sequential(
-                [nn.Dense(self.dim), nn.relu, nn.Dense(self.dim)],
-                name="position_encoder",
+            # explicit names: flax scopes params where modules are
+            # CONSTRUCTED, so an nn.Sequential wrapper would leave these as
+            # anonymous Dense_N at the detector level
+            pe_hidden = nn.Dense(self.dim, name="position_encoder_hidden")
+            pe_out = nn.Dense(self.dim, name="position_encoder_out")
+
+            def pos_enc(x):
+                return pe_out(nn.relu(pe_hidden(x)))
+
+            # encode the (Q, 3) anchors ONCE and broadcast the embedding —
+            # they are identical across the batch
+            q = q + jnp.broadcast_to(
+                pos_enc(anchors)[None], (b, self.num_queries, self.dim)
             )
-            q = q + pos_enc(refs)
         if self.num_memory:
             if memory is None:
                 memory = jnp.zeros((b, self.num_memory, self.dim), jnp.float32)
@@ -172,6 +181,15 @@ def compensate_ref_points(ref_points, ego_transform):
     return jnp.einsum("bij,bmj->bmi", rot, ref_points) + trans[:, None, :]
 
 
+def _select_topk_queries(outputs: Dict[str, Any], num_memory: int):
+    """Top-``num_memory`` queries by existence score: ``(gated_feats, idx,
+    top_scores)`` — the one definition of the propagation selection rule."""
+    scores = jax.nn.sigmoid(outputs["existence"])  # (B, Q)
+    top_scores, idx = jax.lax.top_k(scores, num_memory)
+    feats = jnp.take_along_axis(outputs["queries"], idx[..., None], axis=1)
+    return feats * top_scores[..., None], idx, top_scores
+
+
 def propagate_queries_with_motion(
     outputs: Dict[str, Any], num_memory: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -180,14 +198,15 @@ def propagate_queries_with_motion(
     centers become the next frame's memory reference points (StreamPETR
     propagates the detected center, so the anchor tracks the object, and
     the next frame's ``ego_transform`` re-expresses it in the new ego
-    frame). Requires ``motion_aware=True`` outputs."""
-    scores = jax.nn.sigmoid(outputs["existence"])  # (B, Q)
-    top_scores, idx = jax.lax.top_k(scores, num_memory)
-    feats = jnp.take_along_axis(outputs["queries"], idx[..., None], axis=1)
+    frame). Both halves are score-gated, keeping the 'empty scenes
+    propagate ~zero state' invariant: a no-object query's phantom center
+    collapses toward the origin instead of becoming a stale location
+    prior. Requires ``motion_aware=True`` outputs."""
+    feats, idx, top_scores = _select_topk_queries(outputs, num_memory)
     centers = jnp.take_along_axis(
         outputs["boxes3d"][..., :3], idx[..., None], axis=1
     )
-    return feats * top_scores[..., None], centers
+    return feats, centers * top_scores[..., None]
 
 
 def propagate_queries(outputs: Dict[str, Any], num_memory: int) -> jnp.ndarray:
@@ -198,10 +217,8 @@ def propagate_queries(outputs: Dict[str, Any], num_memory: int) -> jnp.ndarray:
     empty scenes propagate ~zero state. Differentiable — streaming training
     backpropagates through time if the carry is not stopped.
     """
-    scores = jax.nn.sigmoid(outputs["existence"])  # (B, Q)
-    top_scores, idx = jax.lax.top_k(scores, num_memory)
-    feats = jnp.take_along_axis(outputs["queries"], idx[..., None], axis=1)
-    return feats * top_scores[..., None]
+    feats, _, _ = _select_topk_queries(outputs, num_memory)
+    return feats
 
 
 
@@ -289,6 +306,24 @@ def petr_loss(
     }
 
 
+def _batch_loss(outputs, batch):
+    return petr_loss(
+        outputs,
+        batch["gt_boxes"],
+        batch["gt_classes"],
+        batch["matches_gt"],
+        batch["matches_pred"],
+    )
+
+
+def _grad_update(optimizer, params, opt_state, loss_fn):
+    """Shared scaffold of every PETR train-step factory: value_and_grad
+    with aux, one optimizer update. Returns ``(params, opt_state, aux)``."""
+    (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, opt_state2 = optimizer.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state2, aux
+
+
 def make_petr_train_step(model: PETRDetector, optimizer=None):
     optimizer = optimizer or optax.adamw(2e-4)
 
@@ -298,19 +333,10 @@ def make_petr_train_step(model: PETRDetector, optimizer=None):
 
     def train_step(params, opt_state, batch):
         def loss_fn(p):
-            outputs = model.apply(p, batch["images"])
-            losses = petr_loss(
-                outputs,
-                batch["gt_boxes"],
-                batch["gt_classes"],
-                batch["matches_gt"],
-                batch["matches_pred"],
-            )
+            losses = _batch_loss(model.apply(p, batch["images"]), batch)
             return losses["loss"], losses
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state2 = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, metrics
+        return _grad_update(optimizer, params, opt_state, loss_fn)
 
     return init_fn, train_step
 
@@ -337,23 +363,16 @@ def make_streaming_petr_train_step(model: PETRDetector, optimizer=None):
     def train_step(params, opt_state, batch, memory):
         def loss_fn(p):
             outputs = model.apply(p, batch["images"], memory)
-            losses = petr_loss(
-                outputs,
-                batch["gt_boxes"],
-                batch["gt_classes"],
-                batch["matches_gt"],
-                batch["matches_pred"],
-            )
+            losses = _batch_loss(outputs, batch)
             return losses["loss"], (losses, outputs)
 
-        (_, (metrics, outputs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params
+        params2, opt_state2, (metrics, outputs) = _grad_update(
+            optimizer, params, opt_state, loss_fn
         )
-        updates, opt_state2 = optimizer.update(grads, opt_state, params)
         new_memory = jax.lax.stop_gradient(
             propagate_queries(outputs, model.num_memory)
         )
-        return optax.apply_updates(params, updates), opt_state2, new_memory, metrics
+        return params2, opt_state2, new_memory, metrics
 
     return init_fn, train_step
 
@@ -383,36 +402,28 @@ def make_motion_petr_train_step(model: PETRDetector, optimizer=None):
                 p, batch["images"], memory, memory_ref,
                 batch.get("ego_transform"),
             )
-            losses = petr_loss(
-                outputs,
-                batch["gt_boxes"],
-                batch["gt_classes"],
-                batch["matches_gt"],
-                batch["matches_pred"],
-            )
+            losses = _batch_loss(outputs, batch)
             return losses["loss"], (losses, outputs)
 
-        (_, (metrics, outputs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(params)
-        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2, opt_state2, (metrics, outputs) = _grad_update(
+            optimizer, params, opt_state, loss_fn
+        )
         new_memory, new_ref = jax.lax.stop_gradient(
             propagate_queries_with_motion(outputs, model.num_memory)
         )
-        return (
-            optax.apply_updates(params, updates),
-            opt_state2,
-            new_memory,
-            new_ref,
-            metrics,
-        )
+        return params2, opt_state2, new_memory, new_ref, metrics
 
     return init_fn, train_step
 
 
 def make_petr_example_batch(
-    batch_size=2, num_cams=2, hw=(32, 48), max_gt=12, num_classes=10, seed=0
+    batch_size=2, num_cams=2, hw=(32, 48), max_gt=12, num_classes=10, seed=0,
+    num_queries=128,
 ):
+    """``num_queries`` must match the model's total query count (queries +
+    memory slots): ``matches_pred`` indices are drawn from it — out-of-range
+    matches are dropped by the masked gathers, silently weakening the
+    matched loss terms."""
     rng = np.random.default_rng(seed)
     sizes = rng.integers(1, max_gt + 1, (batch_size,)).astype(np.int32)
     mk = lambda x: RaggedBatch(jnp.asarray(x), sample_sizes=jnp.asarray(sizes))
@@ -426,5 +437,7 @@ def make_petr_example_batch(
         "gt_boxes": mk(rng.normal(size=(batch_size, max_gt, 7)).astype(np.float32)),
         "gt_classes": mk(rng.integers(0, num_classes, (batch_size, max_gt)).astype(np.float32)),
         "matches_gt": mk(matches),
-        "matches_pred": mk(rng.integers(0, 128, (batch_size, max_gt)).astype(np.int32)),
+        "matches_pred": mk(
+            rng.integers(0, num_queries, (batch_size, max_gt)).astype(np.int32)
+        ),
     }

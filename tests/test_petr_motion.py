@@ -76,23 +76,41 @@ def test_memory_refs_are_compensated_and_exposed():
 
 
 def test_box_xyz_is_anchor_relative():
-    """The xyz head output is ref + offset: shifting a memory ref by d
-    (identity features aside) moves the EXPOSED reference by exactly d —
-    asserted through ref_points — and boxes3d[...,:3] - head_offset equals
-    ref for every query (reconstructed via a zero-ref run)."""
+    """The xyz head output is ref + offset. With the position encoder
+    ZEROED, moving the memory refs by d leaves every query FEATURE
+    unchanged, so the memory slots' predicted centers must shift by
+    exactly d — the anchor-relative regression contract itself (a model
+    that ignored refs in the box head would leave boxes3d unchanged)."""
     model = _model()
     b = 1
     images = jnp.zeros((b, 2, 16, 16, 3))
     memory = jnp.zeros((b, 4, 32))
     ref0 = jnp.zeros((b, 4, 3))
     params = model.init(jax.random.PRNGKey(0), images, memory, ref0, None)
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jnp.zeros_like(leaf)
+        if any("position_encoder" in str(getattr(p, "key", p)) for p in path)
+        else leaf,
+        params,
+    )
     out0 = model.apply(params, images, memory, ref0, None)
-    # translate every memory ref by d with IDENTITY rotation and zero
-    # position-encoder contribution difference... the PE changes features,
-    # so compare the exposed refs (the anchor-relative contract itself)
     d = jnp.asarray([[0.5, -1.0, 2.0]])
     T = jnp.eye(4)[None].at[:, :3, 3].set(d)
     out1 = model.apply(params, images, memory, ref0, T)
+    # features identical -> memory-slot centers shift by exactly d ...
+    np.testing.assert_allclose(
+        np.asarray(out1["boxes3d"][:, 8:, :3] - out0["boxes3d"][:, 8:, :3]),
+        np.broadcast_to(np.asarray(d), (1, 4, 3)),
+        rtol=1e-5, atol=1e-6,
+    )
+    # ... while size/yaw dims and the fresh queries' boxes are untouched
+    np.testing.assert_array_equal(
+        np.asarray(out1["boxes3d"][:, 8:, 3:]), np.asarray(out0["boxes3d"][:, 8:, 3:])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out1["boxes3d"][:, :8]), np.asarray(out0["boxes3d"][:, :8])
+    )
+    # and the exposed refs carry the compensated positions
     np.testing.assert_allclose(
         np.asarray(out1["ref_points"][:, 8:] - out0["ref_points"][:, 8:]),
         np.broadcast_to(np.asarray(d), (1, 4, 3)),
@@ -102,8 +120,11 @@ def test_box_xyz_is_anchor_relative():
 
 def test_streaming_motion_training_runs_and_learns():
     model = _model()
+    # num_queries=12 == the model's 8 fresh + 4 memory slots: matches_pred
+    # must be in range or the masked gathers drop them and the matched loss
+    # terms degenerate
     batch = make_petr_example_batch(
-        batch_size=2, num_cams=2, hw=(16, 16), num_classes=4
+        batch_size=2, num_cams=2, hw=(16, 16), num_classes=4, num_queries=12
     )
     batch = dict(batch)
     batch["matches_pred"] = batch["matches_pred"].astype(jnp.int32)
@@ -138,11 +159,14 @@ def test_propagation_carries_predicted_centers():
     out = model.apply(params, images, jnp.zeros((b, 4, 32)),
                       jnp.zeros((b, 4, 3)), None)
     feats, centers = propagate_queries_with_motion(out, 4)
-    scores = jax.nn.sigmoid(out["existence"])
-    idx = np.argsort(-np.asarray(scores[0]), kind="stable")[:4]
+    scores = np.asarray(jax.nn.sigmoid(out["existence"]))
+    idx = np.argsort(-scores[0], kind="stable")[:4]
+    # centers are score-gated (empty scenes propagate ~zero state for the
+    # positional half too, not just the features)
     np.testing.assert_allclose(
-        np.asarray(centers[0]), np.asarray(out["boxes3d"][0, idx, :3]),
-        rtol=1e-6,
+        np.asarray(centers[0]),
+        np.asarray(out["boxes3d"][0, idx, :3]) * scores[0, idx][:, None],
+        rtol=1e-5,
     )
     assert feats.shape == (b, 4, 32)
 
@@ -156,4 +180,4 @@ def test_default_paths_untouched():
     out = model.apply(params, images)
     assert "ref_points" not in out
     assert "ref_anchors" not in params["params"]
-    assert "position_encoder" not in params["params"]
+    assert not any(k.startswith("position_encoder") for k in params["params"])
