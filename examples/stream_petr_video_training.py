@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from accvlab_tpu.models.petr import (
     PETRDetector,
     make_petr_example_batch,
-    make_streaming_petr_train_step,
+    make_motion_petr_train_step,
 )
 from accvlab_tpu.pipeline.inputs import SequenceSampler
 from accvlab_tpu.ragged import RaggedBatch
@@ -76,20 +76,32 @@ def synth_labels(rng, batch_size, num_classes):
             rng.integers(0, num_classes, (batch_size, max_gt)).astype(np.float32)
         ),
         "matches_gt": mk(matches),
-        "matches_pred": mk(rng.integers(0, 16, (batch_size, max_gt)).astype(np.int32)),
+        # indices range over ALL query slots (16 fresh + 8 memory)
+        "matches_pred": mk(rng.integers(0, 24, (batch_size, max_gt)).astype(np.int32)),
     }
 
 
 def main(num_steps: int = 6, batch_drives: int = 2):
     rng = np.random.default_rng(0)
     num_classes = 6
-    # num_memory > 0: temporal query propagation (StreamPETR's defining
-    # feature) — tracked queries from frame t-1 seed detection in frame t
+    # num_memory > 0 + motion_aware: temporal query propagation with
+    # ego-compensated 3-D anchors (StreamPETR's defining feature) —
+    # tracked queries from frame t-1 seed detection in frame t, their
+    # reference points re-expressed in the new ego frame so a stationary
+    # object's anchor does not drift by the ego's own motion
     model = PETRDetector(
-        num_classes=num_classes, dim=32, num_queries=16, num_layers=2, num_memory=8
+        num_classes=num_classes, dim=32, num_queries=16, num_layers=2,
+        num_memory=8, motion_aware=True,
     )
-    init_fn, train_step = make_streaming_petr_train_step(model)
+    init_fn, train_step = make_motion_petr_train_step(model)
     train_step = jax.jit(train_step)
+
+    def ego_forward(b, dx=0.5):
+        """Per-frame ego motion: constant forward translation (a real
+        dataset supplies the odometry chain between consecutive frames)."""
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = dx
+        return jnp.asarray(np.broadcast_to(m, (b, 4, 4)))
 
     with tempfile.TemporaryDirectory() as tmp:
         drives = make_camera_clips(tmp)
@@ -201,7 +213,9 @@ def main(num_steps: int = 6, batch_drives: int = 2):
         example = make_petr_example_batch(
             batch_size=batch_drives, num_cams=NUM_CAMS, hw=HW, num_classes=num_classes
         )
-        params, opt_state, memory = init_fn(jax.random.PRNGKey(0), example["images"])
+        params, opt_state, memory, memory_ref = init_fn(
+            jax.random.PRNGKey(0), example["images"]
+        )
 
         indices = sampler.get_next_batch_indices()
         reader.Decode(*request_for(indices), yuv=True)
@@ -213,16 +227,21 @@ def main(num_steps: int = 6, batch_drives: int = 2):
             next_indices = sampler.get_next_batch_indices()
             reader.Decode(*request_for(next_indices), yuv=True)  # overlap with training
 
-            batch = {"images": to_batch(frames), **synth_labels(rng, batch_drives, num_classes)}
-            params, opt_state, memory, metrics = train_step(
-                params, opt_state, batch, memory
+            batch = {
+                "images": to_batch(frames),
+                "ego_transform": ego_forward(batch_drives),
+                **synth_labels(rng, batch_drives, num_classes),
+            }
+            params, opt_state, memory, memory_ref, metrics = train_step(
+                params, opt_state, batch, memory, memory_ref
             )
             losses.append(float(metrics["loss"]))
             indices = next_indices
         dt = time.time() - t0
 
         # preemption-safe resume: the sampler position is a tiny JSON-able
-        # dict — persist it next to the params/opt_state/memory checkpoint
+        # dict — persist it next to the params/opt_state/memory/memory_ref
+        # checkpoint
         # (e.g. in the orbax tree) and a restarted job continues the drive
         # walk exactly where training stopped (no repeated/skipped clips).
         # The stream readers need no state: they re-seek from any frame id.
