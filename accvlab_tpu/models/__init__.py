@@ -5,39 +5,45 @@ detection, StreamPETR-style multi-camera 3-D detection; see its examples).
 This package provides the flagship TPU-native training target: a
 CenterNet-style multi-camera detector whose target generation (heatmaps) and
 loss (ragged masked reductions) exercise every accvlab_tpu layer.
+
+Submodules resolve lazily (PEP 562): a serving host that only needs
+``models.serving``/``models.checkpoint`` never imports flax or the model
+definitions — the deployment contract tested by
+``tests/test_serving_export.py::test_artifact_is_self_contained_no_model_code``.
 """
 
-from .centernet import (
-    CenterNetDetector,
-    centernet_loss,
-    decode_detections,
-    make_train_step,
-)
-from .petr import (
-    PETRDetector,
-    compensate_ref_points,
-    decode_detections_3d,
-    make_motion_petr_train_step,
-    make_petr_train_step,
-    make_streaming_petr_train_step,
-    petr_loss,
-    propagate_queries,
-    propagate_queries_with_motion,
-)
-from .train_utils import make_grad_accum_step
-
-__all__ = [
-    "make_grad_accum_step",
-    "CenterNetDetector",
+_CENTERNET = ("CenterNetDetector", "centernet_loss", "decode_detections", "make_train_step")
+_PETR = (
     "PETRDetector",
-    "centernet_loss",
     "compensate_ref_points",
     "decode_detections_3d",
     "make_motion_petr_train_step",
     "make_petr_train_step",
     "make_streaming_petr_train_step",
+    "petr_loss",
     "propagate_queries",
     "propagate_queries_with_motion",
-    "make_train_step",
-    "petr_loss",
-]
+)
+_TRAIN_UTILS = ("make_grad_accum_step",)
+
+__all__ = list(_CENTERNET) + list(_PETR) + list(_TRAIN_UTILS)
+
+
+def __getattr__(name):
+    if name in _CENTERNET:
+        from . import centernet as m
+    elif name in _PETR:
+        from . import petr as m
+    elif name in _TRAIN_UTILS:
+        from . import train_utils as m
+    elif name in ("centernet", "petr", "moe", "checkpoint", "serving", "train_utils"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    else:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    return getattr(m, name)
+
+
+def __dir__():
+    return sorted(__all__ + ["centernet", "petr", "moe", "checkpoint", "serving", "train_utils"])

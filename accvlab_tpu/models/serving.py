@@ -69,7 +69,7 @@ def _header(exported, batch_polymorphic: bool) -> dict:
         "format_version": _FORMAT_VERSION,
         "accvlab_tpu_version": __version__,
         "jax_version": jax.__version__,
-        "fn_name": exported.fn_name,
+        "fn_name": exported.fun_name,
         "platforms": list(exported.platforms),
         "batch_polymorphic": bool(batch_polymorphic),
         "in_avals": [str(a) for a in exported.in_avals],
