@@ -88,6 +88,9 @@ def main(batch_size: int = 8, hw=(256, 320), num_classes: int = 10):
         restored_params,
         images,
         batch_polymorphic=True,
+        # lowered for BOTH targets: the TPU fleet and CPU staging/canaries
+        # serve the same file (export needs no TPU attached)
+        platforms=("tpu", "cpu"),
     )
     served = load_inference(art_path)
     art_out = served(images[:3])  # an unseen batch size, no re-export

@@ -128,6 +128,20 @@ def test_float32_fn_roundtrips_exactly(tmp_path):
     )
 
 
+def test_multi_platform_artifact(small_model):
+    """One artifact lowered for BOTH tpu and cpu serves on whichever backend
+    the serving host has — export does not need a TPU attached (XLA
+    cross-platform lowering)."""
+    model, params = small_model
+    art = export_inference(
+        freeze_params(model.apply, params), (_images(2),), platforms=("tpu", "cpu")
+    )
+    info = read_artifact_info(art)
+    assert info["platforms"] == ["tpu", "cpu"]
+    out = load_inference(art)(_images(2))
+    assert np.asarray(out["heatmap"]).shape == (2, 8, 8, 4)
+
+
 def test_batch_polymorphic_rejects_scalar_leaves(small_model):
     model, params = small_model
     with pytest.raises(ValueError, match="leading batch dimension"):
