@@ -36,7 +36,7 @@ def __getattr__(name):
         from . import petr as m
     elif name in _TRAIN_UTILS:
         from . import train_utils as m
-    elif name in ("centernet", "petr", "moe", "checkpoint", "serving", "train_utils"):
+    elif name in ("centernet", "petr", "moe", "checkpoint", "serving", "quantize", "train_utils"):
         import importlib
 
         return importlib.import_module(f".{name}", __name__)
@@ -46,4 +46,4 @@ def __getattr__(name):
 
 
 def __dir__():
-    return sorted(__all__ + ["centernet", "petr", "moe", "checkpoint", "serving", "train_utils"])
+    return sorted(__all__ + ["centernet", "petr", "moe", "checkpoint", "serving", "quantize", "train_utils"])

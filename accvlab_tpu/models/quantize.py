@@ -1,0 +1,143 @@
+"""Weight-only int8 quantization for serving artifacts.
+
+Serving inference is usually weight-bandwidth-bound on small batches: the
+params stream from HBM every step while activations stay tiny. Per-channel
+symmetric int8 weight quantization cuts that stream (and the serving
+artifact, and the checkpoint) by ~4x vs float32 at sub-percent output
+error for conv/dense models — the standard production trade, built here
+the TPU way: quantized leaves are ordinary pytree nodes, and
+:func:`dequantize_params` is traced INTO the served program, so the
+artifact's baked constants are the int8 tensors and XLA fuses the
+``q * scale`` dequant into the consumer matmul/conv (weights leave HBM as
+int8; the MXU consumes the bf16/f32 product).
+
+Scope: weight-only (activations stay float). This preserves accuracy
+without calibration data and needs no changes to the model code —
+``model.apply(dequantize_params(qp), x)`` is the whole integration.
+
+Typical flow::
+
+    qp = quantize_params(params)                       # pytree, int8 leaves
+    fn = freeze_params_quantized(model.apply, qp)      # dequant inside trace
+    art = export_inference(fn, (example,), ...)        # int8 consts baked
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+#: leaves smaller than this many elements stay unquantized (biases, norm
+#: scales — negligible bytes, disproportionate accuracy cost)
+_DEFAULT_MIN_SIZE = 1024
+
+
+@jax.tree_util.register_pytree_node_class
+class QuantizedTensor:
+    """An int8-quantized weight: ``values ~= q * scale`` (per-last-axis
+    channel). A pytree node, so quantized params trees flow through jit,
+    device_put, checkpointing, and export like any other params tree."""
+
+    def __init__(self, q, scale, orig_dtype="float32"):
+        self.q = q
+        self.scale = scale
+        self.orig_dtype = str(orig_dtype)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def dequantize(self, dtype=None):
+        dt = jnp.dtype(dtype or self.orig_dtype)
+        return (self.q.astype(jnp.float32) * self.scale).astype(dt)
+
+    def tree_flatten(self):
+        return (self.q, self.scale), self.orig_dtype
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scale = children
+        return cls(q, scale, aux)
+
+    def __repr__(self):
+        return (
+            f"QuantizedTensor(shape={tuple(np.shape(self.q))}, "
+            f"orig_dtype={self.orig_dtype})"
+        )
+
+
+def _quantize_leaf(w) -> QuantizedTensor:
+    """Per-output-channel (last axis) symmetric int8: scale = amax/127."""
+    w32 = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=tuple(range(w32.ndim - 1)), keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q, scale.astype(jnp.float32), jnp.asarray(w).dtype)
+
+
+def quantize_params(
+    params,
+    *,
+    min_size: int = _DEFAULT_MIN_SIZE,
+    predicate: Optional[Callable[[Any], bool]] = None,
+):
+    """Quantize every float leaf with ``ndim >= 2`` and ``size >= min_size``.
+
+    Biases, norm parameters, and tiny tensors stay as-is (their bytes are
+    negligible; their precision is not). ``predicate(leaf) -> bool``
+    overrides the default rule when given. Returns a same-structure tree
+    with :class:`QuantizedTensor` nodes at the quantized positions.
+    """
+
+    def should(leaf) -> bool:
+        if predicate is not None:
+            return bool(predicate(leaf))
+        return (
+            hasattr(leaf, "ndim")
+            and leaf.ndim >= 2
+            and jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+            and np.prod(np.shape(leaf)) >= min_size
+        )
+
+    return jax.tree_util.tree_map(
+        lambda leaf: _quantize_leaf(leaf) if should(leaf) else leaf, params
+    )
+
+
+def dequantize_params(qparams, dtype=None):
+    """Reconstruct a float params tree; jit/trace-safe (use INSIDE the
+    served function so the int8 tensors are what gets baked/stored)."""
+    return jax.tree_util.tree_map(
+        lambda leaf: leaf.dequantize(dtype) if isinstance(leaf, QuantizedTensor) else leaf,
+        qparams,
+        is_leaf=lambda x: isinstance(x, QuantizedTensor),
+    )
+
+
+def freeze_params_quantized(apply_fn: Callable, qparams, dtype=None) -> Callable:
+    """Close ``apply_fn`` over quantized params with the dequant traced in —
+    the quantized counterpart of :func:`serving.freeze_params`."""
+
+    def frozen(*args):
+        return apply_fn(dequantize_params(qparams, dtype), *args)
+
+    return frozen
+
+
+def params_nbytes(params) -> int:
+    """Total leaf bytes (QuantizedTensor counts q + scale) — for reporting
+    the quantization win."""
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(
+        params, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+    ):
+        if isinstance(leaf, QuantizedTensor):
+            total += int(np.prod(leaf.q.shape)) + int(np.prod(leaf.scale.shape)) * 4
+        else:
+            arr = np.asarray(leaf)
+            total += arr.size * arr.itemsize
+    return total

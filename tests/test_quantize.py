@@ -1,0 +1,149 @@
+"""Weight-only int8 quantization (``models/quantize.py``) and its
+composition with serving export."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from accvlab_tpu.models.centernet import CenterNetDetector
+from accvlab_tpu.models.quantize import (
+    QuantizedTensor,
+    dequantize_params,
+    freeze_params_quantized,
+    params_nbytes,
+    quantize_params,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = CenterNetDetector(num_classes=4, width=16)
+    x = np.zeros((2, 32, 32, 3), np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params
+
+
+def _images(batch, seed=1):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((batch, 32, 32, 3)).astype(np.float32)
+
+
+def test_structure_and_selection(model_and_params):
+    _, params = model_and_params
+    qp = quantize_params(params)
+    flat = jax.tree_util.tree_leaves_with_path(
+        qp, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+    )
+    kinds = {}
+    for path, leaf in flat:
+        names = "/".join(str(getattr(p, "key", p)) for p in path)
+        kinds[names] = isinstance(leaf, QuantizedTensor)
+    # all big conv kernels quantized; biases never
+    assert any(k.endswith("kernel") and v for k, v in kinds.items())
+    assert all(not v for k, v in kinds.items() if k.endswith("bias"))
+    # quantized leaves are int8 with per-output-channel scales
+    for _, leaf in flat:
+        if isinstance(leaf, QuantizedTensor):
+            assert jnp.asarray(leaf.q).dtype == jnp.int8
+            assert leaf.scale.shape[-1] == leaf.q.shape[-1]
+
+
+def test_dequantize_error_bound(model_and_params):
+    _, params = model_and_params
+    qp = quantize_params(params)
+    deq = dequantize_params(qp)
+    for orig, rec in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(deq)
+    ):
+        o = np.asarray(orig, np.float32)
+        r = np.asarray(rec, np.float32)
+        assert o.shape == r.shape
+        if o.ndim >= 2 and o.size >= 1024:
+            # per-channel symmetric int8: error <= scale/2 = amax/254
+            amax = np.abs(o).max(axis=tuple(range(o.ndim - 1)), keepdims=True)
+            assert (np.abs(o - r) <= amax / 254 + 1e-7).all()
+        else:
+            np.testing.assert_array_equal(o, r)
+
+
+def test_model_output_close_to_full_precision(model_and_params):
+    model, params = model_and_params
+    x = _images(2)
+    want = np.asarray(model.apply(params, x)["heatmap"])
+    got = np.asarray(
+        jax.jit(freeze_params_quantized(model.apply, quantize_params(params)))(x)[
+            "heatmap"
+        ]
+    )
+    # weight-only per-channel int8 on a bf16 backbone: small relative error
+    denom = max(1e-3, float(np.abs(want).max()))
+    assert np.abs(got - want).max() / denom < 0.12
+    # and far from degenerate: strong correlation with the fp output
+    c = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert c > 0.99
+
+
+def test_bytes_shrink_about_4x(model_and_params):
+    _, params = model_and_params
+    qp = quantize_params(params)
+    full = params_nbytes(params)
+    quant = params_nbytes(qp)
+    assert quant < full / 3  # conv-dominated tree: close to 4x
+
+
+def test_quantized_tree_flows_through_jit(model_and_params):
+    _, params = model_and_params
+    qp = quantize_params(params)
+
+    @jax.jit
+    def norm(qp):
+        deq = dequantize_params(qp, jnp.float32)
+        return sum(jnp.sum(l * l) for l in jax.tree_util.tree_leaves(deq))
+
+    assert float(norm(qp)) > 0
+
+
+def test_predicate_and_min_size(model_and_params):
+    _, params = model_and_params
+    nothing = quantize_params(params, min_size=1 << 30)
+    assert not any(
+        isinstance(l, QuantizedTensor)
+        for l in jax.tree_util.tree_leaves(
+            nothing, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+        )
+    )
+    everything2d = quantize_params(params, predicate=lambda l: getattr(l, "ndim", 0) >= 2)
+    assert any(
+        isinstance(l, QuantizedTensor)
+        for l in jax.tree_util.tree_leaves(
+            everything2d, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+        )
+    )
+
+
+def test_composes_with_serving_export(tmp_path, model_and_params):
+    from accvlab_tpu.models.serving import load_inference, save_inference
+
+    model, params = model_and_params
+    x = _images(2)
+    p_full = str(tmp_path / "full.accvserve")
+    p_q = str(tmp_path / "int8.accvserve")
+    save_inference(p_full, model.apply, params, x)
+    # quantized: dequant traced in, int8 consts baked
+    import os
+
+    from accvlab_tpu.models.serving import export_inference
+
+    art = export_inference(
+        freeze_params_quantized(model.apply, quantize_params(params)), (x,)
+    )
+    with open(p_q, "wb") as f:
+        f.write(art)
+    full_sz, q_sz = os.path.getsize(p_full), os.path.getsize(p_q)
+    assert q_sz < full_sz / 2.5, (full_sz, q_sz)
+
+    got = np.asarray(load_inference(p_q)(x)["heatmap"])
+    want = np.asarray(model.apply(params, x)["heatmap"])
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
