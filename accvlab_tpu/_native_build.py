@@ -34,6 +34,8 @@ def build_shared_lib(
     """Compile ``src`` to ``<srcdir>/<stem>-<srchash>.so`` (if not already
     built) and return the library path. Raises RuntimeError on compile error.
     """
+    import glob
+
     from accvlab_tpu.build_config import select_cxx_flags
 
     flags = select_cxx_flags()
@@ -41,6 +43,13 @@ def build_shared_lib(
     h = hashlib.sha256()
     with open(src, "rb") as f:
         h.update(f.read())
+    # local headers are part of the content key: a shared csrc header
+    # edited without touching the .cpp must still rebuild every library
+    # that includes it
+    for hdr in sorted(glob.glob(os.path.join(src_dir, "*.h"))):
+        with open(hdr, "rb") as f:
+            h.update(os.path.basename(hdr).encode())
+            h.update(f.read())
     # flag/link changes rebuild too (a stale .so linked without a new
     # dependency would fail only at symbol resolution)
     h.update(" ".join(flags).encode())

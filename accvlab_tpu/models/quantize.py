@@ -94,17 +94,24 @@ def quantize_params(
     """
 
     def should(leaf) -> bool:
+        if isinstance(leaf, QuantizedTensor):
+            return False  # idempotent: never re-quantize (nor its scales)
         if predicate is not None:
             return bool(predicate(leaf))
+        # dtype read without materializing: jnp.asarray would device-
+        # transfer every leaf (incl. never-quantized biases) just to ask
         return (
             hasattr(leaf, "ndim")
+            and hasattr(leaf, "dtype")
             and leaf.ndim >= 2
-            and jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+            and jnp.issubdtype(leaf.dtype, jnp.floating)
             and np.prod(np.shape(leaf)) >= min_size
         )
 
     return jax.tree_util.tree_map(
-        lambda leaf: _quantize_leaf(leaf) if should(leaf) else leaf, params
+        lambda leaf: _quantize_leaf(leaf) if should(leaf) else leaf,
+        params,
+        is_leaf=lambda x: isinstance(x, QuantizedTensor),
     )
 
 

@@ -80,6 +80,15 @@ def _header(exported, batch_polymorphic: bool) -> dict:
 
 def _pack(header: dict, payload: bytes) -> bytes:
     hj = json.dumps(header, sort_keys=True).encode("utf-8")
+    if len(payload) >= 1 << 32 or len(hj) >= 1 << 32:
+        # the <II length fields cap the format at 4 GiB per section (~1B
+        # f32 params baked in); quantize (models/quantize.py) or shard the
+        # weights before exporting at that scale
+        raise ValueError(
+            f"serving artifact section too large for the v{_FORMAT_VERSION} "
+            f"format (payload {len(payload)} bytes, limit 4 GiB); use "
+            "models.quantize or ship params separately"
+        )
     return _MAGIC + struct.pack("<II", len(hj), len(payload)) + hj + payload
 
 
@@ -90,6 +99,8 @@ def _unpack(data: bytes) -> Tuple[dict, bytes]:
             "an orbax checkpoint or a raw jax.export blob?"
         )
     off = len(_MAGIC)
+    if len(data) < off + 8:
+        raise ValueError("truncated serving artifact")
     hlen, plen = struct.unpack_from("<II", data, off)
     off += 8
     header = json.loads(data[off : off + hlen].decode("utf-8"))
@@ -104,15 +115,17 @@ def _unpack(data: bytes) -> Tuple[dict, bytes]:
     return header, payload
 
 
+def _read_bytes(path_or_bytes) -> bytes:
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        return bytes(path_or_bytes)
+    with open(path_or_bytes, "rb") as f:
+        return f.read()
+
+
 def read_artifact_info(path_or_bytes) -> dict:
     """Audit an artifact WITHOUT deserializing the program: returns the
     JSON header (versions, platforms, avals, device count)."""
-    data = (
-        path_or_bytes
-        if isinstance(path_or_bytes, (bytes, bytearray))
-        else open(path_or_bytes, "rb").read()
-    )
-    header, _ = _unpack(bytes(data))
+    header, _ = _unpack(_read_bytes(path_or_bytes))
     return header
 
 
@@ -258,10 +271,17 @@ class LoadedInference:
         self._exported = exported
         self.info = dict(info)
         self._mesh = mesh
-        if int(info.get("nr_devices", 1)) > 1 and mesh is None:
+        nr = int(info.get("nr_devices", 1))
+        if nr > 1 and mesh is None:
             raise ValueError(
-                f"artifact was exported for {info['nr_devices']} devices; "
+                f"artifact was exported for {nr} devices; "
                 "pass mesh= with that many devices to load_inference"
+            )
+        if mesh is not None and mesh.size != nr:
+            raise ValueError(
+                f"artifact was exported for {nr} devices but the serving "
+                f"mesh has {mesh.size}; shapes and shardings re-bind only "
+                "onto a same-size mesh"
             )
         call = exported.call
         if mesh is not None:
@@ -289,11 +309,6 @@ def load_inference(path_or_bytes, *, mesh=None) -> LoadedInference:
     """
     from jax import export as jexport
 
-    data = (
-        path_or_bytes
-        if isinstance(path_or_bytes, (bytes, bytearray))
-        else open(path_or_bytes, "rb").read()
-    )
-    header, payload = _unpack(bytes(data))
+    header, payload = _unpack(_read_bytes(path_or_bytes))
     exported = jexport.deserialize(bytearray(payload))
     return LoadedInference(exported, header, mesh=mesh)

@@ -32,6 +32,8 @@
 
 #include <cstdint>
 
+#include "simd_bitplane.h"
+
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
@@ -82,20 +84,6 @@ inline void emit_fits_from_lengths(const uint32_t cnt[][16], int ways,
         fits[b] = acc;
     }
 }
-
-// byte with its bit order reversed (movemask emits lane i at bit i; the
-// wire's np.packbits layout wants value t at bit 7-t)
-struct BitRev {
-    uint8_t t[256];
-    constexpr BitRev() : t() {
-        for (int i = 0; i < 256; ++i) {
-            int r = 0;
-            for (int k = 0; k < 8; ++k) r |= ((i >> k) & 1) << (7 - k);
-            t[i] = static_cast<uint8_t>(r);
-        }
-    }
-};
-constexpr BitRev kRev;
 
 // Scalar 8-value packer (DC band, non-16-multiple row tails, non-SSE2
 // builds) — the original loop, kept bit-identical.
@@ -191,7 +179,6 @@ int64_t accvlab_dct_pack_group(const int16_t* bands_g, int64_t nb, int64_t bh,
     const uint32_t limit = 1u << b;
 #if defined(__SSE2__)
     const __m128i vlim = _mm_set1_epi16(static_cast<int16_t>(limit - 1));
-    const __m128i v255 = _mm_set1_epi16(0xFF);
 #endif
     for (int64_t band = 0; band < nb; ++band) {
         const int16_t* src = bands_g + band * bh * bwp;
@@ -220,50 +207,12 @@ int64_t accvlab_dct_pack_group(const int16_t* bands_g, int64_t nb, int64_t bh,
                                                _mm_srai_epi16(v1, 15));
                     // exceptions: zz > limit-1 (rare; scalar slow path
                     // keeps ascending order within the 16-lane window)
-                    const int em =
-                        _mm_movemask_epi8(_mm_packs_epi16(
-                            _mm_cmpgt_epi16(z0, vlim),
-                            _mm_cmpgt_epi16(z1, vlim)));
-                    if (__builtin_expect(em != 0, 0)) {
-                        alignas(16) uint16_t zbuf[16];
-                        _mm_store_si128(reinterpret_cast<__m128i*>(zbuf), z0);
-                        _mm_store_si128(reinterpret_cast<__m128i*>(zbuf + 8),
-                                        z1);
-                        for (int t = 0; t < 16; ++t) {
-                            if (!((em >> t) & 1)) continue;
-                            if (ne < cap) {
-                                excp[ne] = static_cast<int32_t>(
-                                    pos_base + j * 8 + t);
-                                excv[ne] = static_cast<int16_t>(zbuf[t]);
-                            }
-                            ne++;
-                        }
-                    }
-                    // low byte of each lane (packus is exact after mask)
-                    const __m128i lo = _mm_packus_epi16(
-                        _mm_and_si128(z0, v255), _mm_and_si128(z1, v255));
-                    const int kb = b < 8 ? b : 8;
-                    uint8_t* o = out + j;
-                    for (int k = 0; k < kb; ++k) {
-                        const __m128i bit = _mm_set1_epi8(
-                            static_cast<char>(1 << k));
-                        const int m = _mm_movemask_epi8(_mm_cmpeq_epi8(
-                            _mm_and_si128(lo, bit), bit));
-                        o[k * plane_stride] = kRev.t[m & 0xFF];
-                        o[k * plane_stride + 1] = kRev.t[(m >> 8) & 0xFF];
-                    }
-                    if (b > 8) {
-                        const __m128i hi = _mm_packus_epi16(
-                            _mm_srli_epi16(z0, 8), _mm_srli_epi16(z1, 8));
-                        for (int k = 8; k < b; ++k) {
-                            const __m128i bit = _mm_set1_epi8(
-                                static_cast<char>(1 << (k - 8)));
-                            const int m = _mm_movemask_epi8(_mm_cmpeq_epi8(
-                                _mm_and_si128(hi, bit), bit));
-                            o[k * plane_stride] = kRev.t[m & 0xFF];
-                            o[k * plane_stride + 1] = kRev.t[(m >> 8) & 0xFF];
-                        }
-                    }
+                    const int em = accvlab_simd::exception_mask16(z0, z1, vlim);
+                    if (__builtin_expect(em != 0, 0))
+                        ne = accvlab_simd::record_exceptions16(
+                            z0, z1, em, pos_base + j * 8, excp, excv, cap, ne);
+                    accvlab_simd::emit_bitplanes16(z0, z1, b, out + j,
+                                                   plane_stride);
                 }
             }
 #endif

@@ -31,6 +31,8 @@
 
 #include <cstdint>
 
+#include "simd_bitplane.h"
+
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
@@ -64,20 +66,6 @@ inline void residuals_at(const uint8_t* row, const uint8_t* up, int64_t i,
 }
 
 #if defined(__SSE2__)
-
-// byte with its bit order reversed (movemask emits lane i at bit i; the
-// wire's np.packbits layout wants value t at bit 7-t)
-struct BitRev {
-    uint8_t t[256];
-    constexpr BitRev() : t() {
-        for (int i = 0; i < 256; ++i) {
-            int r = 0;
-            for (int k = 0; k < 8; ++k) r |= ((i >> k) & 1) << (7 - k);
-            t[i] = static_cast<uint8_t>(r);
-        }
-    }
-};
-constexpr BitRev kRev;
 
 // both predictors' zigzag residuals for 16 pixels at row y >= 1, i >= C
 inline void residuals16(const uint8_t* row, const uint8_t* up, int64_t i,
@@ -198,7 +186,6 @@ int64_t accvlab_wire_pack(const uint8_t* p, int64_t h, int64_t wr, int64_t C,
     int64_t ne = 0;
 #if defined(__SSE2__)
     const __m128i vlim = _mm_set1_epi16(static_cast<int16_t>(limit - 1));
-    const __m128i v255 = _mm_set1_epi16(0xFF);
 #endif
     for (int64_t y = 0; y < h; ++y) {
         const uint8_t* row = p + y * wr;
@@ -221,44 +208,12 @@ int64_t accvlab_wire_pack(const uint8_t* p, int64_t h, int64_t wr, int64_t C,
                 // exceptions: zz > limit-1 (zigzag <= 1020 < 2^15, so the
                 // signed compare is valid); rare scalar slow path keeps
                 // ascending order within the 16-lane window
-                const int em = _mm_movemask_epi8(_mm_packs_epi16(
-                    _mm_cmpgt_epi16(zlo, vlim), _mm_cmpgt_epi16(zhi, vlim)));
-                if (__builtin_expect(em != 0, 0)) {
-                    alignas(16) uint16_t zbuf[16];
-                    _mm_store_si128(reinterpret_cast<__m128i*>(zbuf), zlo);
-                    _mm_store_si128(reinterpret_cast<__m128i*>(zbuf + 8), zhi);
-                    for (int t = 0; t < 16; ++t) {
-                        if (!((em >> t) & 1)) continue;
-                        if (ne < cap) {
-                            excp[ne] = static_cast<int32_t>(y * wr + i + t);
-                            excv[ne] = static_cast<int16_t>(zbuf[t]);
-                        }
-                        ne++;
-                    }
-                }
-                const __m128i lo8 = _mm_packus_epi16(_mm_and_si128(zlo, v255),
-                                                     _mm_and_si128(zhi, v255));
-                const int kb = b < 8 ? b : 8;
-                uint8_t* o = out + j;
-                for (int k = 0; k < kb; ++k) {
-                    const __m128i bit = _mm_set1_epi8(static_cast<char>(1 << k));
-                    const int m = _mm_movemask_epi8(
-                        _mm_cmpeq_epi8(_mm_and_si128(lo8, bit), bit));
-                    o[k * plane_stride] = kRev.t[m & 0xFF];
-                    o[k * plane_stride + 1] = kRev.t[(m >> 8) & 0xFF];
-                }
-                if (b > 8) {
-                    const __m128i hi8 = _mm_packus_epi16(_mm_srli_epi16(zlo, 8),
-                                                         _mm_srli_epi16(zhi, 8));
-                    for (int k = 8; k < b; ++k) {
-                        const __m128i bit =
-                            _mm_set1_epi8(static_cast<char>(1 << (k - 8)));
-                        const int m = _mm_movemask_epi8(
-                            _mm_cmpeq_epi8(_mm_and_si128(hi8, bit), bit));
-                        o[k * plane_stride] = kRev.t[m & 0xFF];
-                        o[k * plane_stride + 1] = kRev.t[(m >> 8) & 0xFF];
-                    }
-                }
+                const int em = accvlab_simd::exception_mask16(zlo, zhi, vlim);
+                if (__builtin_expect(em != 0, 0))
+                    ne = accvlab_simd::record_exceptions16(
+                        zlo, zhi, em, y * wr + i, excp, excv, cap, ne);
+                accvlab_simd::emit_bitplanes16(zlo, zhi, b, out + j,
+                                               plane_stride);
             }
         }
 #endif

@@ -105,6 +105,37 @@ def test_quantized_tree_flows_through_jit(model_and_params):
     assert float(norm(qp)) > 0
 
 
+def test_idempotent_requantization(model_and_params):
+    """quantize_params over an already-quantized tree is a no-op: the int8
+    leaves AND their float32 scale children must come back untouched (the
+    scale is itself a (1,..,1,C) float leaf that would otherwise match the
+    selection rule)."""
+    _, params = model_and_params
+    qp = quantize_params(params, min_size=64)
+    qp2 = quantize_params(qp, min_size=64)
+    l1 = jax.tree_util.tree_leaves(qp, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+    l2 = jax.tree_util.tree_leaves(qp2, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        assert type(a) is type(b)
+        if isinstance(a, QuantizedTensor):
+            np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
+            np.testing.assert_array_equal(np.asarray(a.scale), np.asarray(b.scale))
+            assert not isinstance(b.scale, QuantizedTensor)
+
+
+def test_quantize_accepts_numpy_leaves(model_and_params):
+    """Host-side numpy params (the checkpoint-restore path) quantize
+    without being device-transferred first."""
+    _, params = model_and_params
+    np_params = jax.tree_util.tree_map(lambda l: np.asarray(l), params)
+    qp = quantize_params(np_params)
+    assert any(
+        isinstance(l, QuantizedTensor)
+        for l in jax.tree_util.tree_leaves(qp, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+    )
+
+
 def test_predicate_and_min_size(model_and_params):
     _, params = model_and_params
     nothing = quantize_params(params, min_size=1 << 30)

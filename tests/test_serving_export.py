@@ -165,6 +165,10 @@ def test_header_audit_and_error_contracts(tmp_path, small_model):
         read_artifact_info(b"ORBAX-CHECKPOINT" + art)
     with pytest.raises(ValueError, match="truncated"):
         read_artifact_info(art[: len(art) - 8])
+    # cut inside the 8 length bytes right after the magic: still the
+    # documented ValueError, not a raw struct.error
+    with pytest.raises(ValueError, match="truncated"):
+        read_artifact_info(art[:18])
 
     import json as _json
     import struct as _struct
@@ -207,6 +211,14 @@ def test_sharded_export_rebinds_to_fresh_mesh(small_model):
     # loading without a mesh is an explicit error
     with pytest.raises(ValueError, match="pass mesh="):
         load_inference(art)
+
+    # a wrong-SIZE mesh fails fast with a clear error, not at call time
+    mesh4 = Mesh(
+        mesh_utils.create_device_mesh((4,), devices=jax.devices()[:4]),
+        axis_names=("data",),
+    )
+    with pytest.raises(ValueError, match="same-size mesh"):
+        load_inference(art, mesh=mesh4)
 
     # a FRESH mesh over a different device permutation serves the artifact
     mesh2 = Mesh(
