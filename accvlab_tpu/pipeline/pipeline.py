@@ -469,7 +469,12 @@ class TPUPipeline:
     # Device stage                                                       #
     # ------------------------------------------------------------------ #
 
-    def _build_device_fn(self, example_batch, example_key, donate: bool = True):
+    def _make_device_fn_all(self):
+        """The traceable fused device stage: ``(flat_batch_leaves, key) ->
+        flat_output_leaves`` — every device-placed step, vmapped over the
+        batch. Shared by execution (:meth:`_build_device_fn`), program
+        audit (:meth:`device_program_text`), and serving export
+        (:meth:`export_device_program`)."""
         import jax
 
         host_bp = self._host_out_blueprint
@@ -490,6 +495,13 @@ class TPUPipeline:
         def device_fn_all(batch_leaves, batch_key):
             keys = jax.random.split(batch_key, batch_leaves[0].shape[0])
             return jax.vmap(sample_fn)(batch_leaves, keys)
+
+        return device_fn_all
+
+    def _build_device_fn(self, example_batch, example_key, donate: bool = True):
+        import jax
+
+        device_fn_all = self._make_device_fn_all()
 
         # The freshly transferred batch buffers are never reused -> donate
         # them so in-place-capable ops skip the copy. Donation is per-
@@ -1139,6 +1151,74 @@ class TPUPipeline:
             text = lowered.as_text(debug_info=True)
         self._program_text_cache[cache_key] = text
         return text
+
+    def export_device_program(self, path: Optional[str] = None):
+        """Export the fused device program as a self-contained serving
+        artifact (the ``models/serving.py`` container: versioned header +
+        serialized StableHLO).
+
+        Serving usually re-implements preprocessing and drifts from
+        training; this ships the EXACT program the training pipeline ran —
+        every device-placed step, vmapped over the batch — so a serving
+        host reproduces the training-time preprocessing bit-for-bit with
+        ``accvlab_tpu.models.serving.load_inference`` and NO pipeline code::
+
+            serve = load_inference("preprocess.accvserve")
+            out_leaves = serve(host_batch_leaves, rng_key)
+
+        The artifact's calling convention is the device stage's own:
+        a tuple of flat host-stage output leaves (header field
+        ``pipeline_input_fields`` names them in order) plus the batch PRNG
+        key (deterministic eval pipelines ignore it — pass any key);
+        outputs are the flat final leaves (``pipeline_output_fields``).
+        Shapes are those of the most recent delivered batch; like
+        :meth:`device_program_text` this requires one delivered batch and
+        at least one device-placed step. Mesh pipelines export the SPMD
+        program (load with ``mesh=``).
+
+        Returns the artifact header dict; the bytes go to ``path`` (atomic
+        write) when given, else they are returned instead of the header.
+        """
+        import jax
+        from jax import export as jexport
+
+        # the artifact container lives with the model-serving exporter —
+        # a lazy import (models resolves submodules lazily, so this pulls
+        # neither flax nor the model zoo into pipeline users)
+        from ..models import serving as _serving
+
+        if not self._device_steps:
+            raise RuntimeError(
+                "this pipeline has no device-placed steps (no fused device "
+                "program exists)"
+            )
+        if self._last_device_spec is None:
+            raise RuntimeError(
+                "no device program built yet — deliver at least one batch "
+                "(pipe.run()) first"
+            )
+        batch_spec, key_spec = self._last_device_spec
+        jitted = jax.jit(self._make_device_fn_all())
+        if self._mesh is not None:
+            with self._mesh:
+                exported = jexport.export(jitted)(batch_spec, key_spec)
+        else:
+            exported = jexport.export(jitted)(batch_spec, key_spec)
+        header = _serving._header(exported, batch_polymorphic=False)
+        header["pipeline_input_fields"] = list(
+            self._host_out_blueprint.field_names_flat
+        )
+        header["pipeline_output_fields"] = list(
+            self._per_sample_out_blueprint.field_names_flat
+        )
+        data = _serving._pack(header, exported.serialize())
+        if path is None:
+            return data
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return header
 
     def start_trace(self, max_events: int = 100_000):
         """Start recording the pipeline's phase timeline (producer
