@@ -257,3 +257,40 @@ def test_polymorphic_sharded_combination_rejected(small_model):
             mesh=mesh,
             in_shardings=(NamedSharding(mesh, P("data")),),
         )
+
+
+def test_export_fuzz_random_trees(tmp_path):
+    """Property fuzz: random nested input/output pytrees, mixed dtypes —
+    export/load must preserve structure and be exact for f32/int paths."""
+    rng = np.random.default_rng(0)
+    for case in range(6):
+        in_shapes = [
+            tuple(int(d) for d in rng.integers(1, 7, size=rng.integers(1, 4)))
+            for _ in range(int(rng.integers(1, 4)))
+        ]
+        w = rng.standard_normal((5, 3)).astype(np.float32)
+
+        def fn(*args):
+            outs = {}
+            for i, a in enumerate(args):
+                x = jnp.asarray(a, jnp.float32).reshape(-1)
+                pad = (-x.size) % 5
+                x = jnp.pad(x, (0, pad)).reshape(-1, 5)
+                outs[f"o{i}"] = {"y": jnp.tanh(x @ w), "n": jnp.int32(x.shape[0])}
+            return outs, tuple(jnp.sum(jnp.asarray(a)) for a in args)
+
+        args = tuple(
+            rng.standard_normal(s).astype(np.float32)
+            if i % 2 == 0
+            else rng.integers(-9, 9, s).astype(np.int32)
+            for i, s in enumerate(in_shapes)
+        )
+        art = export_inference(jax.jit(fn), args)
+        serve = load_inference(art)
+        got = serve(*args)
+        want = jax.jit(fn)(*args)
+        gl, gt = jax.tree_util.tree_flatten(got)
+        wl, wt = jax.tree_util.tree_flatten(want)
+        assert gt == wt, f"case {case}: tree structure changed"
+        for g, wv in zip(gl, wl):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
