@@ -322,6 +322,13 @@ struct Decoder {
             set_error("yuv420 wire output needs even frame dimensions");
             return false;
         }
+        // out_hw is user-controlled since the fused-resize change: bound it
+        // so the int linesize (ow*3) can never overflow and absurd targets
+        // fail with a message instead of inside swscale
+        if (ow <= 0 || oh <= 0 || ow > (1 << 20) || oh > (1 << 20)) {
+            set_error("output dimensions out of range (1..1048576)");
+            return false;
+        }
         if (!sws || sws_w != frame->width || sws_h != frame->height ||
             sws_ow != ow || sws_oh != oh || sws_fmt != src_fmt ||
             sws_dst != dst_fmt) {
@@ -332,6 +339,13 @@ struct Decoder {
                                                                   : SWS_BILINEAR;
             sws = sws_getContext(frame->width, frame->height, src_fmt, ow, oh,
                                  dst_fmt, flags, nullptr, nullptr, nullptr);
+            if (!sws) {
+                // e.g. an unscalable source format or an internal
+                // allocation failure — surface it, never sws_scale(NULL)
+                set_error("sws_getContext failed for the requested resize");
+                sws_w = sws_h = sws_ow = sws_oh = -1;
+                return false;
+            }
             sws_w = frame->width;
             sws_h = frame->height;
             sws_ow = ow;

@@ -56,13 +56,24 @@ def _color_names(avcol_spc: int, avcol_range: int) -> Tuple[str, str]:
 
 
 def _check_out_hw(out_hw, require_even: bool = True) -> Tuple[int, int]:
-    """Validate a fused decode+resize target: (height, width), positive
-    ints; the 4:2:0 wire additionally needs even dims (``require_even``)."""
-    h, w = int(out_hw[0]), int(out_hw[1])
-    if h <= 0 or w <= 0 or (require_even and ((h % 2) or (w % 2))):
+    """Validate a fused decode+resize target: (height, width), exactly two
+    positive integers (non-integral values and extra elements are rejected,
+    not truncated — a (h, w, c) shape tuple or a float size is a caller bug
+    the decode must not paper over); the 4:2:0 wire additionally needs even
+    dims (``require_even``). Upper bound mirrors the C engine's 2^20."""
+    seq = tuple(out_hw)
+    if len(seq) != 2 or any(v != int(v) for v in seq):
+        raise ValueError(
+            f"out_hw must be exactly (height, width) integers, got {out_hw!r}"
+        )
+    h, w = int(seq[0]), int(seq[1])
+    if (
+        h <= 0 or w <= 0 or h > (1 << 20) or w > (1 << 20)
+        or (require_even and ((h % 2) or (w % 2)))
+    ):
         raise ValueError(
             f"out_hw must be positive{' even' if require_even else ''} "
-            f"(height, width), got {out_hw!r}"
+            f"(height, width) within 1..2^20, got {out_hw!r}"
         )
     return h, w
 

@@ -273,6 +273,10 @@ class SampleReader:
         fuses a resize into the decode (both formats; the YUV wire needs
         even dims)."""
         _reject_yuv_bgr(yuv, as_bgr)
+        if out_hw is not None:  # eager: a bad target must point at THIS call
+            from .decoder import _check_out_hw
+
+            _check_out_hw(out_hw, require_even=yuv)
         self._validate_request(list(paths), list(frame_ids))
         key = self._request_key(paths, frame_ids, as_bgr, yuv, out_hw)
         with self._lock:
@@ -427,6 +431,10 @@ class BatchAsyncStreamReader:
         ``out_hw`` fuses a resize into the decode (both formats; the YUV
         wire needs even dims)."""
         _reject_yuv_bgr(yuv, as_bgr)
+        if out_hw is not None:  # eager: a bad target must point at THIS call
+            from .decoder import _check_out_hw
+
+            _check_out_hw(out_hw, require_even=yuv)
         self._validate_request(list(paths), [list(r) for r in frame_ids])
         key = self._request_key(paths, frame_ids, as_bgr, yuv, out_hw)
         with self._lock:

@@ -819,3 +819,29 @@ def test_native_rgb_fallbacks():
     sdg["image"] = png
     out = np.asarray(dec._process(sdg)["image"])
     assert out.shape == (16, 20, 3)
+
+
+def test_out_hw_validation_contracts(vclip):
+    """Review-pass regressions: out_hw is validated STRICTLY (no float
+    truncation, no extra elements, bounded) and EAGERLY (a bad target
+    raises at DecodeAsync/Decode, not later out of GetBuffer)."""
+    from accvlab_tpu.video import CreateSampleReader
+    from accvlab_tpu.video.decoder import _check_out_hw
+
+    path, _frames = vclip
+    for bad in [(224.6, 224.6), (32, 48, 3), (0, 4), (4, 1 << 21), (32,)]:
+        with pytest.raises(ValueError, match="out_hw"):
+            _check_out_hw(bad, require_even=False)
+    r = CreateSampleReader(max_readers=2, num_workers=1)
+    try:
+        # odd dims on the YUV wire: rejected at the CALL, nothing in flight
+        with pytest.raises(ValueError, match="out_hw"):
+            r.DecodeAsync([path], [0], yuv=True, out_hw=(33, 48))
+        with pytest.raises(ValueError, match="out_hw"):
+            r.DecodeAsync([path], [0], out_hw=(16.5, 24))
+        # the failed calls left no in-flight request behind
+        r.DecodeAsync([path], [0], yuv=True, out_hw=(32, 48))
+        out = r.GetBuffer([path], [0], yuv=True, out_hw=(32, 48))
+        assert out[0].y.shape == (32, 48)
+    finally:
+        r.ReleaseResources()
