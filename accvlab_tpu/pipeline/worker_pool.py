@@ -256,5 +256,70 @@ class ProcessSampleWorkers:
         return results
 
     def shutdown(self):
-        self._pool.terminate()
-        self._pool.join()
+        """Stop the pool — safe even after a hard-killed worker.
+
+        ``Pool.terminate()`` is NOT safe then: a worker blocked in
+        ``inqueue.get()`` holds the queue's reader lock while it waits, so
+        SIGKILLing it orphans the lock (POSIX semaphore — nothing releases
+        it), and ``_terminate_pool -> _help_stuff_finish`` deadlocks on
+        ``inqueue._rlock.acquire()`` (observed as a forever-hang of
+        ``pipe.stop()`` in CI). When the pool is broken we bypass the
+        graceful path entirely; when it looks healthy we still bound the
+        graceful path with a timeout and fall back, because a worker death
+        the watchdog never observed leaves the same orphaned lock."""
+        import threading
+
+        if not self._broken:
+            done = threading.Event()
+
+            def _graceful():
+                try:
+                    self._pool.terminate()
+                    self._pool.join()
+                except Exception:
+                    pass
+                finally:
+                    done.set()
+
+            t = threading.Thread(
+                target=_graceful, name="accvlab-pool-shutdown", daemon=True
+            )
+            t.start()
+            if done.wait(10.0):
+                return
+            self._broken = True  # abandoned; fall through to force-kill
+        self._force_shutdown()
+
+    def _force_shutdown(self):
+        """Kill-path teardown that never touches the (possibly orphaned)
+        inqueue lock: stop the respawn loop, SIGKILL the workers, and cancel
+        the pool's atexit finalizer so interpreter exit cannot re-enter the
+        deadlocking ``_terminate_pool``. Helper threads are daemons; the
+        queues' fds are reclaimed with the process."""
+        from multiprocessing import pool as mp_pool
+
+        p = self._pool
+        try:
+            p._state = mp_pool.TERMINATE  # noqa: SLF001
+            p._worker_handler._state = mp_pool.TERMINATE  # noqa: SLF001
+            p._change_notifier.put(None)  # noqa: SLF001 — wake the handler
+        except Exception:
+            pass
+        try:
+            p._worker_handler.join(5.0)  # noqa: SLF001 — stop respawns
+        except Exception:
+            pass
+        for w in list(getattr(p, "_pool", [])):
+            try:
+                w.kill()
+            except Exception:
+                pass
+        for w in list(getattr(p, "_pool", [])):
+            try:
+                w.join(5.0)
+            except Exception:
+                pass
+        try:
+            p._terminate.cancel()  # noqa: SLF001 — disarm the atexit path
+        except Exception:
+            pass

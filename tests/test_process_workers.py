@@ -189,3 +189,35 @@ def test_hard_killed_worker_raises_instead_of_hanging():
             pipe._workers.produce_batch(4, 0, 0)
     finally:
         pipe.stop()  # must not hang
+
+
+def test_shutdown_after_idle_kill_does_not_deadlock():
+    """The deadlock the watchdog CANNOT prevent: a worker blocked in
+    ``inqueue.get()`` holds the queue's reader lock while it waits, so
+    SIGKILLing an IDLE worker orphans that POSIX semaphore forever and
+    ``Pool.terminate()`` deadlocks acquiring it (_help_stuff_finish,
+    multiprocessing/pool.py:675 — the intermittent CI suite hang).
+    Killing BOTH idle workers guarantees the lock died held; shutdown()
+    must still return promptly via the force-kill path."""
+    import os
+    import signal
+    import time
+
+    from accvlab_tpu.pipeline.worker_pool import ProcessSampleWorkers
+
+    inp = ShuffledShardedInputCallable(TinyProvider(), batch_size=4, shuffle=False)
+    workers = ProcessSampleWorkers(
+        2, inp, [], TinyProvider().sample_data_structure, False, 0
+    )
+    try:
+        workers.produce_batch(4, 0, 0)  # pool warm
+        time.sleep(0.5)  # both workers settle back into inqueue.get()
+        for w in list(workers._pool._pool):
+            os.kill(w.pid, signal.SIGKILL)
+        # the next batch can never complete; the watchdog must raise
+        with pytest.raises(RuntimeError, match="worker process died"):
+            workers.produce_batch(4, 1, 0)
+    finally:
+        t0 = time.time()
+        workers.shutdown()
+        assert time.time() - t0 < 15.0, "shutdown deadlocked on the orphaned lock"
