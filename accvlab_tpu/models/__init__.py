@@ -25,8 +25,14 @@ _PETR = (
     "propagate_queries_with_motion",
 )
 _TRAIN_UTILS = ("make_grad_accum_step",)
+_SERVER = ("InferenceServer", "ServerClosed")
 
-__all__ = list(_CENTERNET) + list(_PETR) + list(_TRAIN_UTILS)
+__all__ = list(_CENTERNET) + list(_PETR) + list(_TRAIN_UTILS) + list(_SERVER)
+
+_SUBMODULES = (
+    "centernet", "petr", "moe", "checkpoint", "serving", "quantize",
+    "train_utils", "server",
+)
 
 
 def __getattr__(name):
@@ -36,7 +42,9 @@ def __getattr__(name):
         from . import petr as m
     elif name in _TRAIN_UTILS:
         from . import train_utils as m
-    elif name in ("centernet", "petr", "moe", "checkpoint", "serving", "quantize", "train_utils"):
+    elif name in _SERVER:
+        from . import server as m
+    elif name in _SUBMODULES:
         import importlib
 
         return importlib.import_module(f".{name}", __name__)
@@ -46,4 +54,4 @@ def __getattr__(name):
 
 
 def __dir__():
-    return sorted(__all__ + ["centernet", "petr", "moe", "checkpoint", "serving", "quantize", "train_utils"])
+    return sorted(__all__ + list(_SUBMODULES))

@@ -104,6 +104,44 @@ def main(batch_size: int = 8, hw=(256, 320), num_classes: int = 10):
         f"batch-polymorphic); reload drift vs live apply: {drift:.2e} "
         f"(bf16 backbone -> few-ulp rounding differences are expected)"
     )
+
+    # --- serving runtime: micro-batched request serving -------------------- #
+    # Production traffic arrives one request at a time; the InferenceServer
+    # gathers concurrent requests into static-bucket batches (each bucket is
+    # one XLA compile of the batch-polymorphic artifact), pads, runs, and
+    # fans results back out to per-request futures.
+    import threading
+
+    from accvlab_tpu.models import InferenceServer
+
+    server = InferenceServer.from_artifact(
+        art_path, batch_sizes=(1, 2, 4, 8), max_delay_ms=3.0
+    )
+    server.warmup(images[0])  # compile all four buckets before traffic
+
+    n_clients, per_client = 4, 6
+    results = {}
+
+    def client(cid):
+        for i in range(per_client):
+            results[(cid, i)] = server.infer(images[(cid + i) % batch_size])
+
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    st = server.stats()
+    server.close()
+    assert len(results) == n_clients * per_client
+    print(
+        f"served {st['requests']} concurrent requests in {wall * 1e3:.0f} ms "
+        f"as {st['batches']} batches (bucket histogram {st['batch_size_counts']}, "
+        f"{st['padded_samples']} padded); exec p50 {st['exec'].get('p50_ms', 0):.1f} ms, "
+        f"queue-wait p95 {st['queue_wait'].get('p95_ms', 0):.1f} ms"
+    )
     return ms
 
 
