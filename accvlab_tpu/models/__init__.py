@@ -26,12 +26,16 @@ _PETR = (
 )
 _TRAIN_UTILS = ("make_grad_accum_step",)
 _SERVER = ("InferenceServer", "ServerClosed")
+_EVAL = ("DetectionEvaluator", "box_iou_matrix", "match_detections")
 
-__all__ = list(_CENTERNET) + list(_PETR) + list(_TRAIN_UTILS) + list(_SERVER)
+__all__ = (
+    list(_CENTERNET) + list(_PETR) + list(_TRAIN_UTILS) + list(_SERVER)
+    + list(_EVAL)
+)
 
 _SUBMODULES = (
     "centernet", "petr", "moe", "checkpoint", "serving", "quantize",
-    "train_utils", "server",
+    "train_utils", "server", "eval",
 )
 
 
@@ -44,6 +48,8 @@ def __getattr__(name):
         from . import train_utils as m
     elif name in _SERVER:
         from . import server as m
+    elif name in _EVAL:
+        from . import eval as m
     elif name in _SUBMODULES:
         import importlib
 

@@ -40,6 +40,7 @@ def batch_to_train_inputs(batch, max_targets=16):
     offsets = batch[f"cameras.[{cam}].annotations.offset"]
     active = batch[f"cameras.[{cam}].annotations.active"]
     hw = batch[f"cameras.[{cam}].annotations.hw"]
+    categories = batch[f"cameras.[{cam}].annotations.categories"]
     sizes = jnp.sum(active, axis=1).astype(jnp.int32)
     mk = lambda x: RaggedBatch(x, sample_sizes=sizes)
     # NOTE: active objects are not necessarily compacted to the front; for the
@@ -51,6 +52,7 @@ def batch_to_train_inputs(batch, max_targets=16):
             "centers": mk(centers.astype(jnp.int32)),
             "offsets": mk(offsets),
             "sizes": mk(hw),
+            "classes": mk(categories.astype(jnp.int32)),
         },
     }
 
@@ -85,6 +87,35 @@ def main():
         train_batch = batch_to_train_inputs(nxt)
     jax.block_until_ready(params)
     print(f"4 steps in {time.perf_counter() - t0:.2f}s over {len(devices)} device(s)")
+
+    # --- evaluation: decode + streaming mAP (models/eval.py) -------------- #
+    # GT boxes are reconstructed with the SAME arithmetic the decode applies
+    # to predictions (center+offset, hw, stride), so the metric isolates
+    # model quality; 4 demo steps -> expect ~0.
+    from accvlab_tpu.models import DetectionEvaluator, decode_detections
+
+    stride = OUT_HW[0] // HEATMAP_HW[0]
+    outputs = model.apply(params, train_batch["images"])
+    dets = decode_detections(
+        outputs, max_detections=32, score_threshold=0.05, stride=stride
+    )
+    tg = train_batch["targets"]
+    ctr = tg["centers"].tensor.astype(jnp.float32) + tg["offsets"].tensor
+    w = tg["sizes"].tensor[..., 0] * stride
+    h = tg["sizes"].tensor[..., 1] * stride
+    cx, cy = ctr[..., 0] * stride, ctr[..., 1] * stride
+    gt_boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    ev = DetectionEvaluator(iou_thresholds=(0.5,))
+    ev.update(
+        dets,
+        {
+            "boxes": RaggedBatch(gt_boxes, sample_sizes=tg["classes"].sample_sizes),
+            "classes": tg["classes"],
+        },
+    )
+    res = ev.compute()
+    print(f"mAP@0.5 after 4 demo steps: {res['mAP@0.5']:.4f} "
+          f"(per-class AP over {len(res['per_class'][0.5])} present classes)")
     pipe.stop()
 
 
