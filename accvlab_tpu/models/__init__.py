@@ -26,7 +26,10 @@ _PETR = (
 )
 _TRAIN_UTILS = ("make_grad_accum_step",)
 _SERVER = ("InferenceServer", "ServerClosed")
-_EVAL = ("DetectionEvaluator", "box_iou_matrix", "match_detections")
+_EVAL = (
+    "DetectionEvaluator", "box_iou_matrix", "match_detections",
+    "match_detections_3d",
+)
 
 __all__ = (
     list(_CENTERNET) + list(_PETR) + list(_TRAIN_UTILS) + list(_SERVER)

@@ -88,25 +88,63 @@ def match_detections(
         # scan/argmax below cannot trace over a zero-length axis)
         return jnp.zeros(pred_scores.tensor.shape, bool)
     iou = box_iou_matrix(pred_boxes.tensor, gt_boxes.tensor)  # (B, K, M)
+    eligible = _eligibility(pred_scores, pred_classes, gt_classes) & (
+        iou >= iou_threshold
+    )
+    return _greedy_match(jnp.where(eligible, iou, -jnp.inf))
+
+
+def match_detections_3d(
+    pred_boxes3d: RaggedBatch,
+    pred_scores: RaggedBatch,
+    pred_classes: RaggedBatch,
+    gt_boxes3d: RaggedBatch,
+    gt_classes: RaggedBatch,
+    distance_threshold: float = 2.0,
+):
+    """nuScenes-style 3-D matching: greedy over score order, a detection is
+    a TP iff the NEAREST unmatched same-class ground truth lies within
+    ``distance_threshold`` meters of **BEV center distance** (the nuScenes
+    devkit protocol — its mAP ladder is 0.5/1/2/4 m; yaw and size affect
+    the devkit's TP-error metrics, not the matching).
+
+    Boxes are ``(B, K, 7)`` with ``x, y`` leading (``x,y,z,w,l,h,yaw``);
+    only ``[..., :2]`` participates. Returns ``tp (B, K) bool``.
+    """
+    if pred_boxes3d.tensor.shape[-2] == 0 or gt_boxes3d.tensor.shape[-2] == 0:
+        return jnp.zeros(pred_scores.tensor.shape, bool)
+    d = (
+        pred_boxes3d.tensor[..., :, None, :2] - gt_boxes3d.tensor[..., None, :, :2]
+    )
+    dist2 = jnp.sum(d * d, axis=-1)  # (B, K, M)
+    eligible = _eligibility(pred_scores, pred_classes, gt_classes) & (
+        dist2 <= float(distance_threshold) ** 2
+    )
+    # nearest-first: affinity is negative squared distance
+    return _greedy_match(jnp.where(eligible, -dist2, -jnp.inf))
+
+
+def _eligibility(pred_scores, pred_classes, gt_classes):
     same_class = (
         pred_classes.tensor[..., :, None] == gt_classes.tensor[..., None, :]
     )
-    pred_valid = pred_scores.mask  # (B, K)
-    gt_valid = gt_classes.mask  # (B, M)
-    eligible = (
+    return (
         same_class
-        & gt_valid[..., None, :]
-        & pred_valid[..., :, None]
-        & (iou >= iou_threshold)
+        & gt_classes.mask[..., None, :]
+        & pred_scores.mask[..., :, None]
     )
-    cand = jnp.where(eligible, iou, -1.0)  # (B, K, M)
+
+
+def _greedy_match(cand):
+    """Greedy assignment over score-sorted detection slots: ``cand (B,K,M)``
+    holds the affinity of eligible pairs and ``-inf`` elsewhere; each slot
+    takes its best-affinity unmatched gt (consuming it) or is a FP."""
 
     def match_one(cand_km):
-        # scan detection slots in (already sorted) order; carry = gt matched mask
         def step(matched, cand_m):
-            avail = jnp.where(matched, -1.0, cand_m)
+            avail = jnp.where(matched, -jnp.inf, cand_m)
             best = jnp.argmax(avail)
-            ok = avail[best] >= 0.0
+            ok = avail[best] > -jnp.inf
             matched = matched.at[best].set(matched[best] | ok)
             return matched, ok
 
@@ -153,16 +191,38 @@ class DetectionEvaluator:
         print(ev.compute())                # {"mAP@0.5": ..., "per_class": ...}
     """
 
-    def __init__(self, iou_thresholds: Sequence[float] = (0.5,), num_points: int = 101):
-        self._thresholds = tuple(float(t) for t in iou_thresholds)
+    def __init__(
+        self,
+        iou_thresholds: Sequence[float] = (0.5,),
+        num_points: int = 101,
+        *,
+        metric: str = "iou",
+        thresholds: Optional[Sequence[float]] = None,
+    ):
+        """Args:
+            iou_thresholds: IoU ladder for ``metric="iou"``.
+            metric: ``"iou"`` (2-D boxes, :func:`match_detections`) or
+                ``"center_distance"`` (3-D boxes under the nuScenes
+                protocol, :func:`match_detections_3d`; thresholds are
+                METERS — the devkit ladder is ``(0.5, 1, 2, 4)``).
+            thresholds: metric-agnostic alias; overrides ``iou_thresholds``.
+        """
+        if metric not in ("iou", "center_distance"):
+            raise ValueError(f"unknown metric {metric!r}")
+        ts = thresholds if thresholds is not None else iou_thresholds
+        self._metric = metric
+        self._box_field = "boxes" if metric == "iou" else "boxes3d"
+        self._thresholds = tuple(float(t) for t in ts)
         self._num_points = int(num_points)
         # per threshold: list of (scores, tp, classes) arrays
         self._records = {t: [] for t in self._thresholds}
         self._gt_counts: collections.Counter = collections.Counter()
+        match_fn = match_detections if metric == "iou" else match_detections_3d
+        kwname = "iou_threshold" if metric == "iou" else "distance_threshold"
         self._matchers = {
             t: jax.jit(
-                lambda pb, ps, pc, gb, gc, t=t: match_detections(
-                    pb, ps, pc, gb, gc, iou_threshold=t
+                lambda pb, ps, pc, gb, gc, t=t: match_fn(
+                    pb, ps, pc, gb, gc, **{kwname: t}
                 )
             )
             for t in self._thresholds
@@ -172,12 +232,14 @@ class DetectionEvaluator:
         """Accumulate one batch.
 
         Args:
-            detections: ``{"boxes", "scores", "classes"}`` RaggedBatches as
-                returned by :func:`decode_detections` (score-sorted).
-            ground_truth: ``{"boxes", "classes"}`` RaggedBatches.
+            detections: ``{"boxes"|"boxes3d", "scores", "classes"}``
+                RaggedBatches as returned by :func:`decode_detections` /
+                :func:`decode_detections_3d` (score-sorted).
+            ground_truth: ``{"boxes"|"boxes3d", "classes"}`` RaggedBatches.
         """
-        pb, ps, pc = detections["boxes"], detections["scores"], detections["classes"]
-        gb, gc = ground_truth["boxes"], ground_truth["classes"]
+        bf = self._box_field
+        pb, ps, pc = detections[bf], detections["scores"], detections["classes"]
+        gb, gc = ground_truth[bf], ground_truth["classes"]
         pred_valid = np.asarray(ps.mask)
         scores = np.asarray(ps.tensor)
         classes = np.asarray(pc.tensor)

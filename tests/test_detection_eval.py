@@ -313,3 +313,127 @@ def test_evaluator_composes_with_decode(tmp_path):
     ev = DetectionEvaluator(iou_thresholds=(0.5,))
     ev.update(dets, gt)
     assert ev.compute()["mAP@0.5"] == pytest.approx(1.0)
+
+
+# --------------------------------------------------------------------------- #
+# 3-D center-distance matching (nuScenes protocol)
+# --------------------------------------------------------------------------- #
+
+from accvlab_tpu.models.eval import match_detections_3d
+
+
+def oracle_match_3d(preds, gts, thr):
+    """Nearest-first greedy: per (score-sorted) detection, the CLOSEST
+    unmatched same-class gt within thr meters of BEV center distance."""
+    matched = set()
+    tps = []
+    for box, cls in preds:
+        best, best_d = -1, float("inf")
+        for j, (gbox, gcls) in enumerate(gts):
+            if j in matched or gcls != cls:
+                continue
+            d = ((box[0] - gbox[0]) ** 2 + (box[1] - gbox[1]) ** 2) ** 0.5
+            if d <= thr and d < best_d:
+                best, best_d = j, d
+        if best >= 0:
+            matched.add(best)
+            tps.append(True)
+        else:
+            tps.append(False)
+    return tps
+
+
+def _box7(x, y):
+    return [x, y, 0.0, 2.0, 4.0, 1.5, 0.0]
+
+
+def test_match_3d_nearest_first_and_consumption():
+    # det0 is 1 m from gtA and 1.5 m from gtB -> takes gtA (nearest);
+    # det1 sits on gtA but it is consumed -> falls through to gtB (2.2 m,
+    # inside the 4 m gate)
+    pred = mk_rb([[_box7(1.0, 0.0), _box7(0.0, 0.0)]], [2])
+    scores = mk_rb([[0.9, 0.8]], [2])
+    classes = mk_rb([[0, 0]], [2])
+    gt = mk_rb([[_box7(0.0, 0.0), _box7(2.2, 0.0)]], [2])
+    gt_classes = mk_rb([[0, 0]], [2])
+    tp = np.asarray(
+        match_detections_3d(pred, scores, classes, gt, gt_classes,
+                            distance_threshold=4.0)
+    )
+    np.testing.assert_array_equal(tp, [[True, True]])
+    # tighter gate: the fallthrough gt is out of range
+    tp2 = np.asarray(
+        match_detections_3d(pred, scores, classes, gt, gt_classes,
+                            distance_threshold=2.0)
+    )
+    np.testing.assert_array_equal(tp2, [[True, False]])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_match_3d_crossval_random(seed):
+    rng = np.random.default_rng(100 + seed)
+    b, kmax, mmax, ncls = 3, 7, 5, 3
+    psz = rng.integers(0, kmax + 1, b)
+    gsz = rng.integers(0, mmax + 1, b)
+    pb = rng.uniform(-20, 20, (b, kmax, 7)).astype(np.float32)
+    gb = rng.uniform(-20, 20, (b, mmax, 7)).astype(np.float32)
+    scores = -np.sort(-rng.uniform(0, 1, (b, kmax)).astype(np.float32), axis=1)
+    pcls = rng.integers(0, ncls, (b, kmax)).astype(np.int32)
+    gcls = rng.integers(0, ncls, (b, mmax)).astype(np.int32)
+    thr = float(rng.uniform(2.0, 15.0))
+    tp = np.asarray(
+        match_detections_3d(
+            mk_rb(pb, psz), mk_rb(scores, psz), mk_rb(pcls, psz),
+            mk_rb(gb, gsz), mk_rb(gcls, gsz), distance_threshold=thr,
+        )
+    )
+    for bi in range(b):
+        preds = [(pb[bi, i], pcls[bi, i]) for i in range(psz[bi])]
+        gts = [(gb[bi, j], gcls[bi, j]) for j in range(gsz[bi])]
+        expect = oracle_match_3d(preds, gts, thr)
+        np.testing.assert_array_equal(tp[bi, : psz[bi]], expect, err_msg=f"sample {bi}")
+        assert not tp[bi, psz[bi]:].any()
+
+
+def test_evaluator_center_distance_with_petr_decode():
+    """decode_detections_3d output feeds the center-distance evaluator
+    (nuScenes ladder) directly."""
+    from accvlab_tpu.models import decode_detections_3d
+
+    b, q, c = 1, 6, 3
+    logits = np.full((b, q, c), -4.0, np.float32)
+    existence = np.full((b, q), -6.0, np.float32)
+    boxes3d = np.zeros((b, q, 7), np.float32)
+    # query 2: confident class-1 object at (10, 5)
+    logits[0, 2, 1] = 6.0
+    existence[0, 2] = 6.0
+    boxes3d[0, 2, :2] = (10.0, 5.0)
+    outputs = {
+        "logits": jnp.asarray(logits),
+        "existence": jnp.asarray(existence),
+        "boxes3d": jnp.asarray(boxes3d),
+    }
+    dets = decode_detections_3d(outputs, max_detections=4, score_threshold=0.5)
+    gt = {
+        "boxes3d": mk_rb([[_box7(10.5, 5.0)]], [1]),  # 0.5 m off
+        "classes": mk_rb([[1]], [1]),
+    }
+    ev = DetectionEvaluator(metric="center_distance", thresholds=(0.5, 1.0, 2.0, 4.0))
+    ev.update(dets, gt)
+    res = ev.compute()
+    assert res["mAP@0.5"] == pytest.approx(1.0)  # exactly at the 0.5 m gate
+    assert res["mAP@4"] == pytest.approx(1.0)
+    assert res["mAP"] == pytest.approx(1.0)
+    # out of every gate -> all zero
+    gt_far = {
+        "boxes3d": mk_rb([[_box7(30.0, 30.0)]], [1]),
+        "classes": mk_rb([[1]], [1]),
+    }
+    ev2 = DetectionEvaluator(metric="center_distance", thresholds=(0.5, 4.0))
+    ev2.update(dets, gt_far)
+    assert ev2.compute()["mAP"] == pytest.approx(0.0)
+
+
+def test_evaluator_metric_validation():
+    with pytest.raises(ValueError, match="unknown metric"):
+        DetectionEvaluator(metric="giou")
