@@ -105,8 +105,9 @@ def match_detections_3d(
     """nuScenes-style 3-D matching: greedy over score order, a detection is
     a TP iff the NEAREST unmatched same-class ground truth lies within
     ``distance_threshold`` meters of **BEV center distance** (the nuScenes
-    devkit protocol — its mAP ladder is 0.5/1/2/4 m; yaw and size affect
-    the devkit's TP-error metrics, not the matching).
+    devkit protocol — its mAP ladder is 0.5/1/2/4 m and its gate is STRICT,
+    ``dist < threshold``; yaw and size affect the devkit's TP-error
+    metrics, not the matching).
 
     Boxes are ``(B, K, 7)`` with ``x, y`` leading (``x,y,z,w,l,h,yaw``);
     only ``[..., :2]`` participates. Returns ``tp (B, K) bool``.
@@ -118,7 +119,7 @@ def match_detections_3d(
     )
     dist2 = jnp.sum(d * d, axis=-1)  # (B, K, M)
     eligible = _eligibility(pred_scores, pred_classes, gt_classes) & (
-        dist2 <= float(distance_threshold) ** 2
+        dist2 < float(distance_threshold) ** 2
     )
     # nearest-first: affinity is negative squared distance
     return _greedy_match(jnp.where(eligible, -dist2, -jnp.inf))
@@ -153,6 +154,29 @@ def _greedy_match(cand):
         return tp
 
     return jax.vmap(match_one)(cand)
+
+
+def _match_all_thresholds(metric, thresholds, pb, ps, pc, gb, gc):
+    """One traced program for the WHOLE threshold ladder: the (B, K, M)
+    affinity matrix and eligibility mask are computed once and each
+    threshold only re-gates them (the evaluator's per-batch device call —
+    10x cheaper than one program per threshold on the COCO 0.5:0.95
+    ladder, and one host sync instead of T)."""
+    t_shape = (len(thresholds),) + ps.tensor.shape
+    if pb.tensor.shape[-2] == 0 or gb.tensor.shape[-2] == 0:
+        return jnp.zeros(t_shape, bool)
+    elig = _eligibility(ps, pc, gc)
+    if metric == "iou":
+        aff = box_iou_matrix(pb.tensor, gb.tensor)
+        gates = [aff >= t for t in thresholds]
+    else:
+        d = pb.tensor[..., :, None, :2] - gb.tensor[..., None, :, :2]
+        dist2 = jnp.sum(d * d, axis=-1)
+        aff = -dist2
+        gates = [dist2 < t * t for t in thresholds]
+    return jnp.stack(
+        [_greedy_match(jnp.where(elig & g, aff, -jnp.inf)) for g in gates]
+    )
 
 
 def _interpolated_ap(scores, tp, num_gt, num_points=101):
@@ -217,16 +241,11 @@ class DetectionEvaluator:
         # per threshold: list of (scores, tp, classes) arrays
         self._records = {t: [] for t in self._thresholds}
         self._gt_counts: collections.Counter = collections.Counter()
-        match_fn = match_detections if metric == "iou" else match_detections_3d
-        kwname = "iou_threshold" if metric == "iou" else "distance_threshold"
-        self._matchers = {
-            t: jax.jit(
-                lambda pb, ps, pc, gb, gc, t=t: match_fn(
-                    pb, ps, pc, gb, gc, **{kwname: t}
-                )
+        self._matcher = jax.jit(
+            lambda pb, ps, pc, gb, gc: _match_all_thresholds(
+                self._metric, self._thresholds, pb, ps, pc, gb, gc
             )
-            for t in self._thresholds
-        }
+        )
 
     def update(self, detections: Dict[str, RaggedBatch], ground_truth: Dict[str, RaggedBatch]):
         """Accumulate one batch.
@@ -247,13 +266,13 @@ class DetectionEvaluator:
         gt_valid = np.asarray(gc.mask)
         for c, n in zip(*np.unique(gt_classes[gt_valid], return_counts=True)):
             self._gt_counts[int(c)] += int(n)
-        for t in self._thresholds:
-            tp = np.asarray(self._matchers[t](pb, ps, pc, gb, gc))
-            v = pred_valid.reshape(-1)
+        tp_all = np.asarray(self._matcher(pb, ps, pc, gb, gc))  # (T, B, K)
+        v = pred_valid.reshape(-1)
+        for ti, t in enumerate(self._thresholds):
             self._records[t].append(
                 (
                     scores.reshape(-1)[v],
-                    tp.reshape(-1)[v],
+                    tp_all[ti].reshape(-1)[v],
                     classes.reshape(-1)[v],
                 )
             )

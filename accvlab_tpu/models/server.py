@@ -73,6 +73,15 @@ class _Request:
         self.t_enqueue = time.monotonic()
 
 
+def _fail(req: _Request, exc: BaseException) -> None:
+    """set_exception that tolerates a client-cancelled future — an
+    InvalidStateError here must never escape into the dispatcher loop."""
+    try:
+        req.future.set_exception(exc)
+    except Exception:
+        pass
+
+
 def _stack_samples(args_list, pad_to: int):
     """Stack per-sample arg pytrees into one batched arg pytree, padding by
     replicating the last sample (numerically safe filler for any program)."""
@@ -90,7 +99,8 @@ class InferenceServer:
     Args:
         fn: batched callable — every input/output leaf has a leading batch
             dimension (a :class:`~accvlab_tpu.models.serving.LoadedInference`
-            is one). Called only from the dispatcher thread.
+            is one). Never called concurrently (dispatcher, warmup, and
+            post-close reaping all serialize on an internal lock).
         batch_sizes: the static bucket sizes (ascending order not required;
             they are sorted). The largest is the per-dispatch batch cap.
         max_delay_ms: how long the dispatcher waits after the first queued
@@ -115,6 +125,11 @@ class InferenceServer:
         self._closed = False
         self._drain_on_close = True
         self._close_lock = threading.Lock()
+        # serializes every self._fn call: the dispatcher owns the hot path,
+        # but warmup() runs from the caller thread and must not overlap it
+        self._fn_lock = threading.Lock()
+        # serializes straggler reaping after the dispatcher has exited
+        self._reap_lock = threading.Lock()
 
         # stats (dispatcher-thread writes; lock shared with stats() readers
         # because deque iteration concurrent with append raises)
@@ -151,6 +166,11 @@ class InferenceServer:
             raise ServerClosed("submit() on a closed InferenceServer")
         req = _Request(args)
         self._q.put(req)
+        # submit/close race: if close() finished its drain between our
+        # closed-check and the put, nobody will read this queue again —
+        # reap it ourselves (completes or fails req per the drain flag)
+        if self._closed and not self._thread.is_alive():
+            self._reap_stragglers()
         return req.future
 
     def submit_many(self, samples: Sequence[tuple]) -> list:
@@ -163,11 +183,15 @@ class InferenceServer:
 
     def warmup(self, *example_args) -> None:
         """Compile every bucket size ahead of traffic by running the batched
-        fn once per bucket on replicas of ``example_args`` (blocking)."""
+        fn once per bucket on replicas of ``example_args`` (blocking).
+        Safe under live traffic: calls are serialized with the dispatcher's
+        own fn calls."""
         import jax
 
         for b in self._buckets:
-            jax.block_until_ready(self._fn(*_stack_samples([example_args], b)))
+            with self._fn_lock:
+                out = self._fn(*_stack_samples([example_args], b))
+            jax.block_until_ready(out)
 
     def stats(self) -> dict:
         """Counters + latency percentiles over the last ≤10k requests."""
@@ -204,6 +228,24 @@ class InferenceServer:
                 self._drain_on_close = drain
                 self._q.put(_SENTINEL)
         self._thread.join(timeout)
+        if not self._thread.is_alive():
+            # catch requests that raced past the closed-check into the
+            # queue after the dispatcher finished draining
+            self._reap_stragglers()
+
+    def _reap_stragglers(self) -> None:
+        with self._reap_lock:
+            while True:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    return
+                if item is _SENTINEL:
+                    continue
+                if self._drain_on_close:
+                    self._run_batch([item])
+                else:
+                    _fail(item, ServerClosed("server closed with drain=False"))
 
     def __enter__(self):
         return self
@@ -230,9 +272,7 @@ class InferenceServer:
             if first is _SENTINEL:
                 break
             if self._closed and not self._drain_on_close:
-                first.future.set_exception(
-                    ServerClosed("server closed with drain=False")
-                )
+                _fail(first, ServerClosed("server closed with drain=False"))
                 continue
             batch = [first]
             deadline = time.monotonic() + self._max_delay
@@ -265,13 +305,17 @@ class InferenceServer:
                 self._run_batch(leftovers[i : i + max_b])
         else:
             for req in leftovers:
-                req.future.set_exception(
-                    ServerClosed("server closed with drain=False")
-                )
+                _fail(req, ServerClosed("server closed with drain=False"))
 
     def _run_batch(self, batch):
         import jax
 
+        # transition futures to RUNNING; drop the ones the client cancelled
+        # while they were queued (fulfilling a cancelled future raises
+        # InvalidStateError, which would kill this thread)
+        batch = [r for r in batch if r.future.set_running_or_notify_cancel()]
+        if not batch:
+            return
         n = len(batch)
         bucket = self._bucket_for(n)
         t0 = time.monotonic()
@@ -279,7 +323,8 @@ class InferenceServer:
             for req in batch:
                 self._wait_s.append(t0 - req.t_enqueue)
         try:
-            out = self._fn(*_stack_samples([r.args for r in batch], bucket))
+            with self._fn_lock:
+                out = self._fn(*_stack_samples([r.args for r in batch], bucket))
             out = jax.block_until_ready(out)
         except BaseException as e:  # noqa: BLE001 — fan the error out
             with self._stats_lock:
@@ -287,7 +332,7 @@ class InferenceServer:
                 self._n_requests += n
                 self._n_batches += 1
             for req in batch:
-                req.future.set_exception(e)
+                _fail(req, e)
             return
         with self._stats_lock:
             self._exec_s.append(time.monotonic() - t0)
@@ -314,9 +359,13 @@ class InferenceServer:
             ]
         except BaseException as e:  # noqa: BLE001
             for req in batch:
-                req.future.set_exception(e)
+                _fail(req, e)
             with self._stats_lock:
                 self._n_errors += n
             return
         for req, res in zip(batch, results):
-            req.future.set_result(res)
+            try:
+                req.future.set_result(res)
+            except Exception:
+                pass  # client cancelled between RUNNING and here: impossible
+                # for Future semantics, but never kill the dispatcher

@@ -41,10 +41,16 @@ def batch_to_train_inputs(batch, max_targets=16):
     active = batch[f"cameras.[{cam}].annotations.active"]
     hw = batch[f"cameras.[{cam}].annotations.hw"]
     categories = batch[f"cameras.[{cam}].annotations.categories"]
-    sizes = jnp.sum(active, axis=1).astype(jnp.int32)
-    mk = lambda x: RaggedBatch(x, sample_sizes=sizes)
-    # NOTE: active objects are not necessarily compacted to the front; for the
-    # demo we treat the first `sizes` entries as the training targets.
+    act = active.astype(bool)
+    sizes = jnp.sum(act, axis=1).astype(jnp.int32)
+    # active objects are not necessarily front-compacted after filtering
+    # steps; a RaggedBatch prefix mask needs them to be, so compact (stable
+    # sort: active first, original order preserved)
+    order = jnp.argsort(~act, axis=1, stable=True)
+    compact = lambda a: jnp.take_along_axis(
+        a, order[..., None] if a.ndim == 3 else order, axis=1
+    )
+    mk = lambda x: RaggedBatch(compact(x), sample_sizes=sizes)
     return {
         "images": images,
         "targets": {

@@ -324,7 +324,8 @@ from accvlab_tpu.models.eval import match_detections_3d
 
 def oracle_match_3d(preds, gts, thr):
     """Nearest-first greedy: per (score-sorted) detection, the CLOSEST
-    unmatched same-class gt within thr meters of BEV center distance."""
+    unmatched same-class gt STRICTLY within thr meters of BEV center
+    distance (the devkit's ``min_dist < dist_th``)."""
     matched = set()
     tps = []
     for box, cls in preds:
@@ -333,7 +334,7 @@ def oracle_match_3d(preds, gts, thr):
             if j in matched or gcls != cls:
                 continue
             d = ((box[0] - gbox[0]) ** 2 + (box[1] - gbox[1]) ** 2) ** 0.5
-            if d <= thr and d < best_d:
+            if d < thr and d < best_d:
                 best, best_d = j, d
         if best >= 0:
             matched.add(best)
@@ -421,9 +422,12 @@ def test_evaluator_center_distance_with_petr_decode():
     ev = DetectionEvaluator(metric="center_distance", thresholds=(0.5, 1.0, 2.0, 4.0))
     ev.update(dets, gt)
     res = ev.compute()
-    assert res["mAP@0.5"] == pytest.approx(1.0)  # exactly at the 0.5 m gate
+    # devkit gate is STRICT (dist < thr): exactly 0.5 m off fails the 0.5 m
+    # gate and passes the wider ones
+    assert res["mAP@0.5"] == pytest.approx(0.0)
+    assert res["mAP@1"] == pytest.approx(1.0)
     assert res["mAP@4"] == pytest.approx(1.0)
-    assert res["mAP"] == pytest.approx(1.0)
+    assert res["mAP"] == pytest.approx(0.75)
     # out of every gate -> all zero
     gt_far = {
         "boxes3d": mk_rb([[_box7(30.0, 30.0)]], [1]),
@@ -437,3 +441,39 @@ def test_evaluator_center_distance_with_petr_decode():
 def test_evaluator_metric_validation():
     with pytest.raises(ValueError, match="unknown metric"):
         DetectionEvaluator(metric="giou")
+
+
+def test_ladder_matcher_agrees_with_single_threshold_fns():
+    """The evaluator's one-jit threshold-ladder program must agree with the
+    public single-threshold matchers at every rung, both metrics."""
+    from accvlab_tpu.models.eval import _match_all_thresholds
+
+    rng = np.random.default_rng(7)
+    b, kmax, mmax = 2, 6, 5
+    psz = rng.integers(1, kmax + 1, b)
+    gsz = rng.integers(1, mmax + 1, b)
+    pb2 = rng.uniform(0, 30, (b, kmax, 4)).astype(np.float32)
+    pb2[..., 2:] = pb2[..., :2] + rng.uniform(1, 10, (b, kmax, 2))
+    gb2 = rng.uniform(0, 30, (b, mmax, 4)).astype(np.float32)
+    gb2[..., 2:] = gb2[..., :2] + rng.uniform(1, 10, (b, mmax, 2))
+    pb3 = rng.uniform(-10, 10, (b, kmax, 7)).astype(np.float32)
+    gb3 = rng.uniform(-10, 10, (b, mmax, 7)).astype(np.float32)
+    scores = -np.sort(-rng.uniform(0, 1, (b, kmax)).astype(np.float32), axis=1)
+    pcls = rng.integers(0, 2, (b, kmax)).astype(np.int32)
+    gcls = rng.integers(0, 2, (b, mmax)).astype(np.int32)
+
+    args2 = (mk_rb(pb2, psz), mk_rb(scores, psz), mk_rb(pcls, psz),
+             mk_rb(gb2, gsz), mk_rb(gcls, gsz))
+    ladder = (0.1, 0.3, 0.5, 0.75)
+    all2 = np.asarray(_match_all_thresholds("iou", ladder, *args2))
+    for ti, t in enumerate(ladder):
+        single = np.asarray(match_detections(*args2, iou_threshold=t))
+        np.testing.assert_array_equal(all2[ti], single, err_msg=f"iou@{t}")
+
+    args3 = (mk_rb(pb3, psz), mk_rb(scores, psz), mk_rb(pcls, psz),
+             mk_rb(gb3, gsz), mk_rb(gcls, gsz))
+    meters = (0.5, 1.0, 2.0, 4.0)
+    all3 = np.asarray(_match_all_thresholds("center_distance", meters, *args3))
+    for ti, t in enumerate(meters):
+        single = np.asarray(match_detections_3d(*args3, distance_threshold=t))
+        np.testing.assert_array_equal(all3[ti], single, err_msg=f"dist@{t}")

@@ -271,3 +271,41 @@ def test_context_manager_closes():
         )
     with pytest.raises(ServerClosed):
         server.submit(np.float32([0.0]))
+
+
+def test_cancelled_future_does_not_kill_dispatcher():
+    """A client cancelling a queued Future must not wedge the server
+    (fulfilling a cancelled future raises InvalidStateError)."""
+    release = threading.Event()
+
+    def slow_fn(x):
+        release.wait(30)
+        return x
+
+    server = InferenceServer(slow_fn, batch_sizes=(1,), max_delay_ms=0.0)
+    blocker = server.submit(np.float32([0.0]))  # occupies the dispatcher
+    queued = server.submit(np.float32([1.0]))
+    assert queued.cancel()  # still queued -> cancellable
+    release.set()
+    blocker.result(timeout=60)
+    # dispatcher survived the cancelled request; server keeps serving
+    np.testing.assert_array_equal(
+        np.asarray(server.infer(np.float32([3.0]), timeout=60)), [[3.0]]
+    )
+    server.close()
+
+
+def test_submit_close_race_straggler_is_reaped():
+    """A request that lands in the queue after close() fully drained (the
+    TOCTOU window submit's closed-check cannot eliminate) is completed by
+    the reap path instead of hanging forever."""
+    from accvlab_tpu.models.server import _Request
+
+    server = InferenceServer(_double_fn, batch_sizes=(1,), max_delay_ms=0.0)
+    server.close()  # dispatcher fully drained and exited
+    # simulate the losing side of the race: enqueue directly, then reap as
+    # submit() would on noticing closed+dead
+    racer = _Request((np.float32([4.0]),))
+    server._q.put(racer)
+    server._reap_stragglers()
+    np.testing.assert_array_equal(np.asarray(racer.future.result(timeout=0)), [[8.0]])
