@@ -24,7 +24,7 @@ _PETR = (
     "propagate_queries",
     "propagate_queries_with_motion",
 )
-_TRAIN_UTILS = ("make_grad_accum_step",)
+_TRAIN_UTILS = ("make_grad_accum_step", "ema_init", "ema_update", "ema_params")
 _SERVER = ("InferenceServer", "ServerClosed")
 _EVAL = (
     "DetectionEvaluator", "box_iou_matrix", "match_detections",

@@ -12,7 +12,49 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["make_grad_accum_step"]
+__all__ = ["make_grad_accum_step", "ema_init", "ema_update", "ema_params"]
+
+
+def ema_init(params):
+    """Initialize an exponential-moving-average state as a copy of
+    ``params`` (same pytree/shardings — the EMA shards with the model)."""
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def ema_update(ema, params, decay: float = 0.999, step=None):
+    """One EMA step: ``ema = decay * ema + (1 - decay) * params``.
+
+    Serving from EMA weights is the standard production stabilizer for
+    detection models (CenterNet-family training ships EMA'd weights).
+    Pure function of pytrees — jit/pjit-compatible, so it fuses into the
+    train step at negligible cost (one fma per weight, HBM-bound).
+
+    Args:
+        decay: the asymptotic decay.
+        step: optional current step (int or traced scalar) enabling the
+            standard warmup correction ``min(decay, (1 + step) / (10 +
+            step))`` so early steps track the fast-moving params instead
+            of the random init.
+    """
+    d = jnp.asarray(decay, jnp.float32)
+    if step is not None:
+        s = jnp.asarray(step, jnp.float32)
+        d = jnp.minimum(d, (1.0 + s) / (10.0 + s))
+
+    def upd(e, p):
+        if not jnp.issubdtype(jnp.asarray(e).dtype, jnp.inexact):
+            return p  # integer leaves (step counters) track params directly
+        de = d.astype(e.dtype)
+        return e * de + p.astype(e.dtype) * (1 - de)
+
+    return jax.tree_util.tree_map(upd, ema, params)
+
+
+def ema_params(ema):
+    """The EMA state IS the serving params pytree; returned as-is (named
+    for call-site clarity: ``save_inference(path, apply, ema_params(ema),
+    ...)``)."""
+    return ema
 
 
 def make_grad_accum_step(loss_fn, optimizer, accum_steps: int, remat: bool = False):

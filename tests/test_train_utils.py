@@ -122,3 +122,65 @@ def test_composes_with_shared_jit():
     a = s1(*ex)
     b = s2(*ex)
     np.testing.assert_array_equal(np.asarray(a[0]["w"]), np.asarray(b[0]["w"]))
+
+
+# --------------------------------------------------------------------------- #
+# EMA
+# --------------------------------------------------------------------------- #
+
+
+def test_ema_matches_scalar_recurrence():
+    from accvlab_tpu.models.train_utils import ema_init, ema_update
+
+    params = {"w": jnp.asarray([1.0, 2.0]), "b": jnp.asarray(0.0)}
+    ema = ema_init(params)
+    decay = 0.9
+    # three updates toward changing params; compare vs the scalar recurrence
+    expect_w = np.array([1.0, 2.0])
+    expect_b = 0.0
+    for i in range(1, 4):
+        params = {"w": jnp.asarray([1.0 * i, 2.0 * i]), "b": jnp.asarray(float(i))}
+        ema = ema_update(ema, params, decay=decay)
+        expect_w = decay * expect_w + (1 - decay) * np.array([1.0 * i, 2.0 * i])
+        expect_b = decay * expect_b + (1 - decay) * float(i)
+    np.testing.assert_allclose(np.asarray(ema["w"]), expect_w, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ema["b"]), expect_b, rtol=1e-6)
+
+
+def test_ema_warmup_correction_tracks_early_params():
+    from accvlab_tpu.models.train_utils import ema_init, ema_update
+
+    ema = ema_init({"w": jnp.zeros(())})
+    params = {"w": jnp.asarray(10.0)}
+    # step 0: effective decay = min(0.999, 1/10) = 0.1 -> ema ~ 9.0
+    ema = ema_update(ema, params, decay=0.999, step=0)
+    np.testing.assert_allclose(float(ema["w"]), 9.0, rtol=1e-6)
+    # late step: effective decay saturates at the configured value
+    ema2 = ema_update(ema_init({"w": jnp.zeros(())}), params, decay=0.999, step=10_000)
+    np.testing.assert_allclose(float(ema2["w"]), 10.0 * (1 - 0.999), rtol=1e-4)
+
+
+def test_ema_integer_leaves_pass_through_and_jit_composes():
+    from accvlab_tpu.models.train_utils import ema_init, ema_update
+
+    params = {"w": jnp.asarray([1.0]), "step": jnp.asarray(7, jnp.int32)}
+    ema = ema_init(params)
+    params2 = {"w": jnp.asarray([3.0]), "step": jnp.asarray(8, jnp.int32)}
+    out = jax.jit(lambda e, p: ema_update(e, p, decay=0.5))(ema, params2)
+    np.testing.assert_allclose(np.asarray(out["w"]), [2.0])
+    assert int(out["step"]) == 8  # integer leaf tracks params, not averaged
+
+
+def test_ema_params_serve_via_export(tmp_path):
+    """EMA weights flow through the serving exporter unchanged (the
+    production pattern: train with params, ship ema_params)."""
+    from accvlab_tpu.models.serving import load_inference, save_inference
+    from accvlab_tpu.models.train_utils import ema_init, ema_params, ema_update
+
+    w = {"k": jnp.asarray([[2.0, 0.0], [0.0, 2.0]])}
+    ema = ema_update(ema_init(w), {"k": jnp.asarray([[4.0, 0.0], [0.0, 4.0]])}, decay=0.5)
+    apply_fn = lambda p, x: x @ p["k"]
+    path = str(tmp_path / "ema.accvserve")
+    save_inference(path, apply_fn, ema_params(ema), np.ones((1, 2), np.float32))
+    out = load_inference(path)(np.ones((1, 2), np.float32))
+    np.testing.assert_allclose(np.asarray(out), [[3.0, 3.0]])  # 0.5*2+0.5*4
