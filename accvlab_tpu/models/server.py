@@ -106,6 +106,14 @@ class InferenceServer:
         max_delay_ms: how long the dispatcher waits after the first queued
             request for the batch to fill before running a partial bucket.
         max_queue: queue bound (``submit`` blocks when full); 0 = unbounded.
+        pipeline_depth: how many dispatched batches may be in flight before
+            the dispatcher blocks on the oldest. jax dispatch is async, so
+            depth 2 overlaps host-side batching (queue pull, stack, pad)
+            with device execution of the previous batch — the throughput
+            lever under sustained traffic; 1 (default) completes each
+            batch before collecting the next (lowest latency). Idle
+            periods always flush the window, so results are never held
+            back waiting for more traffic.
     """
 
     def __init__(
@@ -115,9 +123,13 @@ class InferenceServer:
         batch_sizes: Sequence[int] = (1, 2, 4, 8),
         max_delay_ms: float = 2.0,
         max_queue: int = 0,
+        pipeline_depth: int = 1,
     ):
         if not batch_sizes or any(int(b) < 1 for b in batch_sizes):
             raise ValueError(f"batch_sizes must be positive ints, got {batch_sizes!r}")
+        if int(pipeline_depth) < 1:
+            raise ValueError(f"pipeline_depth={pipeline_depth} must be >= 1")
+        self._depth = int(pipeline_depth)
         self._fn = fn
         self._buckets = tuple(sorted(set(int(b) for b in batch_sizes)))
         self._max_delay = float(max_delay_ms) / 1000.0
@@ -265,9 +277,17 @@ class InferenceServer:
         return self._buckets[-1]
 
     def _serve_loop(self):
+        import collections as _c
+
         max_bucket = self._buckets[-1]
         stopping = False
+        inflight: "_c.deque" = _c.deque()
         while not stopping:
+            if inflight and self._q.qsize() == 0:
+                # no traffic waiting: resolve the overlap window before
+                # blocking, so idle periods never delay completed results
+                while inflight:
+                    self._complete_batch(*inflight.popleft())
             first = self._q.get()
             if first is _SENTINEL:
                 break
@@ -288,7 +308,13 @@ class InferenceServer:
                     stopping = True
                     break
                 batch.append(nxt)
-            self._run_batch(batch)
+            rec = self._dispatch_batch(batch)
+            if rec is not None:
+                inflight.append(rec)
+            while len(inflight) >= self._depth:
+                self._complete_batch(*inflight.popleft())
+        while inflight:
+            self._complete_batch(*inflight.popleft())
         # shutdown: the queue may still hold requests enqueued before (or
         # racing with) close(); finish or fail them per the drain flag.
         leftovers = []
@@ -308,14 +334,22 @@ class InferenceServer:
                 _fail(req, ServerClosed("server closed with drain=False"))
 
     def _run_batch(self, batch):
-        import jax
+        """Dispatch + complete in one blocking call (reap/drain paths)."""
+        rec = self._dispatch_batch(batch)
+        if rec is not None:
+            self._complete_batch(*rec)
 
+    def _dispatch_batch(self, batch):
+        """Stack, pad, and dispatch one batch; returns the in-flight record
+        ``(batch, out, bucket, t0)`` or None if it already failed/emptied.
+        With jax's async dispatch the device computes while the dispatcher
+        collects the next batch (``pipeline_depth`` bounds the overlap)."""
         # transition futures to RUNNING; drop the ones the client cancelled
         # while they were queued (fulfilling a cancelled future raises
         # InvalidStateError, which would kill this thread)
         batch = [r for r in batch if r.future.set_running_or_notify_cancel()]
         if not batch:
-            return
+            return None
         n = len(batch)
         bucket = self._bucket_for(n)
         t0 = time.monotonic()
@@ -325,8 +359,24 @@ class InferenceServer:
         try:
             with self._fn_lock:
                 out = self._fn(*_stack_samples([r.args for r in batch], bucket))
-            out = jax.block_until_ready(out)
         except BaseException as e:  # noqa: BLE001 — fan the error out
+            with self._stats_lock:
+                self._n_errors += n
+                self._n_requests += n
+                self._n_batches += 1
+            for req in batch:
+                _fail(req, e)
+            return None
+        return batch, out, bucket, t0
+
+    def _complete_batch(self, batch, out, bucket, t0):
+        """Block on the in-flight result and fan it out to the futures."""
+        import jax
+
+        n = len(batch)
+        try:
+            out = jax.block_until_ready(out)
+        except BaseException as e:  # noqa: BLE001 — runtime/transfer error
             with self._stats_lock:
                 self._n_errors += n
                 self._n_requests += n

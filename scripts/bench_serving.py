@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--clients", type=int, default=4)
     ap.add_argument("--per-client", type=int, default=25)
     ap.add_argument("--max-delay-ms", type=float, default=3.0)
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="in-flight dispatch window (2 overlaps host "
+                         "batching with device execution)")
     args = ap.parse_args()
 
     probe_tpu_or_exit()
@@ -108,7 +111,8 @@ def main():
 
     # ---- 2. InferenceServer under concurrent clients ------------------- #
     server = InferenceServer(
-        serve_fn, batch_sizes=tuple(args.buckets), max_delay_ms=args.max_delay_ms
+        serve_fn, batch_sizes=tuple(args.buckets),
+        max_delay_ms=args.max_delay_ms, pipeline_depth=args.pipeline_depth,
     )
     server.warmup(images[0])
     n = args.clients * args.per_client
@@ -138,6 +142,7 @@ def main():
         "metric": "serving_requests_per_s",
         "value": round(served_rps, 1),
         "unit": "req/s",
+        "pipeline_depth": args.pipeline_depth,
         "backend": backend,
         "hw": list(hw),
         "per_bucket": per_bucket,

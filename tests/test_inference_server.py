@@ -309,3 +309,47 @@ def test_submit_close_race_straggler_is_reaped():
     server._q.put(racer)
     server._reap_stragglers()
     np.testing.assert_array_equal(np.asarray(racer.future.result(timeout=0)), [[8.0]])
+
+
+@pytest.mark.parametrize("depth", [2, 3])
+def test_pipeline_depth_correctness_under_burst(depth):
+    """Overlapped dispatch (pipeline_depth > 1) must deliver the same
+    per-request results, in completion order, and flush when idle."""
+    server = InferenceServer(
+        jax.jit(_double_fn), batch_sizes=(1, 2), max_delay_ms=1.0,
+        pipeline_depth=depth,
+    )
+    futs = [server.submit(np.full((2,), i, np.float32)) for i in range(12)]
+    for i, f in enumerate(futs):
+        np.testing.assert_array_equal(np.asarray(f.result(timeout=60)),
+                                      np.full((1, 2), i) * 2.0)
+    # idle flush: nothing should remain unresolved without more traffic
+    extra = server.infer(np.float32([5.0, 5.0]), timeout=60)
+    np.testing.assert_array_equal(np.asarray(extra), [[10.0, 10.0]])
+    st = server.stats()
+    server.close()
+    assert st["requests"] == 13
+    assert st["errors"] == 0
+
+
+def test_pipeline_depth_dispatch_error_attributed_to_its_batch():
+    def picky_fn(x):
+        if float(np.max(x)) > 100.0:
+            raise ValueError("poison")
+        return x
+
+    server = InferenceServer(picky_fn, batch_sizes=(1,), max_delay_ms=0.0,
+                             pipeline_depth=2)
+    good1 = server.submit(np.float32([1.0]))
+    bad = server.submit(np.float32([200.0]))
+    good2 = server.submit(np.float32([2.0]))
+    np.testing.assert_array_equal(np.asarray(good1.result(60)), [[1.0]])
+    with pytest.raises(ValueError, match="poison"):
+        bad.result(60)
+    np.testing.assert_array_equal(np.asarray(good2.result(60)), [[2.0]])
+    server.close()
+
+
+def test_pipeline_depth_validation():
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        InferenceServer(_double_fn, pipeline_depth=0)
