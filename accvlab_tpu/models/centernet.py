@@ -80,7 +80,10 @@ def centernet_loss(outputs: Dict[str, Any], targets: Dict[str, Any]) -> Dict[str
 
     ``targets``: ``heatmap (B, Hf, Wf, C)``; ``centers`` RaggedBatch
     ``(B, T, 2)`` int (x, y in feature coords); ``offsets`` RaggedBatch
-    ``(B, T, 2)``; ``sizes`` RaggedBatch ``(B, T, 2)``.
+    ``(B, T, 2)``; ``sizes`` RaggedBatch ``(B, T, 2)`` as **(w, h)** in
+    feature coords (CenterNet's convention, and what
+    :func:`decode_detections` assumes of the trained size head — the
+    pipeline's ``hw`` annotation is (h, w), flip it when building targets).
 
     The per-object terms gather head outputs at the (ragged) center
     locations with :func:`batched_indexing_access` and reduce with

@@ -238,6 +238,13 @@ class ProcessSampleWorkers:
                 "pipeline worker pool is broken (a worker died earlier); "
                 "re-create the pipeline"
             )
+        # check BEFORE dispatch too: a worker killed while idle is silently
+        # replaced by the pool and fast batches can complete inside the
+        # first wait() below without ever consulting the watchdog — the
+        # death would go unreported (and an idle-killed worker leaves the
+        # inqueue lock orphaned, so the pool MUST be declared broken for
+        # shutdown() to take the force path)
+        self._check_workers_alive()
         args = [(i, iteration, epoch, batch_size) for i in range(batch_size)]
         async_res = self._pool.map_async(_worker_process_sample, args)
         while True:

@@ -57,7 +57,10 @@ def batch_to_train_inputs(batch, max_targets=16):
             "heatmap": heatmap,
             "centers": mk(centers.astype(jnp.int32)),
             "offsets": mk(offsets),
-            "sizes": mk(hw),
+            # the pipeline annotation is (h, w); the model/decode convention
+            # is CenterNet's (w, h) — flip so decoded boxes carry the true
+            # image-space extents
+            "sizes": mk(hw[..., ::-1]),
             "classes": mk(categories.astype(jnp.int32)),
         },
     }
