@@ -288,8 +288,21 @@ class LoadedInference:
             jitted = jax.jit(call)
 
             def call_under_mesh(*args):
+                import jax as _jax
+
+                # place inputs on the serving mesh per the artifact's
+                # recorded shardings — host (numpy) arrays would otherwise
+                # trace in a 1-device context and the exported program
+                # rejects the device-count mismatch
+                flat, in_tree = _jax.tree_util.tree_flatten((args, {}))
+                shardings = exported.in_shardings_jax(mesh)
+                placed = [
+                    x if s is None else _jax.device_put(x, s)
+                    for x, s in zip(flat, shardings)
+                ]
+                args2, _ = _jax.tree_util.tree_unflatten(in_tree, placed)
                 with mesh:
-                    return jitted(*args)
+                    return jitted(*args2)
 
             self._call = call_under_mesh
         else:

@@ -353,3 +353,46 @@ def test_pipeline_depth_dispatch_error_attributed_to_its_batch():
 def test_pipeline_depth_validation():
     with pytest.raises(ValueError, match="pipeline_depth"):
         InferenceServer(_double_fn, pipeline_depth=0)
+
+
+def test_sharded_artifact_served_through_server():
+    """Multi-chip serving: a model-parallel sharded artifact (weights split
+    over the 'model' axis, inputs replicated) served through the
+    micro-batching server on a fresh mesh."""
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from accvlab_tpu.models import serving
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = Mesh(
+        mesh_utils.create_device_mesh((2,), devices=jax.devices()[:2]),
+        axis_names=("model",),
+    )
+    w = np.arange(24, dtype=np.float32).reshape(4, 6)
+    w_sharded = jax.device_put(jnp.asarray(w), NamedSharding(mesh, P(None, "model")))
+    art = serving.export_inference(
+        lambda x: {"y": x @ w_sharded},
+        (np.zeros((2, 4), np.float32),),  # sharded exports fix the batch
+        mesh=mesh,
+        in_shardings=(NamedSharding(mesh, P()),),  # inputs replicated
+    )
+    # serve on a FRESH same-shape mesh (different device permutation)
+    mesh2 = Mesh(
+        mesh_utils.create_device_mesh((2,), devices=jax.devices()[1::-1]),
+        axis_names=("model",),
+    )
+    server = InferenceServer.from_artifact(
+        art, mesh=mesh2, batch_sizes=(2,), max_delay_ms=50.0
+    )
+    x0 = np.float32([1, 0, 0, 0])
+    x1 = np.float32([0, 1, 0, 1])
+    f0, f1 = server.submit(x0), server.submit(x1)
+    np.testing.assert_allclose(np.asarray(f0.result(60)["y"]), (x0[None] @ w))
+    np.testing.assert_allclose(np.asarray(f1.result(60)["y"]), (x1[None] @ w))
+    # a lone request pads to the exported batch and still serves
+    np.testing.assert_allclose(
+        np.asarray(server.infer(x0, timeout=60)["y"]), (x0[None] @ w)
+    )
+    server.close()
