@@ -206,7 +206,15 @@ class InferenceServer:
             jax.block_until_ready(out)
 
     def stats(self) -> dict:
-        """Counters + latency percentiles over the last ≤10k requests."""
+        """Counters + latency percentiles over the last ≤10k requests.
+
+        ``exec`` measures dispatch → fan-out per batch. With
+        ``pipeline_depth > 1`` completion is deliberately deferred while
+        the next batch is collected, so ``exec`` then includes up to one
+        batching window of overlap — it is a throughput-mode pipeline
+        residence time, not device latency. For client-observed request
+        latency, time ``submit() -> result()`` at the call site (what
+        ``scripts/bench_serving.py`` reports as ``request_p50_ms``)."""
 
         def pct(xs):
             if not xs:
@@ -277,11 +285,9 @@ class InferenceServer:
         return self._buckets[-1]
 
     def _serve_loop(self):
-        import collections as _c
-
         max_bucket = self._buckets[-1]
         stopping = False
-        inflight: "_c.deque" = _c.deque()
+        inflight = collections.deque()
         while not stopping:
             if inflight and self._q.qsize() == 0:
                 # no traffic waiting: resolve the overlap window before

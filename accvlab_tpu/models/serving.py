@@ -286,21 +286,25 @@ class LoadedInference:
         call = exported.call
         if mesh is not None:
             jitted = jax.jit(call)
+            # fixed at load time: the artifact's recorded shardings bound to
+            # THIS mesh (reconstructing NamedShardings per call would tax
+            # every dispatch)
+            shardings = tuple(exported.in_shardings_jax(mesh))
+            tree_flatten = jax.tree_util.tree_flatten
+            tree_unflatten = jax.tree_util.tree_unflatten
+            device_put = jax.device_put
 
             def call_under_mesh(*args):
-                import jax as _jax
-
-                # place inputs on the serving mesh per the artifact's
-                # recorded shardings — host (numpy) arrays would otherwise
-                # trace in a 1-device context and the exported program
-                # rejects the device-count mismatch
-                flat, in_tree = _jax.tree_util.tree_flatten((args, {}))
-                shardings = exported.in_shardings_jax(mesh)
+                # place inputs on the serving mesh per the recorded
+                # shardings — host (numpy) arrays would otherwise trace in a
+                # 1-device context and the exported program rejects the
+                # device-count mismatch
+                flat, in_tree = tree_flatten((args, {}))
                 placed = [
-                    x if s is None else _jax.device_put(x, s)
+                    x if s is None else device_put(x, s)
                     for x, s in zip(flat, shardings)
                 ]
-                args2, _ = _jax.tree_util.tree_unflatten(in_tree, placed)
+                args2, _ = tree_unflatten(in_tree, placed)
                 with mesh:
                     return jitted(*args2)
 

@@ -16,9 +16,12 @@ __all__ = ["make_grad_accum_step", "ema_init", "ema_update", "ema_params"]
 
 
 def ema_init(params):
-    """Initialize an exponential-moving-average state as a copy of
-    ``params`` (same pytree/shardings — the EMA shards with the model)."""
-    return jax.tree_util.tree_map(jnp.asarray, params)
+    """Initialize an exponential-moving-average state as a COPY of
+    ``params`` (same pytree/shardings — the EMA shards with the model).
+    A real copy, not an alias: the standard production step donates its
+    param buffers (``jit(step, donate_argnums=0)``), and an aliased EMA
+    would be deleted with them on the first step."""
+    return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
 
 
 def ema_update(ema, params, decay: float = 0.999, step=None):

@@ -232,6 +232,10 @@ def main(num_steps: int = 6, batch_drives: int = 2):
                 "ego_transform": ego_forward(batch_drives),
                 **synth_labels(rng, batch_drives, num_classes),
             }
+            # the memory INPUT for this batch (the post-step memory is the
+            # input for frame t+1 — evaluating this batch with it would
+            # apply the ego compensation twice)
+            eval_memory, eval_memory_ref = memory, memory_ref
             params, opt_state, memory, memory_ref, metrics = train_step(
                 params, opt_state, batch, memory, memory_ref
             )
@@ -265,8 +269,8 @@ def main(num_steps: int = 6, batch_drives: int = 2):
         from accvlab_tpu.models import DetectionEvaluator, decode_detections_3d
 
         outputs = model.apply(
-            params, batch["images"], memory=memory, memory_ref=memory_ref,
-            ego_transform=batch["ego_transform"],
+            params, batch["images"], memory=eval_memory,
+            memory_ref=eval_memory_ref, ego_transform=batch["ego_transform"],
         )
         dets = decode_detections_3d(outputs, max_detections=16,
                                     score_threshold=0.05)

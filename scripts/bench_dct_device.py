@@ -23,7 +23,7 @@ import argparse
 import io
 import json
 import os
-import subprocess
+
 import sys
 import time
 
@@ -71,16 +71,10 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
-    if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        probe = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tpu_probe.py")
-        try:
-            r = subprocess.run([sys.executable, probe], timeout=75)
-            wedged = r.returncode != 0
-        except subprocess.TimeoutExpired:
-            wedged = True
-        if wedged:
-            log("tunnel wedged; not initializing the backend")
-            sys.exit(3)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_probe import probe_tpu_or_exit  # shared wedge guard
+
+    probe_tpu_or_exit()
 
     from accvlab_tpu.pipeline.processing_steps import DCTWirePacker, DCTWireUnpacker
     from accvlab_tpu.pipeline.processing_steps.dct_wire import (

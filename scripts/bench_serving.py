@@ -25,12 +25,12 @@ Prints one JSON line on stdout; diagnostics on stderr.
 import argparse
 import json
 import os
-import subprocess
 import sys
 import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -39,22 +39,7 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def probe_tpu_or_exit():
-    """Time-boxed subprocess probe (the bench.py pattern): a wedged tunnel
-    HANGS jax.devices() rather than raising, so never initialize the real
-    backend in-process before proving it answers."""
-    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
-        return  # explicit CPU run — nothing to probe
-    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tpu_probe.py")
-    try:
-        rc = subprocess.run(
-            [sys.executable, probe], timeout=75, capture_output=True
-        ).returncode
-    except subprocess.TimeoutExpired:
-        rc = 124
-    if rc != 0:
-        log(f"tunnel probe failed (rc={rc}) — refusing to wedge; exit 3")
-        sys.exit(3)
+from bench_probe import probe_tpu_or_exit  # noqa: E402 — shared wedge guard
 
 
 def main():
@@ -116,10 +101,13 @@ def main():
     )
     server.warmup(images[0])
     n = args.clients * args.per_client
+    req_lat = [[] for _ in range(args.clients)]  # client-observed latencies
 
     def client(cid):
         for i in range(args.per_client):
+            t = time.perf_counter()
             server.infer(images[(cid + i) % max_b])
+            req_lat[cid].append(time.perf_counter() - t)
 
     threads = [threading.Thread(target=client, args=(c,)) for c in range(args.clients)]
     t0 = time.perf_counter()
@@ -131,10 +119,12 @@ def main():
     st = server.stats()
     server.close()
     served_rps = n / wall
+    lat = np.asarray([x for per in req_lat for x in per]) * 1e3  # ms
     log(
         f"server: {n} requests in {wall:.2f}s = {served_rps:.1f} req/s; "
         f"buckets {st['batch_size_counts']}, padded {st['padded_samples']}, "
-        f"exec p50 {st['exec'].get('p50_ms', 0):.1f} ms, "
+        f"request p50/p95 {np.percentile(lat, 50):.1f}/"
+        f"{np.percentile(lat, 95):.1f} ms (client-observed), "
         f"wait p95 {st['queue_wait'].get('p95_ms', 0):.1f} ms"
     )
 
@@ -149,7 +139,10 @@ def main():
         "batch_amortization_x": round(amortization, 2),
         "server_bucket_hist": {str(k): v for k, v in st["batch_size_counts"].items()},
         "server_padded": st["padded_samples"],
-        "exec_p50_ms": round(st["exec"].get("p50_ms", 0.0), 2),
+        # client-observed request latency (submit -> result); stats()'s
+        # 'exec' is pipeline residence time at depth > 1, not latency
+        "request_p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "request_p95_ms": round(float(np.percentile(lat, 95)), 2),
         "queue_wait_p95_ms": round(st["queue_wait"].get("p95_ms", 0.0), 2),
     }), flush=True)
 
