@@ -178,3 +178,109 @@ def test_composes_with_serving_export(tmp_path, model_and_params):
     got = np.asarray(load_inference(p_q)(x)["heatmap"])
     want = np.asarray(model.apply(params, x)["heatmap"])
     assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
+
+
+# --------------------------------------------------------------------------- #
+# int4 (nibble-packed, grouped scales)
+# --------------------------------------------------------------------------- #
+
+
+def np_int4_oracle(w, gs):
+    """Scalar numpy mirror of the int4 quantize+dequantize round trip."""
+    shape = w.shape
+    c = shape[-1]
+    w2 = w.reshape(-1, c).astype(np.float32)
+    rows = w2.shape[0]
+    gs = gs or rows
+    n_groups = -(-rows // gs)
+    if (n_groups * gs) % 2:
+        n_groups += 1
+    rows_p = n_groups * gs
+    wp = np.zeros((rows_p, c), np.float32)
+    wp[:rows] = w2
+    wg = wp.reshape(n_groups, gs, c)
+    amax = np.abs(wg).max(axis=1, keepdims=True)
+    scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(wg / scale), -7, 7).astype(np.int8)
+    dq = (q.astype(np.float32) * scale).reshape(rows_p, c)[:rows]
+    return dq.reshape(shape), scale
+
+
+@pytest.mark.parametrize("shape,gs", [
+    ((64, 16), None),
+    ((64, 16), 16),
+    ((128, 8), 64),
+    ((5, 3), 3),      # odd rows, odd group -> extra padding group
+    ((7, 4), None),   # odd rows, single group
+    ((3, 3, 8, 12), 8),  # conv kernel: rows = 3*3*8
+])
+def test_int4_matches_numpy_oracle(shape, gs):
+    from accvlab_tpu.models.quantize import _quantize_leaf_int4
+
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    w = rng.normal(scale=0.2, size=shape).astype(np.float32)
+    qt = _quantize_leaf_int4(w, gs)
+    assert qt.bits == 4 and qt.shape == shape
+    assert qt.q.dtype == jnp.uint8
+    want, scale = np_int4_oracle(w, gs)
+    np.testing.assert_array_equal(np.asarray(qt.dequantize()), want)
+    # error bound: half a quantization step per group-channel
+    rows = int(np.prod(shape[:-1]))
+    eff_gs = gs or rows
+    step = np.repeat(scale, eff_gs, axis=1).reshape(-1, shape[-1])[:rows]
+    err = np.abs(np.asarray(qt.dequantize()).reshape(rows, -1) - w.reshape(rows, -1))
+    assert (err <= step / 2 + 1e-7).all()
+
+
+def test_int4_bytes_shrink_about_8x():
+    w = np.random.default_rng(0).normal(size=(256, 256)).astype(np.float32)
+    qp = quantize_params({"w": w}, bits=4, group_size=64)
+    nb = params_nbytes(qp)
+    # packed nibbles: 256*256/2 bytes + (256/64)*256*4 scale bytes
+    assert nb == 256 * 256 // 2 + (256 // 64) * 256 * 4
+    assert w.nbytes / nb > 7.0
+
+
+def test_int4_group_scales_beat_per_channel_on_heterogeneous_rows():
+    rng = np.random.default_rng(1)
+    # first rows tiny, last rows huge: one per-channel scale drowns the
+    # small rows; 32-row groups keep them resolvable
+    w = np.concatenate(
+        [rng.normal(scale=0.01, size=(96, 32)), rng.normal(scale=10.0, size=(32, 32))]
+    ).astype(np.float32)
+    from accvlab_tpu.models.quantize import _quantize_leaf_int4
+
+    err_flat = np.abs(np.asarray(_quantize_leaf_int4(w, None).dequantize()) - w)
+    err_grp = np.abs(np.asarray(_quantize_leaf_int4(w, 32).dequantize()) - w)
+    assert err_grp[:96].mean() < 0.15 * err_flat[:96].mean()
+
+
+def test_int4_through_jit_and_export(tmp_path):
+    from accvlab_tpu.models.serving import export_inference, load_inference
+
+    rng = np.random.default_rng(2)
+    w = rng.normal(scale=0.1, size=(64, 48)).astype(np.float32)
+    qp = quantize_params({"k": w}, bits=4, group_size=16)
+
+    def apply_fn(p, x):
+        return x @ p["k"]
+
+    fn = freeze_params_quantized(apply_fn, qp)
+    x = rng.normal(size=(4, 64)).astype(np.float32)
+    art = export_inference(fn, (x,))
+    got = np.asarray(load_inference(art)(x))
+    want = x @ np.asarray(dequantize_params(qp)["k"])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # and the artifact carries packed bytes, not floats
+    assert len(art) < w.nbytes  # 12 KB of f32 vs ~6 KB packed + program
+
+
+def test_int4_validation():
+    with pytest.raises(ValueError, match="bits"):
+        quantize_params({}, bits=2)
+    with pytest.raises(ValueError, match="group_size"):
+        quantize_params({}, bits=8, group_size=64)
+    with pytest.raises(ValueError, match="group_size"):
+        from accvlab_tpu.models.quantize import _quantize_leaf_int4
+
+        _quantize_leaf_int4(np.ones((8, 8), np.float32), 0)

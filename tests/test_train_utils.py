@@ -184,3 +184,17 @@ def test_ema_params_serve_via_export(tmp_path):
     save_inference(path, apply_fn, ema_params(ema), np.ones((1, 2), np.float32))
     out = load_inference(path)(np.ones((1, 2), np.float32))
     np.testing.assert_allclose(np.asarray(out), [[3.0, 3.0]])  # 0.5*2+0.5*4
+
+
+def test_ema_init_survives_donated_step():
+    """ema_init must COPY: the production train step donates its param
+    buffers, and an aliased EMA would be deleted with them."""
+    from accvlab_tpu.models.train_utils import ema_init
+
+    params = {"w": jnp.ones((4,))}
+    ema = ema_init(params)
+    step = jax.jit(
+        lambda p: jax.tree_util.tree_map(lambda x: x * 2.0, p), donate_argnums=0
+    )
+    step(params)  # params' buffers may now be deleted (donated)
+    np.testing.assert_allclose(np.asarray(ema["w"]), 1.0)
