@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="in-flight dispatch window (2 overlaps host "
                          "batching with device execution)")
+    ap.add_argument("--quantize", choices=("none", "int8", "int4"),
+                    default="none",
+                    help="serve quantized weights (dequant fused in-graph; "
+                         "the HBM-stream win is a TPU property)")
     args = ap.parse_args()
 
     probe_tpu_or_exit()
@@ -70,9 +74,36 @@ def main():
     images = rng.uniform(0, 1, (max_b, *hw, 3)).astype(np.float32)
     params = model.init(jax.random.PRNGKey(0), images[:1])
 
-    @jax.jit
-    def serve_fn(imgs):
-        return decode_detections(model.apply(params, imgs), max_detections=100)
+    if args.quantize != "none":
+        from accvlab_tpu.models.quantize import (
+            dequantize_params,
+            params_nbytes,
+            quantize_params,
+        )
+
+        full_bytes = params_nbytes(params)
+        params = quantize_params(
+            params,
+            bits=8 if args.quantize == "int8" else 4,
+            group_size=None if args.quantize == "int8" else 64,
+        )
+        log(
+            f"quantize={args.quantize}: params {full_bytes / 1e6:.2f} -> "
+            f"{params_nbytes(params) / 1e6:.2f} MB"
+        )
+
+        @jax.jit
+        def serve_fn(imgs):
+            return decode_detections(
+                model.apply(dequantize_params(params), imgs), max_detections=100
+            )
+    else:
+
+        @jax.jit
+        def serve_fn(imgs):
+            return decode_detections(
+                model.apply(params, imgs), max_detections=100
+            )
 
     backend = jax.default_backend()
     log(f"backend={backend}, hw={hw}, buckets={tuple(args.buckets)}")
@@ -133,6 +164,7 @@ def main():
         "value": round(served_rps, 1),
         "unit": "req/s",
         "pipeline_depth": args.pipeline_depth,
+        "quantize": args.quantize,
         "backend": backend,
         "hw": list(hw),
         "per_bucket": per_bucket,
