@@ -65,6 +65,9 @@ while [ "$ROUND" -lt "$MAX_ROUNDS" ]; do
     timeout 590 python -u scripts/bench_serving.py --iters 20 \
       > "${OUT}_serving${SFX}.json" 2> "${OUT}_serving${SFX}.log"
     echo "serving${SFX} rc=$? $(date -u +%FT%TZ)" >> "${OUT}_status"
+    timeout 590 python -u scripts/bench_serving.py --iters 20 --quantize int8 \
+      > "${OUT}_serving_int8${SFX}.json" 2> "${OUT}_serving_int8${SFX}.log"
+    echo "serving_int8${SFX} rc=$? $(date -u +%FT%TZ)" >> "${OUT}_status"
     [ "$ROUND" -ge "$MAX_ROUNDS" ] && exit 0
     echo "cooldown ${COOLDOWN_S}s before re-arming $(date -u +%FT%TZ)" >> "${OUT}_status"
     sleep "$COOLDOWN_S"
