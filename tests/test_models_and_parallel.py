@@ -618,3 +618,57 @@ def test_pipeline_loss_composed_with_tensor_parallel_stages():
         np.testing.assert_allclose(
             np.asarray(grads[k]), np.asarray(ref_g[k]), rtol=2e-4, atol=1e-6
         )
+
+
+def test_fsdp_shardings_train_step_matches_unsharded():
+    """ZeRO-3-style param sharding: large leaves split over the data axis,
+    small leaves replicate; the train step's numbers match the unsharded
+    run and updated params keep their (propagated) distribution."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from accvlab_tpu.models.centernet import (
+        CenterNetDetector,
+        make_example_batch,
+        make_train_step,
+    )
+    from accvlab_tpu.parallel import make_fsdp_shardings, make_mesh, shard_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(data_parallel=8, model_parallel=1)
+    model = CenterNetDetector(num_classes=4, width=16)
+    batch = make_example_batch(batch_size=8, hw=(32, 48), num_classes=4)
+    init_fn, train_step = make_train_step(model, optimizer=optax.sgd(1e-2))
+    params, opt_state = init_fn(jax.random.PRNGKey(0), batch["images"])
+
+    shardings = make_fsdp_shardings(params, mesh, min_size=1024)
+    flat_params = jax.tree_util.tree_leaves(params)
+    flat_shard = jax.tree_util.tree_leaves(
+        shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )
+    # at least one large leaf sharded over 'data'; small leaves replicated
+    assert any(s.spec != P() for s in flat_shard)
+    for leaf, s in zip(flat_params, flat_shard):
+        if np.prod(np.shape(leaf)) < 1024:
+            assert s.spec == P()
+
+    params_f = jax.device_put(params, shardings)
+    # sharded leaves really are distributed (per-device shard < full leaf)
+    big = max(jax.tree_util.tree_leaves(params_f), key=lambda a: a.size)
+    assert big.addressable_shards[0].data.size < big.size
+
+    with mesh:
+        sb = shard_batch(batch, mesh)
+        p1, _, m1 = jax.jit(train_step)(params_f, opt_state, sb)
+    p0, _, m0 = jax.jit(train_step)(params, opt_state, batch)
+    np.testing.assert_allclose(float(m1["loss"]), float(m0["loss"]), rtol=1e-4)
+    # the updated params stay distributed (no silent full replication)
+    big1 = max(jax.tree_util.tree_leaves(p1), key=lambda a: a.size)
+    assert big1.addressable_shards[0].data.size < big1.size
+    # and the numbers agree with the unsharded trajectory
+    l0 = jax.tree_util.tree_leaves(p0)
+    l1 = jax.tree_util.tree_leaves(p1)
+    for a, b in zip(l0, l1):
+        # bf16 backbone + per-shard reduction order: tiny absolute noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
