@@ -161,10 +161,20 @@ class InferenceServer:
 
     @classmethod
     def from_artifact(cls, path_or_bytes, *, mesh=None, **kwargs) -> "InferenceServer":
-        """Serve a ``models/serving.py`` artifact (no model code needed)."""
+        """Serve a ``models/serving.py`` artifact (no model code needed).
+
+        For an artifact exported WITHOUT ``batch_polymorphic`` the program
+        accepts exactly its export-time batch size, so when no
+        ``batch_sizes`` is given the server uses that single bucket
+        (default power-of-two buckets would fail every mismatched call)."""
         from . import serving
 
         loaded = serving.load_inference(path_or_bytes, mesh=mesh)
+        if "batch_sizes" not in kwargs and not loaded.info.get("batch_polymorphic"):
+            avals = loaded._exported.in_avals  # noqa: SLF001 — flat input avals
+            batched = [a.shape[0] for a in avals if len(a.shape) >= 1]
+            if batched:
+                kwargs["batch_sizes"] = (int(batched[0]),)
         return cls(loaded, **kwargs)
 
     # ------------------------------------------------------------------ #

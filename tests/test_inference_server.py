@@ -396,3 +396,20 @@ def test_sharded_artifact_served_through_server():
         np.asarray(server.infer(x0, timeout=60)["y"]), (x0[None] @ w)
     )
     server.close()
+
+
+def test_from_artifact_fixed_batch_defaults_to_export_bucket(tmp_path):
+    """A non-polymorphic artifact accepts exactly its export batch; the
+    server must default to that single bucket, not (1, 2, 4, 8)."""
+    from accvlab_tpu.models import serving
+
+    w = np.eye(3, dtype=np.float32) * 3.0
+    path = str(tmp_path / "fixed.accvserve")
+    serving.save_inference(
+        path, lambda p, x: x @ p, jnp.asarray(w), np.zeros((4, 3), np.float32)
+    )
+    server = InferenceServer.from_artifact(path, max_delay_ms=50.0)
+    assert server._buckets == (4,)
+    out = server.infer(np.float32([1, 2, 3]), timeout=60)  # padded 1 -> 4
+    server.close()
+    np.testing.assert_allclose(np.asarray(out), [[3.0, 6.0, 9.0]])
