@@ -172,9 +172,16 @@ class InferenceServer:
         loaded = serving.load_inference(path_or_bytes, mesh=mesh)
         if "batch_sizes" not in kwargs and not loaded.info.get("batch_polymorphic"):
             avals = loaded._exported.in_avals  # noqa: SLF001 — flat input avals
-            batched = [a.shape[0] for a in avals if len(a.shape) >= 1]
+            batched = {int(a.shape[0]) for a in avals if len(a.shape) >= 1}
+            if len(batched) > 1:
+                raise ValueError(
+                    "cannot infer the bucket size: the artifact's inputs "
+                    f"have differing leading dims {sorted(batched)} (a "
+                    "batch-level input?). Pass batch_sizes= explicitly, or "
+                    "close batch-level inputs over the fn before export."
+                )
             if batched:
-                kwargs["batch_sizes"] = (int(batched[0]),)
+                kwargs["batch_sizes"] = (batched.pop(),)
         return cls(loaded, **kwargs)
 
     # ------------------------------------------------------------------ #

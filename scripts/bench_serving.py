@@ -76,7 +76,7 @@ def main():
 
     if args.quantize != "none":
         from accvlab_tpu.models.quantize import (
-            dequantize_params,
+            freeze_params_quantized,
             params_nbytes,
             quantize_params,
         )
@@ -91,19 +91,13 @@ def main():
             f"quantize={args.quantize}: params {full_bytes / 1e6:.2f} -> "
             f"{params_nbytes(params) / 1e6:.2f} MB"
         )
-
-        @jax.jit
-        def serve_fn(imgs):
-            return decode_detections(
-                model.apply(dequantize_params(params), imgs), max_detections=100
-            )
+        apply_fn = freeze_params_quantized(model.apply, params)
     else:
+        apply_fn = lambda imgs: model.apply(params, imgs)
 
-        @jax.jit
-        def serve_fn(imgs):
-            return decode_detections(
-                model.apply(params, imgs), max_detections=100
-            )
+    @jax.jit
+    def serve_fn(imgs):
+        return decode_detections(apply_fn(imgs), max_detections=100)
 
     backend = jax.default_backend()
     log(f"backend={backend}, hw={hw}, buckets={tuple(args.buckets)}")

@@ -210,7 +210,8 @@ def np_int4_oracle(w, gs):
     ((64, 16), None),
     ((64, 16), 16),
     ((128, 8), 64),
-    ((5, 3), 3),      # odd rows, odd group -> extra padding group
+    ((5, 3), 3),      # within-group padding (2 groups x 3 rows = even)
+    ((9, 4), 3),      # odd n_groups*gs -> EXTRA all-padding group
     ((7, 4), None),   # odd rows, single group
     ((3, 3, 8, 12), 8),  # conv kernel: rows = 3*3*8
 ])
