@@ -90,3 +90,50 @@ def test_export_without_device_steps_raises():
             pipe.export_device_program()
     finally:
         pipe.stop()
+
+
+def test_chained_artifacts_preprocess_then_model(tmp_path):
+    """The full serving-host story with NO training code: the pipeline's
+    preprocess program and a model program ship as two artifacts; the
+    serving host loads both and chains them, and the result equals the
+    in-process pipeline + model composition on the same host leaves."""
+    from accvlab_tpu.models.serving import save_inference
+
+    pipe = _delivered_pipeline()
+    try:
+        pre_path = str(tmp_path / "preprocess.accvserve")
+        header = pipe.export_device_program(pre_path)
+        img_idx = header["pipeline_output_fields"].index("image")
+
+        batch_spec, _ = pipe._last_device_spec
+        rng = np.random.default_rng(1)
+        leaves = tuple(
+            (rng.random(s.shape) * 200).astype(s.dtype)
+            if np.issubdtype(s.dtype, np.floating)
+            else rng.integers(0, 200, s.shape).astype(s.dtype)
+            for s in batch_spec
+        )
+        key = jax.random.PRNGKey(11)
+
+        # train-side: a tiny "model" exported over the PREPROCESSED shape
+        pre_out = jax.jit(pipe._make_device_fn_all())(leaves, key)
+        img_example = np.asarray(pre_out[img_idx])
+        w = np.float32(0.5)
+
+        def model_apply(p, img):
+            return {"score": jnp.mean(img * p, axis=(1, 2, 3))}
+
+        model_path = str(tmp_path / "model.accvserve")
+        save_inference(model_path, model_apply, jnp.asarray(w), img_example)
+    finally:
+        pipe.stop()
+
+    # ---- serving host: two artifact files, no pipeline/model code ---- #
+    pre = load_inference(pre_path)
+    model = load_inference(model_path)
+    feats = pre(leaves, key)
+    served = model(feats[img_idx])
+    want = model_apply(w, pre_out[img_idx])
+    np.testing.assert_allclose(
+        np.asarray(served["score"]), np.asarray(want["score"]), rtol=1e-6
+    )

@@ -285,3 +285,30 @@ def test_int4_validation():
         from accvlab_tpu.models.quantize import _quantize_leaf_int4
 
         _quantize_leaf_int4(np.ones((8, 8), np.float32), 0)
+
+
+def test_quantized_params_checkpoint_roundtrip(tmp_path):
+    """Quantized trees are ordinary pytrees to orbax: int4 leaves persist
+    and restore with their aux (bits/shape/groups) intact — ship-sized
+    checkpoints, not dequantized blow-ups."""
+    from accvlab_tpu.models.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from accvlab_tpu.models.quantize import QuantizedTensor
+
+    w = np.random.default_rng(3).normal(size=(64, 32)).astype(np.float32)
+    qp = quantize_params({"w": w}, bits=4, group_size=16)
+    save_checkpoint(str(tmp_path), 1, qp, None, {"quantized": True})
+    restored, _, meta = restore_checkpoint(
+        latest_checkpoint(str(tmp_path)), {"params": qp, "opt_state": None}
+    )
+    rq = restored["w"]
+    assert isinstance(rq, QuantizedTensor)
+    assert rq.bits == 4 and rq.shape == (64, 32) and rq.group_size == 16
+    np.testing.assert_array_equal(np.asarray(rq.q), np.asarray(qp["w"].q))
+    np.testing.assert_array_equal(
+        np.asarray(rq.dequantize()), np.asarray(qp["w"].dequantize())
+    )
+    assert meta["pipeline"]["quantized"] is True
