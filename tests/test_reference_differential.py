@@ -1,0 +1,218 @@
+"""Differential parity vs the REFERENCE's own pure-torch implementations.
+
+The strongest parity oracle available: instead of re-deriving expected
+values, randomized inputs run through BOTH this package's jnp ops and the
+reference's actual torch code (`/root/reference/packages/batching_helpers`,
+whose bool-indexing/reductions/compaction/combination paths are pure
+Python+torch). The reference imports its CUDA/CPU extension modules at
+package import; the fixture stubs them with a 6-line pure-torch
+implementation of the ONE function those paths call
+(`set_ragged_batch_padded_to_filler_value_in_place`, contract at
+`set_padded_to.py:26-33`: set positions >= sample_size along dim 1 to the
+filler) — no kernels are needed for the ops compared here.
+
+Padded regions are intentionally filled with garbage on both sides:
+agreement is asserted on valid elements and sample sizes only (padding
+content is an implementation detail in both frameworks).
+
+Skipped wholesale when the reference checkout is absent (the suite stays
+standalone).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+_REF_PKG = "/root/reference/packages/batching_helpers"
+if not os.path.isdir(_REF_PKG):  # pragma: no cover
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+import accvlab_tpu.ragged as ours
+
+
+@pytest.fixture(scope="module")
+def ref():
+    def _set_padded(data, sample_sizes, value):
+        idx = torch.arange(data.shape[1], device=data.device)
+        data[idx[None, :] >= sample_sizes[:, None]] = value
+
+    for name in ("batched_indexing_access_cuda", "batched_indexing_access_cpu"):
+        mod = types.ModuleType(f"accvlab.batching_helpers.{name}")
+        mod.set_ragged_batch_padded_to_filler_value_in_place = _set_padded
+        sys.modules[f"accvlab.batching_helpers.{name}"] = mod
+    sys.path.insert(0, _REF_PKG)
+    import accvlab.batching_helpers as bh
+
+    return bh
+
+
+def _ragged_pair(ref, rng, b=3, t=6, inner=(), allow_empty=True):
+    """The same random ragged batch in both frameworks (padding garbage)."""
+    data = rng.normal(size=(b, t, *inner)).astype(np.float32)
+    lo = 0 if allow_empty else 1
+    sizes = rng.integers(lo, t + 1, b).astype(np.int64)
+    theirs = ref.RaggedBatch(
+        torch.from_numpy(data.copy()), sample_sizes=torch.from_numpy(sizes)
+    )
+    mine = ours.RaggedBatch(
+        jnp.asarray(data), sample_sizes=jnp.asarray(sizes.astype(np.int32))
+    )
+    return mine, theirs, data, sizes
+
+
+def _assert_ragged_equal(mine, theirs, atol=1e-6):
+    """Valid-region + size equality between our RaggedBatch and theirs."""
+    ts = theirs.sample_sizes.numpy()
+    ms = np.asarray(mine.sample_sizes)
+    np.testing.assert_array_equal(ms, ts)
+    tt = theirs.tensor.numpy()
+    mt = np.asarray(mine.tensor)
+    for i, n in enumerate(ts):
+        np.testing.assert_allclose(
+            mt[i, : int(n)], tt[i, : int(n)], atol=atol, err_msg=f"sample {i}"
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("inner", [(), (4,)])
+def test_reductions_match_reference(ref, seed, inner):
+    rng = np.random.default_rng(seed)
+    mine, theirs, _, _ = _ragged_pair(ref, rng, inner=inner, allow_empty=True)
+    np.testing.assert_allclose(
+        np.asarray(ours.average_over_targets(mine)),
+        ref.average_over_targets(theirs).numpy(),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours.sum_over_targets(mine)),
+        ref.sum_over_targets(theirs).numpy(),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_bool_indexing_ragged_data_ragged_mask(ref, seed):
+    rng = np.random.default_rng(10 + seed)
+    mine, theirs, data, sizes = _ragged_pair(ref, rng, inner=(3,), allow_empty=False)
+    mask = rng.integers(0, 2, data.shape[:2]).astype(bool)
+    t_mask = ref.RaggedBatch(
+        torch.from_numpy(mask.copy()), sample_sizes=torch.from_numpy(sizes)
+    )
+    m_mask = ours.RaggedBatch(
+        jnp.asarray(mask), sample_sizes=jnp.asarray(sizes.astype(np.int32))
+    )
+    want = ref.batched_bool_indexing(theirs, t_mask)
+    got = ours.batched_bool_indexing(mine, m_mask)
+    _assert_ragged_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bool_indexing_tensor_data_ragged_mask(ref, seed):
+    rng = np.random.default_rng(20 + seed)
+    b, t = 3, 5
+    data = rng.normal(size=(b, t, 2)).astype(np.float32)
+    mask = rng.integers(0, 2, (b, t)).astype(bool)
+    sizes = rng.integers(1, t + 1, b).astype(np.int64)
+    want = ref.batched_bool_indexing(
+        torch.from_numpy(data.copy()),
+        ref.RaggedBatch(torch.from_numpy(mask.copy()),
+                        sample_sizes=torch.from_numpy(sizes)),
+    )
+    got = ours.batched_bool_indexing(
+        jnp.asarray(data),
+        ours.RaggedBatch(jnp.asarray(mask),
+                         sample_sizes=jnp.asarray(sizes.astype(np.int32))),
+    )
+    _assert_ragged_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_get_compact_lists_matches_reference(ref, seed):
+    rng = np.random.default_rng(30 + seed)
+    b, t = 4, 7
+    mask = rng.integers(0, 2, (b, t)).astype(bool)
+    d1 = rng.normal(size=(b, t)).astype(np.float32)
+    d2 = rng.normal(size=(b, t, 3)).astype(np.float32)
+    want = ref.get_compact_lists(
+        torch.from_numpy(mask.copy()),
+        [torch.from_numpy(d1.copy()), torch.from_numpy(d2.copy()), "tag"],
+    )
+    got = ours.get_compact_lists(jnp.asarray(mask), [jnp.asarray(d1), jnp.asarray(d2), "tag"])
+    assert want[2] == got[2] == "tag"
+    # the reference unsqueezes 1-D data to (b, t, 1); compare valid regions
+    for w, g in zip(want[:2], got[:2]):
+        ws = w.sample_sizes.numpy()
+        np.testing.assert_array_equal(np.asarray(g.sample_sizes), ws)
+        wt = w.tensor.numpy()
+        gt = np.asarray(g.tensor).reshape(wt.shape[0], wt.shape[1], *wt.shape[2:])
+        for i, n in enumerate(ws):
+            np.testing.assert_allclose(gt[i, : int(n)], wt[i, : int(n)], atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_combine_data_matches_reference(ref, seed):
+    rng = np.random.default_rng(40 + seed)
+    pieces = [
+        rng.normal(size=(int(n), 3)).astype(np.float32)
+        for n in rng.integers(0, 6, 4)
+    ]
+    want = ref.combine_data([torch.from_numpy(p.copy()) for p in pieces])
+    got = ours.combine_data([jnp.asarray(p) for p in pieces])
+    _assert_ragged_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_get_indices_from_mask_matches_reference(ref, seed):
+    rng = np.random.default_rng(50 + seed)
+    mask = rng.integers(0, 2, (3, 8)).astype(bool)
+    want = ref.get_indices_from_mask(torch.from_numpy(mask.copy()))
+    got = ours.get_indices_from_mask(jnp.asarray(mask))
+    ws = want.sample_sizes.numpy()
+    np.testing.assert_array_equal(np.asarray(got.sample_sizes), ws)
+    wt = want.tensor.numpy()
+    gt = np.asarray(got.tensor).reshape(wt.shape)
+    for i, n in enumerate(ws):
+        np.testing.assert_array_equal(gt[i, : int(n)], wt[i, : int(n)])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ragged_batch_methods_match_reference(ref, seed):
+    rng = np.random.default_rng(60 + seed)
+    mine, theirs, _, sizes = _ragged_pair(ref, rng, inner=(2,), allow_empty=True)
+    # mask derivation
+    np.testing.assert_array_equal(
+        np.asarray(mine.mask), theirs.mask.numpy()
+    )
+    # existence weights
+    np.testing.assert_allclose(
+        np.asarray(mine.get_existence_weights()),
+        theirs.get_existence_weights().numpy(),
+        rtol=1e-6,
+    )
+    # per-sample split
+    w_split = theirs.split()
+    g_split = mine.split()
+    assert len(w_split) == len(g_split)
+    for w, g in zip(w_split, g_split):
+        np.testing.assert_allclose(np.asarray(g), w.numpy(), atol=1e-6)
+    # repeat_samples (the reference requires an explicit batch_dim)
+    w_rep = theirs.repeat_samples(3, batch_dim=0)
+    g_rep = mine.repeat_samples(3, batch_dim=0)
+    _assert_ragged_equal(g_rep, w_rep)
+
+
+def test_set_padded_to_matches_reference(ref):
+    rng = np.random.default_rng(70)
+    mine, theirs, _, _ = _ragged_pair(ref, rng, inner=(2,), allow_empty=True)
+    want = theirs.set_padded_to(-5.0)  # in-place via the stubbed contract
+    got = mine.with_padded_set_to(-5.0)
+    np.testing.assert_allclose(
+        np.asarray(got.tensor), theirs.tensor.numpy(), atol=1e-6
+    )
