@@ -40,8 +40,13 @@ import accvlab_tpu.ragged as ours
 @pytest.fixture(scope="module")
 def ref():
     def _set_padded(data, sample_sizes, value):
-        idx = torch.arange(data.shape[1], device=data.device)
-        data[idx[None, :] >= sample_sizes[:, None]] = value
+        # contract (set_padded_to.py:26-33 + ragged_batch.py:552-558): data
+        # arrives with the non-uniform dim right after the batch dims, i.e.
+        # data (B..., T, inner...) with sample_sizes (B...,)
+        nb = sample_sizes.dim()
+        t = data.shape[nb]
+        idx = torch.arange(t, device=data.device).reshape((1,) * nb + (t,))
+        data[idx >= sample_sizes[..., None]] = value
 
     for name in ("batched_indexing_access_cuda", "batched_indexing_access_cpu"):
         mod = types.ModuleType(f"accvlab.batching_helpers.{name}")
@@ -216,3 +221,116 @@ def test_set_padded_to_matches_reference(ref):
     np.testing.assert_allclose(
         np.asarray(got.tensor), theirs.tensor.numpy(), atol=1e-6
     )
+
+
+def _normalized(t_rb=None, o_rb=None):
+    """Whole-tensor comparison after normalizing padding to 0 on both sides
+    (padding content is an implementation detail; zeroing it via each
+    framework's own set_padded_to makes full tensors comparable)."""
+    t_rb.set_padded_to(0.0)  # the reference mutates in place (returns None)
+    wt = t_rb.tensor.numpy()
+    gt = np.asarray(o_rb.with_padded_set_to(0.0).tensor)
+    return wt, gt
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_oversize_constructor_matches_reference(ref, seed):
+    rng = np.random.default_rng(80 + seed)
+    data = rng.normal(size=(3, 10, 2)).astype(np.float32)
+    sizes = rng.integers(0, 7, 3).astype(np.int64)
+    w = ref.RaggedBatch.FromOversizeTensor(
+        torch.from_numpy(data.copy()), sample_sizes=torch.from_numpy(sizes)
+    )
+    g = ours.RaggedBatch.FromOversizeTensor(
+        jnp.asarray(data), sample_sizes=jnp.asarray(sizes.astype(np.int32))
+    )
+    assert tuple(g.tensor.shape) == tuple(w.tensor.shape)  # same truncation
+    np.testing.assert_array_equal(np.asarray(g.mask), w.mask.numpy())
+    wt, gt = _normalized(w, g)
+    np.testing.assert_allclose(gt, wt, atol=1e-6)
+
+    # mask-variant: sizes derived from the mask (contiguous-prefix mask)
+    mask = np.arange(10)[None, :] < sizes[:, None]
+    w2 = ref.RaggedBatch.FromOversizeTensor(
+        torch.from_numpy(data.copy()), mask=torch.from_numpy(mask.copy())
+    )
+    g2 = ours.RaggedBatch.FromOversizeTensor(
+        jnp.asarray(data), mask=jnp.asarray(mask)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g2.sample_sizes), w2.sample_sizes.numpy()
+    )
+    assert tuple(g2.tensor.shape) == tuple(w2.tensor.shape)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_multi_batch_dim_transforms_match_reference(ref, seed):
+    rng = np.random.default_rng(90 + seed)
+    data = rng.normal(size=(2, 3, 5, 2)).astype(np.float32)
+    sizes = rng.integers(0, 6, (2, 3)).astype(np.int64)
+    w = ref.RaggedBatch(
+        torch.from_numpy(data.copy()),
+        sample_sizes=torch.from_numpy(sizes),
+        non_uniform_dim=2,
+    )
+    g = ours.RaggedBatch(
+        jnp.asarray(data),
+        sample_sizes=jnp.asarray(sizes.astype(np.int32)),
+        non_uniform_dim=2,
+    )
+    # flatten -> reshape roundtrip
+    wf, gf = w.flatten_batch_dims(), g.flatten_batch_dims()
+    np.testing.assert_array_equal(
+        np.asarray(gf.sample_sizes), wf.sample_sizes.numpy()
+    )
+    wt, gt = _normalized(wf, gf)
+    np.testing.assert_allclose(gt, wt, atol=1e-6)
+    wr, gr = wf.reshape_batch_dims((2, 3)), gf.reshape_batch_dims((2, 3))
+    wt, gt = _normalized(wr, gr)
+    np.testing.assert_allclose(gt, wt, atol=1e-6)
+    # unsqueeze / squeeze roundtrip
+    wu, gu = w.unsqueeze_batch_dim(1), g.unsqueeze_batch_dim(1)
+    assert tuple(gu.tensor.shape) == tuple(wu.tensor.shape)
+    ws, gs = wu.squeeze_batch_dim(1), gu.squeeze_batch_dim(1)
+    wt, gt = _normalized(ws, gs)
+    np.testing.assert_allclose(gt, wt, atol=1e-6)
+    # transpose the non-uniform dimension
+    wtr = w.get_non_uniform_dimension_transposed_to(3)
+    gtr = g.get_non_uniform_dimension_transposed_to(3)
+    assert wtr.non_uniform_dim == gtr.non_uniform_dim == 3
+    wt, gt = _normalized(wtr, gtr)
+    np.testing.assert_allclose(gt, wt, atol=1e-6)
+    # apply (functional map over the padded tensor)
+    wa = w.apply(lambda t: t * 2.0 + 1.0)
+    ga = g.apply(lambda t: t * 2.0 + 1.0)
+    wt, gt = _normalized(wa, ga)
+    np.testing.assert_allclose(gt, wt, atol=1e-6)
+
+
+def test_broadcast_batch_dims_matches_reference(ref):
+    rng = np.random.default_rng(101)
+    d1 = rng.normal(size=(2, 1, 4, 2)).astype(np.float32)
+    s1 = rng.integers(0, 5, (2, 1)).astype(np.int64)
+    d2 = rng.normal(size=(1, 3, 4, 2)).astype(np.float32)
+    s2 = rng.integers(0, 5, (1, 3)).astype(np.int64)
+    w_out = ref.RaggedBatch.broadcast_batch_dims([
+        ref.RaggedBatch(torch.from_numpy(d1.copy()),
+                        sample_sizes=torch.from_numpy(s1), non_uniform_dim=2),
+        ref.RaggedBatch(torch.from_numpy(d2.copy()),
+                        sample_sizes=torch.from_numpy(s2), non_uniform_dim=2),
+    ])
+    g_out = ours.RaggedBatch.broadcast_batch_dims([
+        ours.RaggedBatch(jnp.asarray(d1),
+                         sample_sizes=jnp.asarray(s1.astype(np.int32)),
+                         non_uniform_dim=2),
+        ours.RaggedBatch(jnp.asarray(d2),
+                         sample_sizes=jnp.asarray(s2.astype(np.int32)),
+                         non_uniform_dim=2),
+    ])
+    for w, g in zip(w_out, g_out):
+        assert tuple(g.tensor.shape) == tuple(w.tensor.shape)
+        np.testing.assert_array_equal(
+            np.asarray(g.sample_sizes), w.sample_sizes.numpy()
+        )
+        wt, gt = _normalized(w, g)
+        np.testing.assert_allclose(gt, wt, atol=1e-6)
