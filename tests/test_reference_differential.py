@@ -334,3 +334,153 @@ def test_broadcast_batch_dims_matches_reference(ref):
         )
         wt, gt = _normalized(w, g)
         np.testing.assert_allclose(gt, wt, atol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# input-sharding contract (dali_pipeline_framework inputs)
+# --------------------------------------------------------------------------- #
+
+_REF_INPUTS = (
+    "/root/reference/packages/dali_pipeline_framework/accvlab/"
+    "dali_pipeline_framework/inputs"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_sharded_callable():
+    """Load the reference's ShuffledShardedInputCallable from source with
+    its DALI/package context stubbed (the sharding algorithm itself is
+    pure numpy — SURVEY: 'the sharding contract IS the algorithm')."""
+    import importlib.util
+
+    dali = types.ModuleType("nvidia.dali")
+    dali.types = types.SimpleNamespace(SampleInfo=object)
+    nvidia = types.ModuleType("nvidia")
+    nvidia.dali = dali
+    pkg = types.ModuleType("refdpf")
+    pkg.__path__ = []
+    inputs_pkg = types.ModuleType("refdpf.inputs")
+    inputs_pkg.__path__ = [_REF_INPUTS]
+    pipeline_stub = types.ModuleType("refdpf.pipeline")
+    pipeline_stub.SampleDataGroup = object
+    cb = types.ModuleType("refdpf.inputs.callable_base")
+
+    class _CallableBase:
+        pass
+
+    cb.CallableBase = _CallableBase
+    dp = types.ModuleType("refdpf.inputs.data_provider")
+    dp.DataProvider = object
+    sys.modules.update({
+        "nvidia": nvidia,
+        "nvidia.dali": dali,
+        "refdpf": pkg,
+        "refdpf.inputs": inputs_pkg,
+        "refdpf.pipeline": pipeline_stub,
+        "refdpf.inputs.callable_base": cb,
+        "refdpf.inputs.data_provider": dp,
+    })
+    name = "refdpf.inputs.sfuffled_sharded_input_callable"
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_REF_INPUTS, "sfuffled_sharded_input_callable.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod.ShuffledShardedInputCallable
+
+
+class _RefRecordingProvider:
+    """Provider for the reference callable: records requested indices."""
+
+    def __init__(self, n):
+        self.n = n
+        self.requests = []
+
+    def get_number_of_samples(self):
+        return self.n
+
+    def get_data(self, idx):
+        self.requests.append(int(idx))
+        outer = self
+
+        class _S:
+            def get_data(self):
+                return (np.int32(0),)
+
+        return _S()
+
+
+def _our_index_stream(n, batch_size, shard_id, num_shards, shuffle, seed, epochs):
+    from accvlab_tpu.pipeline import DType, SampleDataGroup
+    from accvlab_tpu.pipeline.inputs import (
+        DataProvider,
+        SampleInfo,
+        ShuffledShardedInputCallable,
+    )
+
+    requests = []
+
+    class _P(DataProvider):
+        @property
+        def sample_data_structure(self):
+            sdg = SampleDataGroup()
+            sdg.add_data_field("x", DType.INT32)
+            return sdg
+
+        def get_number_of_samples(self):
+            return n
+
+        def get_data(self, idx):
+            requests.append(int(idx))
+            sdg = self.sample_data_structure
+            sdg["x"] = np.int32(0)
+            return sdg
+
+    inp = ShuffledShardedInputCallable(
+        _P(), batch_size=batch_size, shard_id=shard_id, num_shards=num_shards,
+        shuffle=shuffle, seed=seed,
+    )
+    shard_size = n // num_shards
+    for epoch in range(epochs):
+        for i in range(shard_size):
+            inp(SampleInfo(idx_in_epoch=i, idx_in_batch=i % batch_size,
+                           iteration=i // batch_size, epoch_idx=epoch))
+    # the epoch boundary must StopIteration in both
+    with pytest.raises(StopIteration):
+        inp(SampleInfo(idx_in_epoch=shard_size, idx_in_batch=0,
+                       iteration=shard_size // batch_size, epoch_idx=epochs - 1))
+    return requests, inp.length
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+@pytest.mark.parametrize("num_shards", [1, 2, 3])
+def test_sharded_input_index_stream_matches_reference(
+    ref_sharded_callable, shuffle, num_shards
+):
+    """Bitwise agreement of the multi-host input contract: for every
+    (shard, epoch) the exact per-sample index stream, the epoch length,
+    and the StopIteration boundary."""
+    n, batch_size, seed, epochs = 20, 2, 21, 3
+    for shard_id in range(num_shards):
+        prov = _RefRecordingProvider(n)
+        ref_inp = ref_sharded_callable(
+            prov, batch_size=batch_size, shard_id=shard_id,
+            num_shards=num_shards, shuffle=shuffle, seed=seed,
+        )
+        shard_size = n // num_shards
+        for epoch in range(epochs):
+            for i in range(shard_size):
+                ref_inp(types.SimpleNamespace(idx_in_epoch=i, epoch_idx=epoch))
+        with pytest.raises(StopIteration):
+            ref_inp(types.SimpleNamespace(idx_in_epoch=shard_size,
+                                          epoch_idx=epochs - 1))
+
+        got, got_len = _our_index_stream(
+            n, batch_size, shard_id, num_shards, shuffle, seed, epochs
+        )
+        assert got == prov.requests, (
+            f"index stream diverged (shard {shard_id}/{num_shards}, "
+            f"shuffle={shuffle})"
+        )
+        assert got_len == ref_inp.length
