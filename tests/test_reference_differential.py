@@ -484,3 +484,95 @@ def test_sharded_input_index_stream_matches_reference(
             f"shuffle={shuffle})"
         )
         assert got_len == ref_inp.length
+
+
+# --------------------------------------------------------------------------- #
+# condition-DSL grammar (internal_helpers/mini_parser)
+# --------------------------------------------------------------------------- #
+
+_REF_MP = (
+    "/root/reference/packages/dali_pipeline_framework/accvlab/"
+    "dali_pipeline_framework/internal_helpers/mini_parser"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_mini_parser():
+    """The reference's parser package is self-contained pure Python."""
+    import importlib.util
+
+    name = "ref_mini_parser"
+    spec = importlib.util.spec_from_file_location(
+        name, os.path.join(_REF_MP, "__init__.py"),
+        submodule_search_locations=[_REF_MP],
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _canon_ast(node):
+    """Framework-agnostic structural form (both ASTs share the node
+    vocabulary and attribute names — the parity surface)."""
+    t = type(node).__name__
+    if t == "Assignment":
+        return ("assign", _canon_ast(node.variable), _canon_ast(node.expression))
+    if t == "Literal":
+        return ("lit", float(node.value))
+    if t == "Variable":
+        return ("var", node.name)
+    if t == "Comparison":
+        return ("cmp", node.comparison_type,
+                _canon_ast(node.val1), _canon_ast(node.val2))
+    if t in ("Or", "And"):
+        # associativity encoding differs (this package builds one n-ary
+        # node for a chain, the reference nests left-associatively) and is
+        # semantically irrelevant for and/or: canonical form flattens
+        # same-type chains so the differential compares precedence and
+        # grouping, not the chain encoding
+        kids = []
+        for c in node.conditions:
+            cc = _canon_ast(c)
+            if cc[0] == t.lower():
+                kids.extend(cc[1])
+            else:
+                kids.append(cc)
+        return (t.lower(), tuple(kids))
+    if t == "Not":
+        return ("not", _canon_ast(node.condition))
+    if t == "UnaryMinus":
+        return ("neg", _canon_ast(node.value))
+    raise TypeError(f"unknown AST node {t}")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_mini_parser_ast_matches_reference(ref_mini_parser, seed):
+    """Grammar differential: random condition strings must parse to the
+    SAME structure in both parsers (precedence, associativity, grouping —
+    incl. the reference's not-binds-tighter-than-comparison deviation)."""
+    from accvlab_tpu.pipeline.mini_parser import Parser as OurParser
+    from tests.test_mini_parser_fuzz import _gen_bool
+
+    rng = np.random.default_rng(200 + seed)
+    names = ["aa", "bb", "cc"]
+    for _ in range(25):
+        text = f"res = {_gen_bool(rng, names, 0)}"
+        want = _canon_ast(ref_mini_parser.Parser(text).parse())
+        got = _canon_ast(OurParser(text).parse())
+        assert got == want, text
+
+
+def test_mini_parser_hand_cases_match_reference(ref_mini_parser):
+    from accvlab_tpu.pipeline.mini_parser import Parser as OurParser
+
+    for text in [
+        "r = a > 1.5 and b < 2.0 or not c == 0.0",
+        "r = not a > 1.0",             # the precedence deviation
+        "r = -a <= (-1.25)",
+        "r = (a > 0.0 or b > 0.0) and (not (c < 1.0))",
+        "r = a != b and a != c and b != c",
+    ]:
+        assert _canon_ast(OurParser(text).parse()) == _canon_ast(
+            ref_mini_parser.Parser(text).parse()
+        ), text
