@@ -12,8 +12,23 @@ pattern (loop the probe every few minutes in a background task and fire
 the bench the moment it heals) is how round 3 caught measurement windows.
 """
 
+import os
 import sys
 import time
+
+# Share bench.py's persistent compilation cache: a cold probe pays a full
+# remote compile over the tunnel (~70s of its budget even when healthy);
+# a warm one is a pure transfer+execute round trip (seconds). Without this,
+# a slow-but-alive tunnel is indistinguishable from a wedged one inside a
+# 75s probe timeout. Must be set before jax initializes.
+if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "jax"
+        ),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def main() -> int:
