@@ -91,6 +91,44 @@ def _get_chunk_slicer(specs):
     return _cached_program(_slicer_cache, specs, build)
 
 
+def _get_multi_slicer(spec):
+    """One jitted program that carves the views of EVERY chunk (all dtypes)
+    plus all zero-size leaves, in a single device dispatch.
+
+    The per-dtype :func:`_get_chunk_slicer` already collapses per-tensor
+    dispatches into per-chunk ones; on a remote-attach tunnel each dispatch
+    still costs a fixed round trip (~20 ms measured 2026-08-20), so a batch
+    whose wire format spans 4 dtypes paid 4 of them. This program takes all
+    chunks as inputs and emits every view at once — one dispatch per batch.
+    Zero-size leaves ride along as constants (they carry no bytes; shipping
+    them as individual ``device_put`` calls cost the DCT wire ~28 round
+    trips per batch for empty exception fields).
+
+    ``spec`` = ``(chunk_specs, zero_specs)`` where ``chunk_specs`` is a tuple
+    per chunk of ``(start_elem, num_elems, shape)`` triples and ``zero_specs``
+    is a tuple of ``(dtype_str, shape)``.
+    """
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+
+        chunk_specs, zero_specs = spec
+
+        def slicer(*chunks):
+            outs = []
+            for chunk, cs in zip(chunks, chunk_specs):
+                for s, n, shape in cs:
+                    outs.append(jax.lax.slice_in_dim(chunk, s, s + n).reshape(shape))
+            for dt, shape in zero_specs:
+                outs.append(jnp.zeros(shape, dt))
+            return tuple(outs)
+
+        return jax.jit(slicer)
+
+    return _cached_program(_slicer_cache, spec, build)
+
+
 def _get_background_pool() -> ThreadPoolExecutor:
     global _background_pool
     with _pool_lock:
@@ -254,6 +292,7 @@ def _plan_and_copy(
     pack_cpu_tensors: bool,
     min_packed_alignment_bytes: int,
     max_packed_chunk_bytes: int,
+    pack_candidate_max_bytes: Optional[int] = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -264,6 +303,11 @@ def _plan_and_copy(
             max_packed_chunk_bytes,
         )
 
+    pmax = (
+        _PACK_CANDIDATE_MAX_BYTES
+        if pack_candidate_max_bytes is None
+        else pack_candidate_max_bytes
+    )
     out: List[Any] = [None] * len(leaves)
     device_arrays: List[Any] = []
 
@@ -275,6 +319,10 @@ def _plan_and_copy(
 
     # classify leaves
     pack_groups = {}  # dtype -> list of (leaf_index, np_array)
+    zero_leaves = []  # (leaf_index, dtype, shape): no bytes — carved as
+    # constants by the slicer program instead of one device_put each (the
+    # DCT wire ships ~28 empty exception fields per batch; each empty put
+    # still pays a full dispatch round trip on a remote-attach tunnel)
     for i, leaf in enumerate(leaves):
         if isinstance(leaf, jax.Array):
             arr = jax.device_put(leaf, device) if device is not None else leaf
@@ -282,13 +330,13 @@ def _plan_and_copy(
             device_arrays.append(arr)
             continue
         if _is_packable_array(leaf):
-            arr = np.asarray(leaf)
+            arr = canonical(np.asarray(leaf))
             if arr.ndim > 0 and not arr.flags["C_CONTIGUOUS"]:
                 arr = np.ascontiguousarray(arr)
-            if pack_cpu_tensors and 0 < arr.nbytes <= _PACK_CANDIDATE_MAX_BYTES:
-                arr = canonical(arr)
-                if arr.ndim > 0 and not arr.flags["C_CONTIGUOUS"]:
-                    arr = np.ascontiguousarray(arr)
+            if arr.nbytes == 0 and pack_cpu_tensors:
+                zero_leaves.append((i, arr.dtype, arr.shape))
+                continue
+            if pack_cpu_tensors and 0 < arr.nbytes <= pmax:
                 pack_groups.setdefault(arr.dtype, []).append((i, arr))
                 continue
             dev_arr = jax.device_put(arr, device)
@@ -297,7 +345,10 @@ def _plan_and_copy(
             continue
         out[i] = leaf  # opaque pass-through (reference: :120-138)
 
-    # pack per dtype, split into chunks of max_packed_chunk_bytes
+    # pack per dtype, split into chunks of max_packed_chunk_bytes; ALL
+    # chunks (every dtype) then feed ONE combined slicer program so the
+    # whole packed batch costs len(chunks) transfers + 1 device dispatch
+    chunks = []  # (dtype, staging_np, specs[(leaf_i, start_elem, n, shape)])
     for dtype, items in pack_groups.items():
         itemsize = np.dtype(dtype).itemsize
         align_items = max(1, min_packed_alignment_bytes // itemsize)
@@ -316,15 +367,11 @@ def _plan_and_copy(
             total_bytes = pos * itemsize
             arrays = [arr for _, arr in chunk]
             staging = parallel_pack(arrays, offsets_bytes, total_bytes)
-            dev_chunk = jax.device_put(staging.view(dtype), device)
-            device_arrays.append(dev_chunk)
             specs = tuple(
-                (off // itemsize, arr.size, arr.shape)
-                for (_, arr), off in zip(chunk, offsets_bytes)
+                (leaf_i, off // itemsize, arr.size, arr.shape)
+                for (leaf_i, arr), off in zip(chunk, offsets_bytes)
             )
-            views = _get_chunk_slicer(specs)(dev_chunk)
-            for (leaf_i, _), view in zip(chunk, views):
-                out[leaf_i] = view
+            chunks.append((dtype, staging, specs))
 
         for leaf_i, arr in items:
             n_aligned = -(-arr.size // align_items) * align_items
@@ -334,6 +381,33 @@ def _plan_and_copy(
             chunk.append((leaf_i, arr))
             chunk_elems += n_aligned
         flush(chunk, chunk_elems)
+
+    if chunks:
+        dev_chunks = [
+            jax.device_put(staging.view(dtype), device)
+            for dtype, staging, _ in chunks
+        ]
+        device_arrays.extend(dev_chunks)
+        slicer_key = (
+            tuple(
+                tuple((s, n, shape) for _, s, n, shape in specs)
+                for _, _, specs in chunks
+            ),
+            tuple((str(dt), shape) for _, dt, shape in zero_leaves),
+        )
+        views = _get_multi_slicer(slicer_key)(*dev_chunks)
+        leaf_order = [
+            leaf_i for _, _, specs in chunks for leaf_i, _, _, _ in specs
+        ] + [leaf_i for leaf_i, _, _ in zero_leaves]
+        for leaf_i, view in zip(leaf_order, views):
+            out[leaf_i] = view
+    elif zero_leaves:
+        # no packed payload to ride along with: place the empties directly
+        # (rare — a tree whose packable leaves are ALL empty)
+        for leaf_i, dt, shape in zero_leaves:
+            dev_arr = jax.device_put(np.zeros(shape, dt), device)
+            out[leaf_i] = dev_arr
+            device_arrays.append(dev_arr)
 
     return out, device_arrays
 
@@ -346,6 +420,7 @@ def start_copy(
     min_packed_alignment_bytes: int = 16,
     max_packed_chunk_bytes: int = _DEFAULT_MAX_CHUNK,
     use_background_thread: bool = True,
+    pack_candidate_max_bytes: Optional[int] = None,
 ) -> AsyncCopyHandle:
     """Start an asynchronous packed copy of a nested structure to a device.
 
@@ -363,6 +438,14 @@ def start_copy(
       (small same-dtype arrays are packed into one on-device concat + one
       transfer); host leaves pass through unchanged.
 
+    ``pack_candidate_max_bytes`` bounds which host arrays are packed into
+    chunks (default 256 KB, the reference's ``make_pack_candidate``
+    threshold, ``multi_tensor_copier.cpp:481``); larger arrays transfer
+    individually. On transports where the per-transfer round trip dominates
+    (the remote-attach tunnel), pass a large value so EVERY array rides a
+    chunk — the whole tree then costs one transfer per (dtype, 32 MB chunk)
+    plus a single view-carving dispatch.
+
     Returns an :class:`AsyncCopyHandle` with ``ready()`` / ``get()``.
     """
     import jax
@@ -379,6 +462,7 @@ def start_copy(
             pack_cpu_tensors,
             min_packed_alignment_bytes,
             max_packed_chunk_bytes,
+            pack_candidate_max_bytes,
         )
         return jax.tree_util.tree_unflatten(treedef, out), device_arrays
 

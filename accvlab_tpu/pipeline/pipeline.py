@@ -575,8 +575,19 @@ class TPUPipeline:
             return tuple(shard_batch(list(host_batch), self._mesh))
         from ..hostcopy import start_copy
 
+        # Pack EVERY field into per-dtype chunks (not just the <=256 KB
+        # candidates): the batch then costs one transfer per chunk plus a
+        # single view-carving dispatch. Measured on-TPU 2026-08-20 (dct-dp16
+        # wire, docs/bench_watch_r05.jsonl): the per-field plan issued 34
+        # device_puts + 4 slicer dispatches per batch — ~750 ms of fixed
+        # per-round-trip cost on the remote-attach tunnel, dwarfing the
+        # 5.4 MB payload. The extra cost of packing large fields is one
+        # parallel memcpy (csrc/pack.cpp, GIL-free, ~GB/s). Env override
+        # ACCVLAB_TRANSFER_PACK_MAX (bytes; 0 = reference per-field plan).
+        pack_max = int(os.environ.get("ACCVLAB_TRANSFER_PACK_MAX", str(32 << 20)))
         handle = start_copy(
-            list(host_batch), device=self._device, use_background_thread=False
+            list(host_batch), device=self._device, use_background_thread=False,
+            pack_candidate_max_bytes=pack_max or None,
         )
         return tuple(handle.get())
 

@@ -388,3 +388,64 @@ def test_d2h_alignment_with_chunk_split():
     ).get()
     for o, s in zip(out, srcs):
         np.testing.assert_array_equal(o, s)
+
+
+def test_coalesced_plan_dispatch_count(monkeypatch):
+    """With pack_candidate_max_bytes raised, a many-field tree (mixed dtypes,
+    large fields, empties) must cost one device_put per (dtype, chunk) plus
+    ONE slicer dispatch — the fixed per-round-trip cost was the measured
+    bottleneck of the DCT wire on the remote-attach tunnel
+    (docs/bench_watch_r05.jsonl runs 1-5: 34 puts + 4 slicer execs = ~750 ms
+    of the 1036 ms batch)."""
+    import jax
+
+    from accvlab_tpu.hostcopy import async_copy as ac
+
+    rng = np.random.default_rng(0)
+    tree = (
+        [rng.integers(0, 255, (700_000,), np.uint8) for _ in range(2)]  # big
+        + [rng.integers(0, 255, (int(rng.integers(1, 5000)),), np.uint8)
+           for _ in range(40)]
+        + [rng.integers(-100, 100, (int(rng.integers(1, 300)),), np.int32)
+           for _ in range(20)]
+        + [np.zeros((0,), np.uint32) for _ in range(25)]  # empty exceptions
+        + [np.zeros((4, 0), np.int16) for _ in range(3)]
+    )
+    puts = {"n": 0}
+    orig_put = jax.device_put
+
+    def counting_put(x, device=None, **kw):
+        puts["n"] += 1
+        return orig_put(x, device, **kw)
+
+    monkeypatch.setattr(jax, "device_put", counting_put)
+    slicer_execs = {"n": 0}
+    orig_ms = ac._get_multi_slicer
+
+    def counting_ms(spec):
+        fn = orig_ms(spec)
+
+        def wrapped(*chunks):
+            slicer_execs["n"] += 1
+            return fn(*chunks)
+
+        return wrapped
+
+    monkeypatch.setattr(ac, "_get_multi_slicer", counting_ms)
+    out = start_copy(tree, pack_candidate_max_bytes=32 << 20).get()
+    # 2 dtout chunks with payload (uint8 incl. the 700 KB fields, int32) +
+    # int16/uint32 leaves are ALL empty -> constants, no chunk of their own
+    assert puts["n"] == 2, puts
+    assert slicer_execs["n"] == 1
+    for o, src in zip(out, tree):
+        np.testing.assert_array_equal(np.asarray(o), src)
+        assert np.asarray(o).dtype == src.dtype
+
+
+def test_all_empty_tree_fallback():
+    """A tree whose packable leaves are all zero-size still transfers."""
+    tree = [np.zeros((0,), np.float32), np.zeros((3, 0), np.uint8), "opaque"]
+    out = start_copy(tree).get()
+    assert np.asarray(out[0]).shape == (0,)
+    assert np.asarray(out[1]).shape == (3, 0)
+    assert out[2] == "opaque"
