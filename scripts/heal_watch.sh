@@ -47,13 +47,29 @@ OUT="${OUTDIR}/bench"
 echo $$ > "${OUTDIR}/watch.pid"
 echo "watch-${TAG} started $(date -u +%FT%TZ) pid=$$ max_rounds=${MAX_ROUNDS}" >> "${OUTDIR}/status.log"
 
-SFX=""  # per-round suffix; empty for the first round
+SFX=""       # per-ATTEMPT result suffix (never overwrite an earlier attempt)
+FRESH_ANY=0  # did the current matrix attempt produce >=1 fresh measurement?
 
-run_bench() {  # run_bench <name> <env...>
+fresh_json() {  # non-empty JSON that is NOT a stale fallback
+  [ -s "$1" ] && ! grep -q '"stale": true' "$1"
+}
+
+run_bench() {  # run_bench <name> <env...>  -> rc 0 if fresh, 1 if not
   local name="$1"; shift
   env "$@" ACCVLAB_BENCH_DEADLINE_S=520 timeout 590 \
     python -u bench.py > "${OUT}_${name}${SFX}.json" 2> "${OUT}_${name}${SFX}.log"
-  echo "bench ${name}${SFX} rc=$? $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+  local rc=$?
+  echo "bench ${name}${SFX} rc=${rc} $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+  if fresh_json "${OUT}_${name}${SFX}.json"; then FRESH_ANY=1; return 0; fi
+  return 1
+}
+
+run_script() {  # run_script <name> <cmd...>  -> rc 0 on success
+  local name="$1"; shift
+  timeout 590 "$@" > "${OUT}_${name}${SFX}.json" 2> "${OUT}_${name}${SFX}.log"
+  local rc=$?
+  echo "${name}${SFX} rc=${rc} $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+  [ "$rc" -eq 0 ] && [ -s "${OUT}_${name}${SFX}.json" ]
 }
 
 probe() {  # two-stage: fast boxes catch warm-healthy/hard-wedge; the long
@@ -63,32 +79,40 @@ probe() {  # two-stage: fast boxes catch warm-healthy/hard-wedge; the long
   timeout 200 python scripts/tpu_probe.py >/dev/null 2>&1
 }
 
+# A "round" = a matrix attempt that measured something FRESH. Observed
+# windows can be minutes long (2026-08-20: a ~4 min flap at 11:19Z healed
+# the probe, then closed before the first bench finished its own probe) —
+# an attempt that yields only stale fallbacks must NOT consume a round or
+# trigger the cooldown, and once one entry stale-falls-back the window is
+# gone: abort the attempt and resume probing instead of burning ~30 min
+# emitting stales.
 ROUND=0
+ATTEMPT=0
 while [ "$ROUND" -lt "$MAX_ROUNDS" ]; do
   touch "${OUTDIR}/heartbeat"
   if probe; then
-    ROUND=$((ROUND + 1))
-    [ "$ROUND" -gt 1 ] && SFX="_r${ROUND}" || SFX=""
-    echo "healed $(date -u +%FT%TZ) -> matrix round ${ROUND}/${MAX_ROUNDS}" >> "${OUTDIR}/status.log"
-    run_bench dct ACCVLAB_BENCH_TRACE="${OUT}_dct_trace${SFX}.json"
-    run_bench yuvpacked ACCVLAB_BENCH_WIRE=yuv
-    run_bench raw ACCVLAB_BENCH_WIRE=yuv ACCVLAB_BENCH_WIRE_PACK=0
-    run_bench dct_split12 ACCVLAB_BENCH_DCT_GROUPING=split12
-    timeout 590 python -u scripts/bench_dct_device.py \
-      > "${OUT}_dctdev${SFX}.json" 2> "${OUT}_dctdev${SFX}.log"
-    echo "dctdev${SFX} rc=$? $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
-    timeout 590 python -u scripts/bench_echo.py --factors 1,2 --batches 8 \
-      > "${OUT}_echo${SFX}.json" 2> "${OUT}_echo${SFX}.log"
-    echo "echo${SFX} rc=$? $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
-    timeout 590 python -u scripts/bench_serving.py --iters 20 \
-      > "${OUT}_serving${SFX}.json" 2> "${OUT}_serving${SFX}.log"
-    echo "serving${SFX} rc=$? $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
-    timeout 590 python -u scripts/bench_serving.py --iters 20 --quantize int8 \
-      > "${OUT}_serving_int8${SFX}.json" 2> "${OUT}_serving_int8${SFX}.log"
-    echo "serving_int8${SFX} rc=$? $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
-    [ "$ROUND" -ge "$MAX_ROUNDS" ] && { echo "done $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"; exit 0; }
-    echo "cooldown ${COOLDOWN_S}s before re-arming $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
-    sleep "$COOLDOWN_S"
+    ATTEMPT=$((ATTEMPT + 1))
+    [ "$ATTEMPT" -gt 1 ] && SFX="_a${ATTEMPT}" || SFX=""
+    FRESH_ANY=0
+    echo "healed $(date -u +%FT%TZ) -> matrix attempt ${ATTEMPT} (fresh rounds so far: ${ROUND}/${MAX_ROUNDS})" >> "${OUTDIR}/status.log"
+    run_bench dct ACCVLAB_BENCH_TRACE="${OUT}_dct_trace${SFX}.json" \
+      && run_bench yuvpacked ACCVLAB_BENCH_WIRE=yuv \
+      && run_bench raw ACCVLAB_BENCH_WIRE=yuv ACCVLAB_BENCH_WIRE_PACK=0 \
+      && run_bench dct_split12 ACCVLAB_BENCH_DCT_GROUPING=split12 \
+      && run_script dctdev python -u scripts/bench_dct_device.py \
+      && run_script echo python -u scripts/bench_echo.py --factors 1,2 --batches 8 \
+      && run_script serving python -u scripts/bench_serving.py --iters 20 \
+      && run_script serving_int8 python -u scripts/bench_serving.py --iters 20 --quantize int8 \
+      || echo "matrix attempt ${ATTEMPT} aborted early (window closed) $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+    if [ "$FRESH_ANY" -eq 1 ]; then
+      ROUND=$((ROUND + 1))
+      [ "$ROUND" -ge "$MAX_ROUNDS" ] && { echo "done $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"; exit 0; }
+      echo "fresh round ${ROUND}/${MAX_ROUNDS} recorded; cooldown ${COOLDOWN_S}s $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+      sleep "$COOLDOWN_S"
+    else
+      echo "attempt ${ATTEMPT} yielded nothing fresh; resuming probing immediately $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+      sleep 120
+    fi
   else
     echo "wedged $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
     sleep 240

@@ -6,8 +6,10 @@ this repo should be gated on this probe with a short timeout:
 
     timeout 75 python scripts/tpu_probe.py && timeout 590 python bench.py
 
-Exit 0 = a real round trip (transfer + compile + execute + materialize)
-completed; nonzero/timeout = wedged, do CPU work instead. The watcher
+Exit 0 = a real transfer + execute + materialize round trip completed (the
+compile leg is only exercised on a COLD persistent-compilation cache — a
+warm probe reuses the cached executable and validates the data path only);
+nonzero/timeout = wedged, do CPU work instead. The watcher
 pattern (loop the probe every few minutes in a background task and fire
 the bench the moment it heals) is how round 3 caught measurement windows.
 """
