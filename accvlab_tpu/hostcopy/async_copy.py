@@ -129,6 +129,50 @@ def _get_multi_slicer(spec):
     return _cached_program(_slicer_cache, spec, build)
 
 
+def _get_byte_slicer(spec):
+    """One jitted program that carves typed views out of RAW-BYTE chunks.
+
+    The cross-dtype variant of :func:`_get_multi_slicer`: fields of every
+    numeric dtype ride ONE uint8 chunk (byte offsets, host-side pack is a
+    raw memcpy either way) and are re-typed device-side with
+    ``lax.bitcast_convert_type`` — so the whole batch costs ONE transfer +
+    ONE dispatch regardless of its dtype mix. On the remote-attach tunnel
+    each round trip costs ~20 ms (docs/performance.md round 5a); a 4-dtype
+    batch saves 3 of them per batch vs per-dtype chunks.
+
+    ``spec`` = ``(chunk_specs, zero_specs)``; ``chunk_specs`` is a tuple per
+    chunk of ``(start_byte, dtype_str, shape)`` triples.
+    """
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+
+        chunk_specs, zero_specs = spec
+
+        def slicer(*chunks):
+            outs = []
+            for chunk, cs in zip(chunks, chunk_specs):
+                for off, dt_str, shape in cs:
+                    dt = np.dtype(dt_str)
+                    n = int(np.prod(shape, dtype=np.int64))
+                    raw = jax.lax.slice_in_dim(chunk, off, off + n * dt.itemsize)
+                    if dt == np.uint8:
+                        outs.append(raw.reshape(shape))
+                    else:
+                        arr = jax.lax.bitcast_convert_type(
+                            raw.reshape(n, dt.itemsize), jnp.dtype(dt_str)
+                        )
+                        outs.append(arr.reshape(shape))
+            for dt, shape in zero_specs:
+                outs.append(jnp.zeros(shape, dt))
+            return tuple(outs)
+
+        return jax.jit(slicer)
+
+    return _cached_program(_slicer_cache, ("bytes", spec), build)
+
+
 def _get_background_pool() -> ThreadPoolExecutor:
     global _background_pool
     with _pool_lock:
@@ -293,6 +337,7 @@ def _plan_and_copy(
     min_packed_alignment_bytes: int,
     max_packed_chunk_bytes: int,
     pack_candidate_max_bytes: Optional[int] = None,
+    merge_dtype_chunks: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -308,6 +353,7 @@ def _plan_and_copy(
         if pack_candidate_max_bytes is None
         else pack_candidate_max_bytes
     )
+    merge = merge_dtype_chunks
     out: List[Any] = [None] * len(leaves)
     device_arrays: List[Any] = []
 
@@ -318,7 +364,7 @@ def _plan_and_copy(
         return arr.astype(target) if np.dtype(target) != arr.dtype else arr
 
     # classify leaves
-    pack_groups = {}  # dtype -> list of (leaf_index, np_array)
+    pack_groups = {}  # dtype (or the "" merged-bytes group) -> [(idx, arr)]
     zero_leaves = []  # (leaf_index, dtype, shape): no bytes — carved as
     # constants by the slicer program instead of one device_put each (the
     # DCT wire ships ~28 empty exception fields per batch; each empty put
@@ -337,7 +383,11 @@ def _plan_and_copy(
                 zero_leaves.append((i, arr.dtype, arr.shape))
                 continue
             if pack_cpu_tensors and 0 < arr.nbytes <= pmax:
-                pack_groups.setdefault(arr.dtype, []).append((i, arr))
+                # merged mode: every int/uint/float field rides the single
+                # raw-byte group (device-side bitcast re-types); bool and
+                # complex keep per-dtype chunks (no clean bitcast)
+                key = "" if merge and arr.dtype.kind in "iuf" else arr.dtype
+                pack_groups.setdefault(key, []).append((i, arr))
                 continue
             dev_arr = jax.device_put(arr, device)
             out[i] = dev_arr
@@ -345,10 +395,45 @@ def _plan_and_copy(
             continue
         out[i] = leaf  # opaque pass-through (reference: :120-138)
 
-    # pack per dtype, split into chunks of max_packed_chunk_bytes; ALL
-    # chunks (every dtype) then feed ONE combined slicer program so the
-    # whole packed batch costs len(chunks) transfers + 1 device dispatch
+    # pack per group, split into chunks of max_packed_chunk_bytes; ALL
+    # chunks then feed ONE combined slicer program so the whole packed
+    # batch costs len(chunks) transfers + 1 device dispatch. The merged
+    # "" group packs every numeric dtype into raw-byte chunks (re-typed
+    # device-side); per-dtype groups remain for bool/complex and for the
+    # non-merged (reference-parity) mode.
     chunks = []  # (dtype, staging_np, specs[(leaf_i, start_elem, n, shape)])
+    byte_chunks = []  # (staging_np, specs[(leaf_i, start_byte, dtype_str, shape)])
+    byte_items = pack_groups.pop("", None)
+    if byte_items is not None:
+        # byte alignment that honors every numeric itemsize (<= 16)
+        balign = max(1, min_packed_alignment_bytes)
+        chunk: List = []
+        chunk_bytes = 0
+
+        def bflush(chunk):
+            if not chunk:
+                return
+            offsets = []
+            pos = 0
+            for _, arr in chunk:
+                offsets.append(pos)
+                pos += -(-arr.nbytes // balign) * balign
+            staging = parallel_pack([a for _, a in chunk], offsets, pos)
+            specs = tuple(
+                (leaf_i, off, str(arr.dtype), arr.shape)
+                for (leaf_i, arr), off in zip(chunk, offsets)
+            )
+            byte_chunks.append((staging, specs))
+
+        for leaf_i, arr in byte_items:
+            n_aligned = -(-arr.nbytes // balign) * balign
+            if chunk and chunk_bytes + n_aligned > max_packed_chunk_bytes:
+                bflush(chunk)
+                chunk, chunk_bytes = [], 0
+            chunk.append((leaf_i, arr))
+            chunk_bytes += n_aligned
+        bflush(chunk)
+
     for dtype, items in pack_groups.items():
         itemsize = np.dtype(dtype).itemsize
         align_items = max(1, min_packed_alignment_bytes // itemsize)
@@ -382,6 +467,29 @@ def _plan_and_copy(
             chunk_elems += n_aligned
         flush(chunk, chunk_elems)
 
+    # zero-size leaves ride whichever slicer program runs (byte slicer
+    # preferred — in merged mode it is usually the ONLY dispatch)
+    zeros_spec = tuple((str(dt), shape) for _, dt, shape in zero_leaves)
+    zeros_assigned = False
+
+    if byte_chunks:
+        dev_bchunks = [jax.device_put(staging, device) for staging, _ in byte_chunks]
+        device_arrays.extend(dev_bchunks)
+        key = (
+            tuple(
+                tuple((off, dt, shape) for _, off, dt, shape in specs)
+                for _, specs in byte_chunks
+            ),
+            zeros_spec,
+        )
+        views = _get_byte_slicer(key)(*dev_bchunks)
+        leaf_order = [
+            leaf_i for _, specs in byte_chunks for leaf_i, _, _, _ in specs
+        ] + [leaf_i for leaf_i, _, _ in zero_leaves]
+        for leaf_i, view in zip(leaf_order, views):
+            out[leaf_i] = view
+        zeros_assigned = True
+
     if chunks:
         dev_chunks = [
             jax.device_put(staging.view(dtype), device)
@@ -393,15 +501,17 @@ def _plan_and_copy(
                 tuple((s, n, shape) for _, s, n, shape in specs)
                 for _, _, specs in chunks
             ),
-            tuple((str(dt), shape) for _, dt, shape in zero_leaves),
+            () if zeros_assigned else zeros_spec,
         )
         views = _get_multi_slicer(slicer_key)(*dev_chunks)
         leaf_order = [
             leaf_i for _, _, specs in chunks for leaf_i, _, _, _ in specs
-        ] + [leaf_i for leaf_i, _, _ in zero_leaves]
+        ] + ([] if zeros_assigned else [leaf_i for leaf_i, _, _ in zero_leaves])
         for leaf_i, view in zip(leaf_order, views):
             out[leaf_i] = view
-    elif zero_leaves:
+        zeros_assigned = True
+
+    if zero_leaves and not zeros_assigned:
         # no packed payload to ride along with: place the empties directly
         # (rare — a tree whose packable leaves are ALL empty)
         for leaf_i, dt, shape in zero_leaves:
@@ -421,6 +531,7 @@ def start_copy(
     max_packed_chunk_bytes: int = _DEFAULT_MAX_CHUNK,
     use_background_thread: bool = True,
     pack_candidate_max_bytes: Optional[int] = None,
+    merge_dtype_chunks: bool = False,
 ) -> AsyncCopyHandle:
     """Start an asynchronous packed copy of a nested structure to a device.
 
@@ -444,7 +555,10 @@ def start_copy(
     individually. On transports where the per-transfer round trip dominates
     (the remote-attach tunnel), pass a large value so EVERY array rides a
     chunk — the whole tree then costs one transfer per (dtype, 32 MB chunk)
-    plus a single view-carving dispatch.
+    plus a single view-carving dispatch. ``merge_dtype_chunks=True`` goes
+    further: every int/uint/float field rides a single RAW-BYTE chunk and
+    is re-typed device-side (``lax.bitcast_convert_type``), so a mixed
+    batch costs ONE transfer + ONE dispatch total.
 
     Returns an :class:`AsyncCopyHandle` with ``ready()`` / ``get()``.
     """
@@ -463,6 +577,7 @@ def start_copy(
             min_packed_alignment_bytes,
             max_packed_chunk_bytes,
             pack_candidate_max_bytes,
+            merge_dtype_chunks,
         )
         return jax.tree_util.tree_unflatten(treedef, out), device_arrays
 

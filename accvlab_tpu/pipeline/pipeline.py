@@ -305,6 +305,8 @@ class TPUPipeline:
         self._stat_consumer_wait_s = 0.0
         self._stat_device_stage_s = 0.0
         self._stat_transfer_bytes = 0  # bytes of the last H2D transfer
+        self._transfer_merge = None  # resolved on first transfer; may drop
+        # to False if the backend rejects the byte-carve program
         self._last_dispatch_bytes = 0  # bytes the most recent dispatch moved
         # opt-in phase-timeline recording (see start_trace); when None the
         # hot paths pay one attribute read per phase
@@ -585,11 +587,38 @@ class TPUPipeline:
         # parallel memcpy (csrc/pack.cpp, GIL-free, ~GB/s). Env override
         # ACCVLAB_TRANSFER_PACK_MAX (bytes; 0 = reference per-field plan).
         pack_max = int(os.environ.get("ACCVLAB_TRANSFER_PACK_MAX", str(32 << 20)))
-        handle = start_copy(
-            list(host_batch), device=self._device, use_background_thread=False,
-            pack_candidate_max_bytes=pack_max or None,
-        )
-        return tuple(handle.get())
+        if self._transfer_merge is None:
+            self._transfer_merge = bool(pack_max) and os.environ.get(
+                "ACCVLAB_TRANSFER_MERGE", "1"
+            ) != "0"
+        try:
+            handle = start_copy(
+                list(host_batch), device=self._device, use_background_thread=False,
+                pack_candidate_max_bytes=pack_max or None,
+                # single raw-byte chunk + device-side re-typing: ONE transfer
+                # + ONE dispatch per batch (env opt-out for A/B)
+                merge_dtype_chunks=self._transfer_merge,
+            )
+            return tuple(handle.get())
+        except Exception:
+            if not self._transfer_merge:
+                raise
+            # insurance for backends whose lowering rejects the byte-carve
+            # program (e.g. a bitcast gap): drop to per-dtype chunks for the
+            # pipeline's lifetime rather than dying on the first batch —
+            # costs a few extra dispatches, never correctness
+            warnings.warn(
+                "merged byte-chunk transfer failed on this backend; "
+                "falling back to per-dtype chunks",
+                RuntimeWarning,
+            )
+            self._transfer_merge = False
+            handle = start_copy(
+                list(host_batch), device=self._device, use_background_thread=False,
+                pack_candidate_max_bytes=pack_max or None,
+                merge_dtype_chunks=False,
+            )
+            return tuple(handle.get())
 
     def _run_device_stage(self, host_batch: tuple, batch_idx: int, echo_i: int = 0):
         """One device pass over a (possibly already-transferred) batch.

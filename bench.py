@@ -454,7 +454,7 @@ def _emit_stale_fallback() -> bool:
     projected = None
     if wire_mbps:
         dct_bytes_mb = 5.37  # dct-dp16 wire, CPU-measured, lossless floor
-        n_dispatch, rpc_s = 5, 0.020  # coalesced plan; RPC from r05 run 1-5 gap
+        n_dispatch, rpc_s = 2, 0.020  # merged byte-chunk plan; RPC from r05 gap
         t_batch = dct_bytes_mb / wire_mbps + n_dispatch * rpc_s
         projected = {
             "config": "dct-dp16 + coalesced chunk transport",

@@ -449,3 +449,51 @@ def test_all_empty_tree_fallback():
     assert np.asarray(out[0]).shape == (0,)
     assert np.asarray(out[1]).shape == (3, 0)
     assert out[2] == "opaque"
+
+
+def test_merged_byte_chunk_mode(monkeypatch):
+    """merge_dtype_chunks: every int/uint/float field rides ONE raw-byte
+    chunk (re-typed device-side via bitcast) — 1 transfer + 1 dispatch for
+    a mixed-dtype tree; bool/complex fall back to per-dtype chunks."""
+    import jax
+
+    from accvlab_tpu.hostcopy import async_copy as ac
+
+    rng = np.random.default_rng(3)
+    tree = (
+        [rng.integers(0, 255, (400_000,), np.uint8)]
+        + [rng.normal(size=(17, 3)).astype(np.float32) for _ in range(6)]
+        + [rng.integers(-999, 999, (13,)).astype(np.int16) for _ in range(4)]
+        + [rng.integers(0, 2**31, (7,)).astype(np.uint32) for _ in range(2)]
+        + [np.zeros((0,), np.int32), np.zeros((5, 0), np.float32)]
+    )
+    puts = {"n": 0}
+    orig_put = jax.device_put
+
+    def counting_put(x, device=None, **kw):
+        puts["n"] += 1
+        return orig_put(x, device, **kw)
+
+    monkeypatch.setattr(jax, "device_put", counting_put)
+    execs = {"n": 0}
+    orig_bs = ac._get_byte_slicer
+
+    def counting_bs(spec):
+        fn = orig_bs(spec)
+
+        def wrapped(*chunks):
+            execs["n"] += 1
+            return fn(*chunks)
+
+        return wrapped
+
+    monkeypatch.setattr(ac, "_get_byte_slicer", counting_bs)
+    out = start_copy(
+        tree, pack_candidate_max_bytes=32 << 20, merge_dtype_chunks=True
+    ).get()
+    assert puts["n"] == 1, puts
+    assert execs["n"] == 1
+    for o, src in zip(out, tree):
+        a = np.asarray(o)
+        np.testing.assert_array_equal(a, src)
+        assert a.dtype == src.dtype
