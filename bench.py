@@ -533,9 +533,38 @@ def _arm_deadman(deadline: float) -> None:
             ok = _emit_stale_fallback()
             _json_emitted = True
         # threads may be stuck inside wedged remote calls; skip teardown
+        _release_tunnel()  # os._exit skips atexit
         os._exit(0 if ok else 3)
 
     threading.Thread(target=_fire, daemon=True, name="bench-deadman").start()
+
+
+#: sentinel telling the heal-watcher an EXTERNAL bench run owns the tunnel.
+#: The remote-attach tunnel serializes clients (measured 2026-08-20: a
+#: concurrent probe starved a bench's probe and wasted a live window), so
+#: the watcher must not probe or start matrix entries while this exists.
+#: Watcher-spawned bench children set ACCVLAB_WATCHER=1 and skip it.
+_SENTINEL = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_active")
+
+
+def _claim_tunnel():
+    if os.environ.get("ACCVLAB_WATCHER") == "1":
+        return
+    try:
+        with open(_SENTINEL, "w") as f:
+            f.write(str(os.getpid()))
+        import atexit
+
+        atexit.register(_release_tunnel)
+    except OSError:
+        pass
+
+
+def _release_tunnel():
+    try:
+        os.remove(_SENTINEL)
+    except OSError:
+        pass
 
 
 def main():
@@ -545,6 +574,7 @@ def main():
     # around measure_input_idle below and the deadman timer.
     global _json_emitted
     _json_emitted = False  # a prior in-process main() must not mute this one
+    _claim_tunnel()
     t_wall0 = time.time()
     deadline = t_wall0 + float(os.environ.get("ACCVLAB_BENCH_DEADLINE_S", "520"))
     _arm_deadman(deadline)
@@ -733,6 +763,7 @@ def main():
         # a daemon thread is stuck in a wedged remote compile; normal
         # interpreter teardown (jax atexit) can block on it — exit hard,
         # the JSON is already flushed
+        _release_tunnel()  # os._exit skips atexit
         os._exit(0)
 
 

@@ -54,9 +54,26 @@ fresh_json() {  # non-empty JSON that is NOT a stale fallback
   [ -s "$1" ] && ! grep -q '"stale": true' "$1"
 }
 
+yield_external() {  # the tunnel serializes clients: while an EXTERNAL
+  # bench.py owns it (.bench_active sentinel, written unless
+  # ACCVLAB_WATCHER=1 — i.e. by the driver's end-of-round run), do not
+  # probe or start matrix entries. Sentinel expires after 15 min (a killed
+  # bench cannot starve the watch forever).
+  while [ -f .bench_active ]; do
+    if [ -n "$(find .bench_active -mmin +15 2>/dev/null)" ]; then
+      rm -f .bench_active
+      echo "expired stale .bench_active sentinel $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+      break
+    fi
+    touch "${OUTDIR}/heartbeat"
+    sleep 20
+  done
+}
+
 run_bench() {  # run_bench <name> <env...>  -> rc 0 if fresh, 1 if not
   local name="$1"; shift
-  env "$@" ACCVLAB_BENCH_DEADLINE_S=520 timeout 590 \
+  yield_external
+  env "$@" ACCVLAB_WATCHER=1 ACCVLAB_BENCH_DEADLINE_S=520 timeout 590 \
     python -u bench.py > "${OUT}_${name}${SFX}.json" 2> "${OUT}_${name}${SFX}.log"
   local rc=$?
   echo "bench ${name}${SFX} rc=${rc} $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
@@ -66,7 +83,8 @@ run_bench() {  # run_bench <name> <env...>  -> rc 0 if fresh, 1 if not
 
 run_script() {  # run_script <name> <cmd...>  -> rc 0 on success
   local name="$1"; shift
-  timeout 590 "$@" > "${OUT}_${name}${SFX}.json" 2> "${OUT}_${name}${SFX}.log"
+  yield_external
+  ACCVLAB_WATCHER=1 timeout 590 "$@" > "${OUT}_${name}${SFX}.json" 2> "${OUT}_${name}${SFX}.log"
   local rc=$?
   echo "${name}${SFX} rc=${rc} $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
   [ "$rc" -eq 0 ] && [ -s "${OUT}_${name}${SFX}.json" ]
@@ -74,8 +92,10 @@ run_script() {  # run_script <name> <cmd...>  -> rc 0 on success
 
 probe() {  # two-stage: fast boxes catch warm-healthy/hard-wedge; the long
            # box gives a marginal (cold ~101 s) window time to answer
+  yield_external
   timeout 75 python scripts/tpu_probe.py >/dev/null 2>&1 && return 0
   touch "${OUTDIR}/heartbeat"
+  yield_external
   timeout 200 python scripts/tpu_probe.py >/dev/null 2>&1
 }
 
