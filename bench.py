@@ -506,6 +506,12 @@ def _emit_stale_fallback() -> bool:
 #: deadman timer: whoever prints holds the lock; the flag says it happened
 _json_lock = threading.Lock()
 _json_emitted = False
+#: fresh headline fields banked BEFORE the idle measurement starts: the
+#: 2026-08-20T12:19Z run measured a x2.66 headline and finished its idle
+#: phase 13 s before the deadman would have thrown the measurement away in
+#: favor of a stale fallback — the deadman must prefer a measured-but-
+#: incomplete record over a replay of an old one
+_partial_fresh = None
 
 
 def _arm_deadman(deadline: float) -> None:
@@ -525,12 +531,24 @@ def _arm_deadman(deadline: float) -> None:
         with _json_lock:
             if _json_emitted:
                 return
-            log(
-                "deadline reached without a fresh measurement (tunnel answered "
-                "the probe but a later phase stalled); emitting the stale "
-                "watch-log fallback"
-            )
-            ok = _emit_stale_fallback()
+            if _partial_fresh is not None:
+                # the headline passes completed; only a LATE phase (the idle
+                # measurement's train-step compile) is still stuck. Emit the
+                # measured record — fresh beats stale even without the idle
+                # decomposition.
+                log(
+                    "deadline reached mid-idle-measurement; emitting the "
+                    "already-measured fresh headline (input_idle_frac: null)"
+                )
+                print(json.dumps(_partial_fresh), flush=True)
+                ok = True
+            else:
+                log(
+                    "deadline reached without a fresh measurement (tunnel "
+                    "answered the probe but a later phase stalled); emitting "
+                    "the stale watch-log fallback"
+                )
+                ok = _emit_stale_fallback()
             _json_emitted = True
         # threads may be stuck inside wedged remote calls; skip teardown
         _release_tunnel()  # os._exit skips atexit
@@ -572,8 +590,9 @@ def main():
     # MUST be printed even if a late phase (the idle measurement's train-step
     # compile) hits a tunnel slow-compile episode — see the bounded thread
     # around measure_input_idle below and the deadman timer.
-    global _json_emitted
+    global _json_emitted, _partial_fresh
     _json_emitted = False  # a prior in-process main() must not mute this one
+    _partial_fresh = None
     _claim_tunnel()
     t_wall0 = time.time()
     deadline = t_wall0 + float(os.environ.get("ACCVLAB_BENCH_DEADLINE_S", "520"))
@@ -671,41 +690,13 @@ def main():
         f"device-stage (sync cost) {st['device_stage_s']:.1f}s, "
         f"input_bound_frac {st['input_bound_frac']:.3f}"
     )
-    # Bounded: the idle measurement compiles a train step through the
-    # remote-compile tunnel, which has multi-minute (observed > 400 s)
-    # slow phases — a hang here must not swallow the already-measured
-    # headline. On timeout the JSON reports input_idle_frac: null and the
-    # process exits without waiting for the stuck compile.
-    _idle_box = {}
-
-    def _measure_idle():
-        try:
-            _idle_box["v"] = measure_input_idle(pipe, num_cams)
-        except Exception as e:  # pragma: no cover - measurement best-effort
-            log("idle measurement failed:", repr(e))
-
-    _idle_thread = threading.Thread(target=_measure_idle, daemon=True)
-    _idle_thread.start()
-    _idle_thread.join(timeout=max(30.0, deadline - time.time()))
-    # liveness BEFORE reading the box: a measurement finishing between the
-    # two reads must be kept, not reported as null
-    idle_timed_out = _idle_thread.is_alive()
-    idle = _idle_box.get("v")
-    if idle_timed_out:
-        log(
-            "idle measurement exceeded the wall budget (tunnel slow-compile "
-            "episode); reporting input_idle_frac: null"
-        )
-
-    # actual bytes of the most recent H2D transfer (reflects the wire
-    # format: YUV 4:2:0 raw = 1.5 B/px at decode_resize_hw; with wire
-    # compression on, whatever the packer actually shipped)
+    # Bank the measured headline BEFORE the idle phase: everything below is
+    # computable now, and the idle measurement compiles a train step through
+    # the remote-compile tunnel (multi-minute slow phases observed). If the
+    # deadman fires mid-idle it prints this record instead of a stale replay.
     upload_mb = st["bytes_per_batch"] / 1e6
     if upload_mb == 0.0:  # defensive: stats not yet populated
         upload_mb = batch_size * num_cams * 256 * 704 * 1.5 / 1e6
-    if not idle_timed_out:
-        pipe.stop()  # skipped on timeout: the stuck thread may hold the pipe
-
     frames = n_batches * batch_size * num_cams
     # headline = sustained rate of the best pass, with the device queue
     # drained (a true sync) so all device work is inside the window; the
@@ -735,30 +726,62 @@ def main():
         f"transport: {upload_mb:.1f} MB/batch over the tunnel -> effective "
         f"{eff_wire_mbps:.0f} MB/s incl. all pipeline work"
     )
+    record = {
+        "metric": "multi-camera preprocess throughput (decode+augment+heatmap targets)",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline_fps, 2),
+        "input_idle_frac": None,
+        "upload_MB_per_batch": round(upload_mb, 1),
+        "effective_wire_MBps": round(eff_wire_mbps, 1),
+        # transport efficiency: frames delivered per MB/s of tunnel
+        # bandwidth — the session-weather-independent, code-attributable
+        # number (3.69-3.73 raw across rounds 2-5; 8.94 dct-dp16 measured
+        # 2026-08-20T12:19Z — read the headline against this + the
+        # docs/bench_watch_r0*.jsonl series)
+        "fps_per_wire_MBps": round(fps / eff_wire_mbps, 2),
+    }
+    with _json_lock:
+        _partial_fresh = record
+    # Bounded: a hang in the idle measurement must not swallow the
+    # already-measured headline. On timeout the JSON reports
+    # input_idle_frac: null and the process exits without waiting for the
+    # stuck compile.
+    _idle_box = {}
+
+    def _measure_idle():
+        try:
+            _idle_box["v"] = measure_input_idle(pipe, num_cams)
+        except Exception as e:  # pragma: no cover - measurement best-effort
+            log("idle measurement failed:", repr(e))
+
+    _idle_thread = threading.Thread(target=_measure_idle, daemon=True)
+    _idle_thread.start()
+    # leave 25 s so the MAIN path (which can attach the idle number) beats
+    # the deadman (which prints the banked record with idle null) in the
+    # common case; if this still overruns, the deadman's output is the same
+    # headline minus the idle decomposition — never a stale replay
+    _idle_thread.join(timeout=max(5.0, deadline - time.time() - 25.0))
+    # liveness BEFORE reading the box: a measurement finishing between the
+    # two reads must be kept, not reported as null
+    idle_timed_out = _idle_thread.is_alive()
+    idle = _idle_box.get("v")
+    if idle_timed_out:
+        log(
+            "idle measurement exceeded the wall budget (tunnel slow-compile "
+            "episode); reporting input_idle_frac: null"
+        )
+
+    if not idle_timed_out:
+        pipe.stop()  # skipped on timeout: the stuck thread may hold the pipe
+
     with _json_lock:
         if _json_emitted:  # deadman fired in the same instant; it exits
             return
         _json_emitted = True
-        print(
-            json.dumps(
-            {
-                "metric": "multi-camera preprocess throughput (decode+augment+heatmap targets)",
-                "value": round(fps, 1),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / baseline_fps, 2),
-                "input_idle_frac": None if idle is None else round(idle, 3),
-                "upload_MB_per_batch": round(upload_mb, 1),
-                "effective_wire_MBps": round(eff_wire_mbps, 1),
-                # transport efficiency: frames delivered per MB/s of tunnel
-                # bandwidth — the session-weather-independent, code-
-                # attributable number (3.69-3.71 across every round-3 watch
-                # run = the YUV-wire design's 1/0.271 frames/MB; read the
-                # headline against this + docs/bench_watch_r03.jsonl)
-                "fps_per_wire_MBps": round(fps / eff_wire_mbps, 2),
-            }
-            ),
-            flush=True,
-        )
+        if idle is not None:
+            record["input_idle_frac"] = round(idle, 3)
+        print(json.dumps(record), flush=True)
     if idle_timed_out:
         # a daemon thread is stuck in a wedged remote compile; normal
         # interpreter teardown (jax atexit) can block on it — exit hard,

@@ -137,11 +137,40 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            _, _, chk = decode_batch(dev_fields)
+            y_dev, cbcr_dev, chk = decode_batch(dev_fields)
         float(chk)
         dt = (time.perf_counter() - t0) / args.iters
         best = dt if best is None else min(best, dt)
     frames = BATCH * CAMS
+
+    # On-chip tolerance goldens (the contract of tests/test_dct_wire.py::
+    # test_roundtrip_luma_within_2 / _chroma_tolerance, which only ever ran
+    # on XLA:CPU before 2026-08-20): pull a few decoded frames back from the
+    # device and compare against the host libjpeg pixel path.
+    from accvlab_tpu.pipeline import native_jpeg
+
+    n_check = 4
+    y_host = np.asarray(y_dev[:n_check])
+    cbcr_host = np.asarray(cbcr_dev[:n_check])
+    luma_max = 0
+    chroma_mean = chroma_p99 = chroma_max = 0.0
+    for i in range(n_check):
+        ref_y, ref_cbcr = native_jpeg.decode_yuv420(jpegs[i], OUT_HW)
+        luma_max = max(
+            luma_max, int(np.abs(y_host[i].astype(int) - ref_y.astype(int)).max())
+        )
+        d = np.abs(cbcr_host[i].astype(int) - ref_cbcr.astype(int))
+        chroma_mean = max(chroma_mean, float(d.mean()))
+        chroma_p99 = max(chroma_p99, float(np.percentile(d, 99)))
+        chroma_max = max(chroma_max, float(d.max()))
+    goldens_ok = (
+        luma_max <= 2 and chroma_mean <= 6 and chroma_p99 <= 24 and chroma_max <= 48
+    )
+    log(
+        f"on-chip goldens vs libjpeg pixel path ({n_check} frames): luma max "
+        f"diff {luma_max}, chroma mean {chroma_mean:.2f} / p99 {chroma_p99:.0f} "
+        f"/ max {chroma_max:.0f} -> {'OK' if goldens_ok else 'FAIL'}"
+    )
     print(
         json.dumps(
             {
@@ -151,10 +180,14 @@ def main():
                 "device_fps_ceiling": round(frames / best, 1),
                 "wire_MB_per_batch": round(wire_mb, 2),
                 "grouping": str(args.grouping),
+                "goldens_ok": goldens_ok,
+                "luma_max_diff": luma_max,
+                "chroma_mean_diff": round(chroma_mean, 2),
             }
         ),
         flush=True,
     )
+    sys.exit(0 if goldens_ok else 4)
 
 
 if __name__ == "__main__":

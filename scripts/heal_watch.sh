@@ -72,12 +72,23 @@ yield_external() {  # the tunnel serializes clients: while an EXTERNAL
 
 run_bench() {  # run_bench <name> <env...>  -> rc 0 if fresh, 1 if not
   local name="$1"; shift
+  local tgt="${OUT}_${name}${SFX}"
   yield_external
   env "$@" ACCVLAB_WATCHER=1 ACCVLAB_BENCH_DEADLINE_S=520 timeout 590 \
-    python -u bench.py > "${OUT}_${name}${SFX}.json" 2> "${OUT}_${name}${SFX}.log"
+    python -u bench.py > "${tgt}.json.tmp" 2> "${tgt}.log.tmp"
   local rc=$?
   echo "bench ${name}${SFX} rc=${rc} $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
-  if fresh_json "${OUT}_${name}${SFX}.json"; then FRESH_ANY=1; return 0; fi
+  # never clobber an existing FRESH result with a stale fallback: watcher
+  # restarts reset SFX, and on 2026-08-20T12:07Z a restarted watcher's stale
+  # attempt overwrote the 11:25Z bench_dct.json in place
+  if fresh_json "${tgt}.json.tmp" || ! fresh_json "${tgt}.json"; then
+    mv -f "${tgt}.json.tmp" "${tgt}.json"
+    mv -f "${tgt}.log.tmp" "${tgt}.log"
+  else
+    echo "kept existing fresh ${tgt}.json (new attempt was stale) $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+    rm -f "${tgt}.json.tmp" "${tgt}.log.tmp"
+  fi
+  if fresh_json "${tgt}.json"; then FRESH_ANY=1; return 0; fi
   return 1
 }
 
@@ -115,14 +126,20 @@ while [ "$ROUND" -lt "$MAX_ROUNDS" ]; do
     [ "$ATTEMPT" -gt 1 ] && SFX="_a${ATTEMPT}" || SFX=""
     FRESH_ANY=0
     echo "healed $(date -u +%FT%TZ) -> matrix attempt ${ATTEMPT} (fresh rounds so far: ${ROUND}/${MAX_ROUNDS})" >> "${OUTDIR}/status.log"
-    run_bench dct ACCVLAB_BENCH_TRACE="${OUT}_dct_trace${SFX}.json" \
-      && run_bench yuvpacked ACCVLAB_BENCH_WIRE=yuv \
-      && run_bench raw ACCVLAB_BENCH_WIRE=yuv ACCVLAB_BENCH_WIRE_PACK=0 \
-      && run_bench dct_split12 ACCVLAB_BENCH_DCT_GROUPING=split12 \
-      && run_script dctdev python -u scripts/bench_dct_device.py \
-      && run_script echo python -u scripts/bench_echo.py --factors 1,2 --batches 8 \
+    # Order = never-measured-on-chip first: windows close mid-matrix (three
+    # observed closures on 2026-08-20 alone), so whatever runs first is
+    # whatever gets measured. The headline + raw/yuvpacked/split12 arms all
+    # have fresh on-chip points (runs 1-8, docs/bench_watch_r05.jsonl);
+    # dctdev (device-half cost + on-chip tolerance goldens) and the serving
+    # smoke (the platforms=("tpu","cpu") claim) have none.
+    run_script dctdev python -u scripts/bench_dct_device.py \
       && run_script serving python -u scripts/bench_serving.py --iters 20 \
       && run_script serving_int8 python -u scripts/bench_serving.py --iters 20 --quantize int8 \
+      && run_bench dct ACCVLAB_BENCH_TRACE="${OUT}_dct_trace${SFX}.json" \
+      && run_script echo python -u scripts/bench_echo.py --factors 1,2 --batches 8 \
+      && run_bench raw ACCVLAB_BENCH_WIRE=yuv ACCVLAB_BENCH_WIRE_PACK=0 \
+      && run_bench yuvpacked ACCVLAB_BENCH_WIRE=yuv \
+      && run_bench dct_split12 ACCVLAB_BENCH_DCT_GROUPING=split12 \
       || echo "matrix attempt ${ATTEMPT} aborted early (window closed) $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
     if [ "$FRESH_ANY" -eq 1 ]; then
       ROUND=$((ROUND + 1))
