@@ -83,6 +83,43 @@ def main():
     )
     from accvlab_tpu.pipeline import DType, SampleDataGroup
 
+    # On-chip bit-exactness of the merged raw-byte transport (the pipeline's
+    # default H2D plan since round 5): device-side lax.bitcast_convert_type
+    # re-typing is asserted byte-identical on XLA:CPU (tests/test_hostcopy),
+    # but TPU lowering is a different backend — prove it on the chip before
+    # trusting the headline numbers that rode it. Mixed dtypes, odd sizes
+    # (alignment tails), an empty field, and a >256 KB field (pack-candidate
+    # override path) — the cases the plan treats differently.
+    from accvlab_tpu.hostcopy import start_copy
+
+    rng = np.random.default_rng(7)
+    tree = {
+        "u8": rng.integers(0, 256, (37, 13), np.uint8),
+        "i16": rng.integers(-(2**15), 2**15, (129,), np.int64).astype(np.int16),
+        "i32": rng.integers(-(2**31), 2**31 - 1, (7, 3, 5), np.int64).astype(np.int32),
+        "f32": rng.standard_normal((1025,)).astype(np.float32),
+        "empty": np.zeros((0, 4), np.int32),
+        "big_f32": rng.standard_normal((300_000,)).astype(np.float32),  # >1 MB
+    }
+    got = start_copy(
+        tree, use_background_thread=False,
+        pack_candidate_max_bytes=32 << 20, merge_dtype_chunks=True,
+    ).get()
+    mism = [
+        k for k in tree
+        if not (
+            np.asarray(got[k]).dtype == tree[k].dtype
+            and np.asarray(got[k]).shape == tree[k].shape
+            and np.array_equal(np.asarray(got[k]), tree[k])
+        )
+    ]
+    if mism:
+        log(f"TRANSPORT BIT-EXACTNESS FAILED on-device for fields: {mism}")
+        print(json.dumps({"metric": "DCT-wire device decode", "transport_bitexact": False,
+                          "mismatched_fields": mism}), flush=True)
+        sys.exit(5)
+    log("merged byte-chunk transport: bit-exact on-device (6-field mixed tree)")
+
     jpegs = make_jpegs(BATCH * CAMS)
     grouping = args.grouping
     if grouping.startswith("dp"):
@@ -183,6 +220,7 @@ def main():
                 "goldens_ok": goldens_ok,
                 "luma_max_diff": luma_max,
                 "chroma_mean_diff": round(chroma_mean, 2),
+                "transport_bitexact": True,
             }
         ),
         flush=True,
