@@ -602,8 +602,13 @@ def main():
     # importing/initializing jax in THIS process, waiting out a wedge for as
     # long as the deadline allows (reserve ~180 s to actually measure; for
     # small configured deadlines the budget shrinks so the stale-fallback
-    # JSON still lands inside the deadline)
-    if not _wait_for_tunnel(budget_s=max(30.0, deadline - time.time() - 180.0)):
+    # JSON still lands inside the deadline). Under the heal-watcher
+    # (ACCVLAB_WATCHER=1) the watcher probed seconds ago — skip the
+    # re-probe (another full remote compile, ~70-200 s of the window); if
+    # the tunnel flaps mid-run the deadman still lands the JSON line.
+    if os.environ.get("ACCVLAB_WATCHER") == "1":
+        pass
+    elif not _wait_for_tunnel(budget_s=max(30.0, deadline - time.time() - 180.0)):
         log("tunnel is wedged for the whole probe budget; emitting the "
             "freshest committed watch datapoint explicitly marked stale")
         with _json_lock:

@@ -18,6 +18,15 @@ def probe_tpu_or_exit(timeout_s: float = 75.0, exit_code: int = 3) -> None:
     wedged; return normally if healthy or if this is an explicit CPU run."""
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return
+    if os.environ.get("ACCVLAB_WATCHER") == "1":
+        # the heal-watcher probed (two-stage, up to 275 s) seconds before
+        # launching this script and wraps it in `timeout -k`; a second
+        # probe here pays ANOTHER full remote compile (~70-200 s — axon
+        # never serializes remote executables) and can time out in weather
+        # the watcher's long box just survived, burning the window
+        # (observed 2026-08-20T12:34Z: watcher heal -> dctdev probe rc=124
+        # 70 s later).
+        return
     probe = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tpu_probe.py")
     try:
         rc = subprocess.run(

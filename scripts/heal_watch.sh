@@ -74,7 +74,7 @@ run_bench() {  # run_bench <name> <env...>  -> rc 0 if fresh, 1 if not
   local name="$1"; shift
   local tgt="${OUT}_${name}${SFX}"
   yield_external
-  env "$@" ACCVLAB_WATCHER=1 ACCVLAB_BENCH_DEADLINE_S=520 timeout 590 \
+  env "$@" ACCVLAB_WATCHER=1 ACCVLAB_BENCH_DEADLINE_S=520 timeout -k 10 590 \
     python -u bench.py > "${tgt}.json.tmp" 2> "${tgt}.log.tmp"
   local rc=$?
   echo "bench ${name}${SFX} rc=${rc} $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
@@ -95,7 +95,11 @@ run_bench() {  # run_bench <name> <env...>  -> rc 0 if fresh, 1 if not
 run_script() {  # run_script <name> <cmd...>  -> rc 0 on success
   local name="$1"; shift
   yield_external
-  ACCVLAB_WATCHER=1 timeout 590 "$@" > "${OUT}_${name}${SFX}.json" 2> "${OUT}_${name}${SFX}.log"
+  # ACCVLAB_WATCHER=1 also tells the script to SKIP its own tunnel probe
+  # (the watcher probed seconds ago; a second probe pays another full
+  # remote compile); `timeout -k` guarantees SIGKILL if a wedge ignores
+  # TERM, so skipping the probe cannot strand the watcher
+  ACCVLAB_WATCHER=1 timeout -k 10 590 "$@" > "${OUT}_${name}${SFX}.json" 2> "${OUT}_${name}${SFX}.log"
   local rc=$?
   echo "${name}${SFX} rc=${rc} $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
   [ "$rc" -eq 0 ] && [ -s "${OUT}_${name}${SFX}.json" ]
