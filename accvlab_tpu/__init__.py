@@ -21,4 +21,4 @@ capabilities:
   distribution (the TPU-native substrate the reference gets from DALI+NCCL)
 """
 
-__version__ = "0.6.0"
+__version__ = "0.7.0"
