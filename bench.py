@@ -676,8 +676,46 @@ def main():
     if trace_path:
         pipe.start_trace()
     passes = [measure(), measure(), measure()]
-    while len(passes) < 8 and time.perf_counter() - t_budget0 < PASS_BUDGET_S:
+
+    def _bank_from_passes():
+        # Bank a record the deadman can print the moment the unconditional
+        # passes exist: a slow-compile episode (413 s observed
+        # 2026-08-20T12:56Z) can leave the deadline less than one pass away
+        # when measurement starts. Recomputed after the adaptive passes.
+        global _partial_fresh
+        lat_p, total_p, _, _ = min(
+            passes, key=lambda r: sorted(r[0])[len(r[0]) // 2]
+        )
+        st_p = pipe.stats()
+        up_mb = st_p["bytes_per_batch"] / 1e6
+        if up_mb == 0.0:
+            up_mb = batch_size * num_cams * 256 * 704 * 1.5 / 1e6
+        frames_p = n_batches * batch_size * num_cams
+        fps_p = frames_p / total_p
+        wire_p = up_mb / (total_p / n_batches)
+        rec = {
+            "metric": "multi-camera preprocess throughput (decode+augment+heatmap targets)",
+            "value": round(fps_p, 1),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(fps_p / (48 / 0.868), 2),
+            "input_idle_frac": None,
+            "upload_MB_per_batch": round(up_mb, 1),
+            "effective_wire_MBps": round(wire_p, 1),
+            "fps_per_wire_MBps": round(fps_p / wire_p, 2),
+        }
+        with _json_lock:
+            _partial_fresh = rec
+
+    _bank_from_passes()
+    # extra passes are bounded by the deadline too: the pass budget alone
+    # could run past the deadman when compile ate most of the wall clock
+    while (
+        len(passes) < 8
+        and time.perf_counter() - t_budget0 < PASS_BUDGET_S
+        and time.time() < deadline - 40.0
+    ):
         passes.append(measure())
+        _bank_from_passes()
     lat, total, cpu_start, cpu_end = min(
         passes, key=lambda r: sorted(r[0])[len(r[0]) // 2]
     )

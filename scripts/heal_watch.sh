@@ -54,6 +54,18 @@ fresh_json() {  # non-empty JSON that is NOT a stale fallback
   [ -s "$1" ] && ! grep -q '"stale": true' "$1"
 }
 
+have_fresh() {  # does ANY attempt's result file for <name> hold a fresh
+  # measurement? (exact-name files only: bench_<name>.json and
+  # bench_<name>_aN.json — the glob must not catch bench_dct_split12 or
+  # bench_dct_trace_a2 when asked about "dct")
+  local f
+  for f in "${OUT}_$1.json" "${OUT}_$1_a"*.json; do
+    [ -e "$f" ] || continue
+    fresh_json "$f" && return 0
+  done
+  return 1
+}
+
 yield_external() {  # the tunnel serializes clients: while an EXTERNAL
   # bench.py owns it (.bench_active sentinel, written unless
   # ACCVLAB_WATCHER=1 — i.e. by the driver's end-of-round run), do not
@@ -73,6 +85,13 @@ yield_external() {  # the tunnel serializes clients: while an EXTERNAL
 run_bench() {  # run_bench <name> <env...>  -> rc 0 if fresh, 1 if not
   local name="$1"; shift
   local tgt="${OUT}_${name}${SFX}"
+  if have_fresh "$name"; then
+    # already converted in some earlier attempt/window: spend the window on
+    # the entries that still have nothing (a window is minutes long; a
+    # re-run of a converted entry costs a 200-400 s compile)
+    echo "skip ${name} (already fresh) $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+    return 0
+  fi
   yield_external
   env "$@" ACCVLAB_WATCHER=1 ACCVLAB_BENCH_DEADLINE_S=520 timeout -k 10 590 \
     python -u bench.py > "${tgt}.json.tmp" 2> "${tgt}.log.tmp"
@@ -94,6 +113,10 @@ run_bench() {  # run_bench <name> <env...>  -> rc 0 if fresh, 1 if not
 
 run_script() {  # run_script <name> <cmd...>  -> rc 0 on success
   local name="$1"; shift
+  if have_fresh "$name"; then
+    echo "skip ${name} (already fresh) $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+    return 0
+  fi
   yield_external
   # ACCVLAB_WATCHER=1 also tells the script to SKIP its own tunnel probe
   # (the watcher probed seconds ago; a second probe pays another full
@@ -145,6 +168,12 @@ while [ "$ROUND" -lt "$MAX_ROUNDS" ]; do
       && run_bench yuvpacked ACCVLAB_BENCH_WIRE=yuv \
       && run_bench dct_split12 ACCVLAB_BENCH_DCT_GROUPING=split12 \
       || echo "matrix attempt ${ATTEMPT} aborted early (window closed) $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+    if have_fresh dctdev && have_fresh serving && have_fresh serving_int8 \
+        && have_fresh dct && have_fresh echo && have_fresh raw \
+        && have_fresh yuvpacked && have_fresh dct_split12; then
+      echo "matrix fully converted; watcher done $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
+      exit 0
+    fi
     if [ "$FRESH_ANY" -eq 1 ]; then
       ROUND=$((ROUND + 1))
       [ "$ROUND" -ge "$MAX_ROUNDS" ] && { echo "done $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"; exit 0; }
