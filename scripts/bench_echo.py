@@ -72,16 +72,9 @@ def main():
             # 1.5 B/px YUV estimate would overstate the DCT wire ~2.5x)
             upload_mb = pipe.stats()["bytes_per_batch"] / 1e6
             host_batches = n / factor
-            # input-attributable idle of a realistic train step fed by THIS
-            # echoed pipeline (BASELINE north star: does idle collapse as
-            # echoing amortizes the wire?). The train-step program is shared
-            # process-globally, so only the first factor pays its compile.
-            idle = None
-            try:
-                idle = bench.measure_input_idle(pipe, num_cams, n_iters=4)
-            except Exception as e:  # measurement is best-effort
-                print("idle measurement failed:", repr(e), file=sys.stderr,
-                      flush=True)
+            # throughput row FIRST: the idle measurement below compiles a
+            # train step through the tunnel (60-400 s episodes) and the
+            # watcher's timeout must not take the measured row down with it
             print(
                 json.dumps(
                     {
@@ -92,11 +85,25 @@ def main():
                             host_batches * upload_mb / best, 1
                         ),
                         "batches": n,
-                        "input_idle_frac": None if idle is None else round(idle, 3),
                     }
                 ),
                 flush=True,
             )
+            # input-attributable idle of a realistic train step fed by THIS
+            # echoed pipeline (BASELINE north star: does idle collapse as
+            # echoing amortizes the wire?). The train-step program is shared
+            # process-globally, so only the first factor pays its compile.
+            try:
+                idle = bench.measure_input_idle(pipe, num_cams, n_iters=4)
+                print(
+                    json.dumps(
+                        {"echo_factor": factor, "input_idle_frac": round(idle, 3)}
+                    ),
+                    flush=True,
+                )
+            except Exception as e:  # measurement is best-effort
+                print("idle measurement failed:", repr(e), file=sys.stderr,
+                      flush=True)
         finally:
             pipe.stop()
 
