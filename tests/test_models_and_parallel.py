@@ -78,7 +78,13 @@ def test_dryrun_multichip_generalizes_to_16_devices():
     import sys
 
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    # keep the suite's opt-level-0 (conftest): replacing XLA_FLAGS wholesale
+    # silently re-enabled full optimization here, making this the slowest
+    # test in the suite (74 s -> ~35 s)
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=16 "
+        "--xla_backend_optimization_level=0"
+    )
     env.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""})
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
