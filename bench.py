@@ -51,17 +51,41 @@ def build_dataset(num_samples=6400, num_unique=16, hw=(372, 1024), num_cams=6, m
     from accvlab_tpu.pipeline.inputs import DataProvider
 
     rng = np.random.default_rng(0)
-    log(f"encoding {num_unique * num_cams} synthetic {hw[1]}x{hw[0]} JPEGs ...")
-    jpegs = []
-    for _ in range(num_unique * num_cams):
-        # structured noise -> realistic JPEG entropy/decode cost
-        base = rng.integers(0, 255, (hw[0] // 8, hw[1] // 8, 3), np.uint8)
-        img = np.asarray(
-            Image.fromarray(base).resize((hw[1], hw[0]), Image.BILINEAR), np.uint8
-        )
-        buf = io.BytesIO()
-        Image.fromarray(img).save(buf, format="JPEG", quality=90)
-        jpegs.append(np.frombuffer(buf.getvalue(), np.uint8).copy())
+    n_jpegs = num_unique * num_cams
+    # disk cache: encoding costs ~40 s of the bench deadline per process on
+    # the 1-core box, and the content is deterministic (rng seed 0) — every
+    # heal-watcher attempt re-paid it before this
+    cache_dir = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")), "accvlab"
+    )
+    cache = os.path.join(cache_dir, f"bench_jpegs_{n_jpegs}_{hw[0]}x{hw[1]}_q90.npz")
+    jpegs = None
+    try:
+        with np.load(cache) as z:
+            loaded = [z[f"j{i}"] for i in range(n_jpegs)]
+        jpegs = loaded
+        log(f"loaded {n_jpegs} cached synthetic JPEGs ({cache})")
+    except Exception:
+        pass
+    if jpegs is None:
+        log(f"encoding {n_jpegs} synthetic {hw[1]}x{hw[0]} JPEGs ...")
+        jpegs = []
+        for _ in range(n_jpegs):
+            # structured noise -> realistic JPEG entropy/decode cost
+            base = rng.integers(0, 255, (hw[0] // 8, hw[1] // 8, 3), np.uint8)
+            img = np.asarray(
+                Image.fromarray(base).resize((hw[1], hw[0]), Image.BILINEAR), np.uint8
+            )
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="JPEG", quality=90)
+            jpegs.append(np.frombuffer(buf.getvalue(), np.uint8).copy())
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = cache + f".tmp{os.getpid()}.npz"  # .npz: savez keeps the name
+            np.savez(tmp, **{f"j{i}": j for i, j in enumerate(jpegs)})
+            os.replace(tmp, cache)
+        except Exception as e:  # cache is best-effort
+            log("jpeg cache save failed:", repr(e))
 
     class Provider(DataProvider):
         @property
