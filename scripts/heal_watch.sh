@@ -93,7 +93,10 @@ run_bench() {  # run_bench <name> <env...>  -> rc 0 if fresh, 1 if not
     return 0
   fi
   yield_external
-  env "$@" ACCVLAB_WATCHER=1 ACCVLAB_BENCH_DEADLINE_S=520 timeout -k 10 590 \
+  # 700 s deadline (vs the driver's 520): the watcher has no external kill
+  # to beat, and degraded-weather compiles measured 400-500 s — a 520 s
+  # box kept losing the race for the remaining A/B arms on 2026-08-20
+  env "$@" ACCVLAB_WATCHER=1 ACCVLAB_BENCH_DEADLINE_S=700 timeout -k 10 770 \
     python -u bench.py > "${tgt}.json.tmp" 2> "${tgt}.log.tmp"
   local rc=$?
   echo "bench ${name}${SFX} rc=${rc} $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
