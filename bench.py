@@ -408,7 +408,7 @@ def _wait_for_tunnel(budget_s: float) -> bool:
         time.sleep(min(30.0, remaining))
 
 
-def _emit_stale_fallback() -> bool:
+def _emit_stale_fallback(reason=None) -> bool:
     """Last resort when the tunnel never heals inside the probe budget: emit
     the freshest datapoint from the committed watch logs, EXPLICITLY marked
     stale. A clearly-labeled stale number beats an empty record — the watch
@@ -508,12 +508,14 @@ def _emit_stale_fallback() -> bool:
                 "stale_source_ts": best.get("ts"),
                 "stale_config": best.get("config"),
                 "stale_reason": (
-                    "remote-attach TPU tunnel wedged for the whole probe "
-                    "budget at bench time; value is the best wire-format arm "
-                    "of the most recent recorded measurement window of this "
-                    "same bench.py on this chip (see docs/bench_watch_r0*.jsonl "
-                    "for the full series and current wire status)"
-                ),
+                    reason
+                    or "remote-attach TPU tunnel wedged for the whole probe "
+                    "budget at bench time"
+                )
+                + "; value is the best wire-format arm of the most recent "
+                "recorded measurement window of this same bench.py on this "
+                "chip (see docs/bench_watch_r0*.jsonl for the full series "
+                "and current wire status)",
                 "effective_wire_MBps": best.get("effective_wire_MBps"),
                 "fps_per_wire_MBps": best.get("fps_per_wire_MBps"),
                 # series context: the freshest window above is whatever tunnel
@@ -576,7 +578,11 @@ def _arm_deadman(deadline: float) -> None:
                     "answered the probe but a later phase stalled); emitting "
                     "the stale watch-log fallback"
                 )
-                ok = _emit_stale_fallback()
+                ok = _emit_stale_fallback(
+                    "tunnel answered the probe but the measurement did not "
+                    "reach 3 passes inside the deadline (usually the "
+                    "200-700 s remote compile stalling in a degraded phase)"
+                )
             _json_emitted = True
         # threads may be stuck inside wedged remote calls; skip teardown
         _release_tunnel()  # os._exit skips atexit
