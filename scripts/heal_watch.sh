@@ -181,11 +181,13 @@ while [ "$ROUND" -lt "$MAX_ROUNDS" ]; do
       && run_bench raw ACCVLAB_BENCH_WIRE=yuv ACCVLAB_BENCH_WIRE_PACK=0 \
       && run_bench yuvpacked ACCVLAB_BENCH_WIRE=yuv \
       && run_bench dct_split12 ACCVLAB_BENCH_DCT_GROUPING=split12 \
+      && run_script idle_collapse python -u scripts/bench_idle_collapse.py --factor 8 --width 128 --iters 4 \
       || { echo "matrix attempt ${ATTEMPT} aborted early (window closed) $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"; CHAIN_OK=0; }
     if [ "$CHAIN_OK" = "1" ] && have_fresh dctdev && have_fresh serving \
         && have_fresh serving_int8 \
         && have_fresh dct && have_fresh echo && have_fresh raw \
-        && have_fresh yuvpacked && have_fresh dct_split12; then
+        && have_fresh yuvpacked && have_fresh dct_split12 \
+        && have_fresh idle_collapse; then
       # everything measured: hunt a better HEADLINE window instead of
       # stopping (the 12:19Z x2.66 run's p50 implied ~190 f/s at steadier
       # weather; keep-better promotion above makes re-measuring monotone).
