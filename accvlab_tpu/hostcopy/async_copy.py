@@ -67,39 +67,16 @@ def _cached_program(cache: "OrderedDict", key, build):
     return fn
 
 
-def _get_chunk_slicer(specs):
-    """One jitted program that carves ALL tensor views out of a device chunk.
-
-    Doing the slicing in a single compiled program means one device dispatch
-    per chunk instead of one per tensor — with hundreds of packed tensors the
-    per-dispatch overhead would otherwise dominate exactly like the
-    per-``cudaMemcpyAsync`` overhead the reference's packing eliminates.
-    ``specs`` is a hashable tuple of ``(start_elem, num_elems, shape)``.
-    """
-
-    def build():
-        import jax
-
-        def slicer(chunk):
-            return tuple(
-                jax.lax.slice_in_dim(chunk, s, s + n).reshape(shape)
-                for s, n, shape in specs
-            )
-
-        return jax.jit(slicer)
-
-    return _cached_program(_slicer_cache, specs, build)
-
-
 def _get_multi_slicer(spec):
     """One jitted program that carves the views of EVERY chunk (all dtypes)
     plus all zero-size leaves, in a single device dispatch.
 
-    The per-dtype :func:`_get_chunk_slicer` already collapses per-tensor
-    dispatches into per-chunk ones; on a remote-attach tunnel each dispatch
-    still costs a fixed round trip (~20 ms measured 2026-08-20), so a batch
-    whose wire format spans 4 dtypes paid 4 of them. This program takes all
-    chunks as inputs and emits every view at once — one dispatch per batch.
+    Carving in one compiled program means one device dispatch per BATCH
+    instead of one per tensor or per chunk — with hundreds of packed
+    tensors the per-dispatch overhead would otherwise dominate exactly like
+    the per-``cudaMemcpyAsync`` overhead the reference's packing
+    eliminates, and on a remote-attach tunnel each dispatch costs a fixed
+    round trip (~20 ms measured 2026-08-20) on top.
     Zero-size leaves ride along as constants (they carry no bytes; shipping
     them as individual ``device_put`` calls cost the DCT wire ~28 round
     trips per batch for empty exception fields).

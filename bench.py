@@ -401,11 +401,11 @@ def _wait_for_tunnel(budget_s: float) -> bool:
         log(f"tunnel probe {attempt} failed (wedge); {remaining:.0f}s of probe budget left")
         if remaining <= 30.0:
             return False
-        # no cool-down before the long attempt: the long box exists to give
-        # a slow-but-alive tunnel time, and sleeping first just steals it
-        if attempt >= 2:
-            continue
-        time.sleep(min(30.0, remaining))
+        # no long cool-down before the long attempt (the long box exists to
+        # give a slow-but-alive tunnel time), but a probe that FAILS FAST
+        # (daemon refusing connections, rc!=0 in seconds) must not turn the
+        # remaining budget into a zero-backoff subprocess spawn loop
+        time.sleep(5.0 if attempt >= 2 else min(30.0, remaining))
 
 
 def _emit_stale_fallback(reason=None) -> bool:
@@ -597,14 +597,19 @@ def _arm_deadman(deadline: float) -> None:
 #: the watcher must not probe or start matrix entries while this exists.
 #: Watcher-spawned bench children set ACCVLAB_WATCHER=1 and skip it.
 _SENTINEL = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_active")
+_sentinel_owned = False  # only the process that CLAIMED may release: a
+# watcher child (ACCVLAB_WATCHER=1) exiting via the deadman must not delete
+# a concurrent external bench's sentinel and un-serialize the tunnel
 
 
 def _claim_tunnel():
+    global _sentinel_owned
     if os.environ.get("ACCVLAB_WATCHER") == "1":
         return
     try:
         with open(_SENTINEL, "w") as f:
             f.write(str(os.getpid()))
+        _sentinel_owned = True
         import atexit
 
         atexit.register(_release_tunnel)
@@ -613,6 +618,8 @@ def _claim_tunnel():
 
 
 def _release_tunnel():
+    if not _sentinel_owned:
+        return
     try:
         os.remove(_SENTINEL)
     except OSError:
@@ -707,34 +714,51 @@ def main():
         pipe.start_trace()
     passes = [measure(), measure(), measure()]
 
+    baseline_fps = 48 / 0.868  # DALI-on-A100 demonstrated lower bound
+
     def _bank_from_passes():
-        # Bank a record the deadman can print the moment the unconditional
-        # passes exist: a slow-compile episode (413 s observed
-        # 2026-08-20T12:56Z) can leave the deadline less than one pass away
-        # when measurement starts. Recomputed after the adaptive passes.
+        """Build the headline record from the best pass so far, bank it for
+        the deadman, and return it with the best pass's raw numbers.
+
+        The SINGLE constructor of the record dict: the early banking (a
+        slow-compile episode — 413 s observed 2026-08-20T12:56Z — can leave
+        the deadline less than one pass away when measurement starts), the
+        per-extra-pass re-banking, and the final print all use this, so the
+        deadman's output can never drift from the main path's.
+        """
         global _partial_fresh
-        lat_p, total_p, _, _ = min(
+        lat_p, total_p, cpu0, cpu1 = min(
             passes, key=lambda r: sorted(r[0])[len(r[0]) // 2]
         )
-        st_p = pipe.stats()
-        up_mb = st_p["bytes_per_batch"] / 1e6
-        if up_mb == 0.0:
+        up_mb = pipe.stats()["bytes_per_batch"] / 1e6
+        if up_mb == 0.0:  # defensive: stats not yet populated
             up_mb = batch_size * num_cams * 256 * 704 * 1.5 / 1e6
         frames_p = n_batches * batch_size * num_cams
+        # headline = sustained rate of the best pass, with the device queue
+        # drained (a true sync) so all device work is inside the window
         fps_p = frames_p / total_p
+        # effective wire rate: each batch must move up_mb host->device;
+        # through the remote-attach tunnel this is the binding constraint.
+        # On a locally-attached TPU host (PCIe, GB/s) the same pipeline is
+        # host/device bound instead — docs/performance.md.
         wire_p = up_mb / (total_p / n_batches)
         rec = {
             "metric": "multi-camera preprocess throughput (decode+augment+heatmap targets)",
             "value": round(fps_p, 1),
             "unit": "frames/sec/chip",
-            "vs_baseline": round(fps_p / (48 / 0.868), 2),
+            "vs_baseline": round(fps_p / baseline_fps, 2),
             "input_idle_frac": None,
             "upload_MB_per_batch": round(up_mb, 1),
             "effective_wire_MBps": round(wire_p, 1),
+            # transport efficiency: frames delivered per MB/s of tunnel
+            # bandwidth — the weather-independent, code-attributable number
+            # (3.69-3.73 raw across rounds 2-5; 8.94 dct-dp16 measured
+            # 2026-08-20T12:19Z — read against docs/bench_watch_r0*.jsonl)
             "fps_per_wire_MBps": round(fps_p / wire_p, 2),
         }
         with _json_lock:
             _partial_fresh = rec
+        return rec, lat_p, total_p, cpu0, cpu1, up_mb, wire_p, fps_p
 
     _bank_from_passes()
     # extra passes are bounded by the deadline too: the pass budget alone
@@ -746,8 +770,8 @@ def main():
     ):
         passes.append(measure())
         _bank_from_passes()
-    lat, total, cpu_start, cpu_end = min(
-        passes, key=lambda r: sorted(r[0])[len(r[0]) // 2]
+    record, lat, total, cpu_start, cpu_end, upload_mb, eff_wire_mbps, fps = (
+        _bank_from_passes()
     )
     log(
         "pass medians (ms/batch): "
@@ -767,33 +791,14 @@ def main():
         f"device-stage (sync cost) {st['device_stage_s']:.1f}s, "
         f"input_bound_frac {st['input_bound_frac']:.3f}"
     )
-    # Bank the measured headline BEFORE the idle phase: everything below is
-    # computable now, and the idle measurement compiles a train step through
-    # the remote-compile tunnel (multi-minute slow phases observed). If the
-    # deadman fires mid-idle it prints this record instead of a stale replay.
-    upload_mb = st["bytes_per_batch"] / 1e6
-    if upload_mb == 0.0:  # defensive: stats not yet populated
-        upload_mb = batch_size * num_cams * 256 * 704 * 1.5 / 1e6
-    frames = n_batches * batch_size * num_cams
-    # headline = sustained rate of the best pass, with the device queue
-    # drained (a true sync) so all device work is inside the window; the
-    # p50-derived per-batch rate is also printed (it excludes the drain and
-    # can overstate when the device, not the host, is the gate)
-    fps_mean = frames / total
+    # p50-derived per-batch rate printed alongside (it excludes the drain
+    # and can overstate when the device, not the host, is the gate);
+    # process CPU time over the window mirrors the reference's DALI
+    # evaluation reporting (evaluation.rst:66-75)
     fps_p50 = batch_size * num_cams / (sorted(lat)[len(lat) // 2])
-    fps = fps_mean
     p50 = sorted(lat)[len(lat) // 2] * 1e3
-    baseline_fps = 48 / 0.868  # DALI-on-A100 demonstrated lower bound
-    # process CPU time over the steady-state window (the reference's DALI
-    # evaluation reports CPU usage alongside throughput, evaluation.rst:66-75)
     cpu_s = (cpu_end.user - cpu_start.user) + (cpu_end.system - cpu_start.system)
     ncpu = os.cpu_count() or 1
-    # effective wire rate: each batch must move upload_mb of decoded pixels
-    # host->device; through the remote-attach tunnel this is the binding
-    # constraint (CPU sits at ~27% of one core waiting on the wire). On a
-    # locally-attached TPU host (PCIe, GB/s) the same pipeline is host/device
-    # bound instead — see docs/performance.md for the decomposition.
-    eff_wire_mbps = upload_mb / (total / n_batches)
     log(
         f"steady state: {fps:.1f} frames/s/chip (drained mean; p50-derived "
         f"{fps_p50:.1f}), p50 batch latency {p50:.1f} ms, best {min(lat) * 1e3:.0f} ms, "
@@ -803,23 +808,6 @@ def main():
         f"transport: {upload_mb:.1f} MB/batch over the tunnel -> effective "
         f"{eff_wire_mbps:.0f} MB/s incl. all pipeline work"
     )
-    record = {
-        "metric": "multi-camera preprocess throughput (decode+augment+heatmap targets)",
-        "value": round(fps, 1),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / baseline_fps, 2),
-        "input_idle_frac": None,
-        "upload_MB_per_batch": round(upload_mb, 1),
-        "effective_wire_MBps": round(eff_wire_mbps, 1),
-        # transport efficiency: frames delivered per MB/s of tunnel
-        # bandwidth — the session-weather-independent, code-attributable
-        # number (3.69-3.73 raw across rounds 2-5; 8.94 dct-dp16 measured
-        # 2026-08-20T12:19Z — read the headline against this + the
-        # docs/bench_watch_r0*.jsonl series)
-        "fps_per_wire_MBps": round(fps / eff_wire_mbps, 2),
-    }
-    with _json_lock:
-        _partial_fresh = record
     # Bounded: a hang in the idle measurement must not swallow the
     # already-measured headline. On timeout the JSON reports
     # input_idle_frac: null and the process exits without waiting for the

@@ -22,7 +22,7 @@
 #     record that it had ever been armed. The end-of-round driver commits
 #     uncommitted files, so results and the liveness log survive even if no
 #     human converts them.
-#   * Two-stage probe: two fast 75 s attempts, then one LONG 200 s attempt.
+#   * Two-stage probe: one fast 75 s attempt, then one LONG 200 s attempt.
 #     A *healthy cold* probe through a degraded tunnel measured 100.8 s on
 #     2026-08-20 — bigger than the old single 75 s box, so marginal windows
 #     were classified as wedges and refused.
@@ -50,8 +50,11 @@ echo "watch-${TAG} started $(date -u +%FT%TZ) pid=$$ max_rounds=${MAX_ROUNDS}" >
 SFX=""       # per-ATTEMPT result suffix (never overwrite an earlier attempt)
 FRESH_ANY=0  # did the current matrix attempt produce >=1 fresh measurement?
 
-fresh_json() {  # non-empty JSON that is NOT a stale fallback
-  [ -s "$1" ] && ! grep -q '"stale": true' "$1"
+fresh_json() {  # non-empty JSON that is NOT a stale fallback and NOT a
+  # failed on-chip validation (a goldens/transport failure must be re-run
+  # on a later window, not frozen as "converted" forever)
+  [ -s "$1" ] && ! grep -q '"stale": true' "$1" \
+    && ! grep -qE '"(goldens_ok|transport_bitexact)": false' "$1"
 }
 
 have_fresh() {  # does ANY attempt's result file for <name> hold a fresh
@@ -138,11 +141,17 @@ run_script() {  # run_script <name> <cmd...>  -> rc 0 on success
   ACCVLAB_WATCHER=1 timeout -k 10 590 "$@" > "${OUT}_${name}${SFX}.json" 2> "${OUT}_${name}${SFX}.log"
   local rc=$?
   echo "${name}${SFX} rc=${rc} $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"
-  [ "$rc" -eq 0 ] && [ -s "${OUT}_${name}${SFX}.json" ]
+  if [ "$rc" -eq 0 ] && [ -s "${OUT}_${name}${SFX}.json" ]; then
+    FRESH_ANY=1  # a new on-chip script measurement counts toward rounds too
+    return 0
+  fi
+  return 1
 }
 
-probe() {  # two-stage: fast boxes catch warm-healthy/hard-wedge; the long
-           # box gives a marginal (cold ~101 s) window time to answer
+probe() {  # two-stage: ONE fast 75 s box catches warm-healthy/hard-wedge;
+           # the 200 s box gives a marginal (cold ~101 s) window time to
+           # answer (bench.py's _wait_for_tunnel does TWO fast boxes — it
+           # has a bigger budget; this loop re-probes every cycle anyway)
   yield_external
   timeout 75 python scripts/tpu_probe.py >/dev/null 2>&1 && return 0
   touch "${OUTDIR}/heartbeat"
@@ -172,17 +181,23 @@ while [ "$ROUND" -lt "$MAX_ROUNDS" ]; do
     # have fresh on-chip points (runs 1-8, docs/bench_watch_r05.jsonl);
     # dctdev (device-half cost + on-chip tolerance goldens) and the serving
     # smoke (the platforms=("tpu","cpu") claim) have none.
+    # Scripts run standalone (a deterministically failing script must not
+    # starve the bench entries behind it — review finding 2026-08-20); the
+    # bench arms stay &&-chained because a stale fallback means the window
+    # closed and further 700 s attempts into it are wasted.
     CHAIN_OK=1
-    run_script dctdev python -u scripts/bench_dct_device.py \
-      && run_script serving python -u scripts/bench_serving.py --iters 20 \
-      && run_script serving_int8 python -u scripts/bench_serving.py --iters 20 --quantize int8 \
-      && run_bench dct ACCVLAB_BENCH_TRACE="${OUT}_dct_trace${SFX}.json" \
-      && run_script echo python -u scripts/bench_echo.py --factors 1,2 --batches 8 \
+    run_script dctdev python -u scripts/bench_dct_device.py || CHAIN_OK=0
+    run_script serving python -u scripts/bench_serving.py --iters 20 || CHAIN_OK=0
+    run_script serving_int8 python -u scripts/bench_serving.py --iters 20 --quantize int8 || CHAIN_OK=0
+    run_bench dct ACCVLAB_BENCH_TRACE="${OUT}_dct_trace${SFX}.json" \
       && run_bench raw ACCVLAB_BENCH_WIRE=yuv ACCVLAB_BENCH_WIRE_PACK=0 \
       && run_bench yuvpacked ACCVLAB_BENCH_WIRE=yuv \
       && run_bench dct_split12 ACCVLAB_BENCH_DCT_GROUPING=split12 \
-      && run_script idle_collapse python -u scripts/bench_idle_collapse.py --factor 8 --width 128 --iters 4 \
       || { echo "matrix attempt ${ATTEMPT} aborted early (window closed) $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"; CHAIN_OK=0; }
+    if [ "$CHAIN_OK" = "1" ]; then
+      run_script echo python -u scripts/bench_echo.py --factors 1,2 --batches 8 || CHAIN_OK=0
+      run_script idle_collapse python -u scripts/bench_idle_collapse.py --factor 8 --width 128 --iters 4 || CHAIN_OK=0
+    fi
     if [ "$CHAIN_OK" = "1" ] && have_fresh dctdev && have_fresh serving \
         && have_fresh serving_int8 \
         && have_fresh dct && have_fresh echo && have_fresh raw \
