@@ -189,10 +189,16 @@ while [ "$ROUND" -lt "$MAX_ROUNDS" ]; do
     run_script dctdev python -u scripts/bench_dct_device.py || CHAIN_OK=0
     run_script serving python -u scripts/bench_serving.py --iters 20 || CHAIN_OK=0
     run_script serving_int8 python -u scripts/bench_serving.py --iters 20 --quantize int8 || CHAIN_OK=0
+    # yuvpacked/split12 compile at opt-level 0: these arms are wire-bound
+    # (the device stage is async and ~free — dctdev measured 5.32 ms/batch),
+    # so the opt level cannot move their numbers, but full-opt compiles of
+    # the big fused program stalled >690 s in every degraded phase since
+    # 13:12Z while small programs compiled in seconds. The HEADLINE (dct)
+    # stays at full opt — its record must match the driver's configuration.
     run_bench dct ACCVLAB_BENCH_TRACE="${OUT}_dct_trace${SFX}.json" \
       && run_bench raw ACCVLAB_BENCH_WIRE=yuv ACCVLAB_BENCH_WIRE_PACK=0 \
-      && run_bench yuvpacked ACCVLAB_BENCH_WIRE=yuv \
-      && run_bench dct_split12 ACCVLAB_BENCH_DCT_GROUPING=split12 \
+      && run_bench yuvpacked ACCVLAB_BENCH_WIRE=yuv XLA_FLAGS=--xla_backend_optimization_level=0 \
+      && run_bench dct_split12 ACCVLAB_BENCH_DCT_GROUPING=split12 XLA_FLAGS=--xla_backend_optimization_level=0 \
       || { echo "matrix attempt ${ATTEMPT} aborted early (window closed) $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"; CHAIN_OK=0; }
     if [ "$CHAIN_OK" = "1" ]; then
       run_script echo python -u scripts/bench_echo.py --factors 1,2 --batches 8 || CHAIN_OK=0
