@@ -195,10 +195,14 @@ while [ "$ROUND" -lt "$MAX_ROUNDS" ]; do
     # the big fused program stalled >690 s in every degraded phase since
     # 13:12Z while small programs compiled in seconds. The HEADLINE (dct)
     # stays at full opt — its record must match the driver's configuration.
+    # split12 before yuvpacked: every post-13:12Z stall was a yuvpacked
+    # compile (13+ attempts); split12 is a dct-family program like the ones
+    # that compiled in 200-400 s this morning — if it converts where
+    # yuvpacked stalls, the stall is program-specific, not service-wide
     run_bench dct ACCVLAB_BENCH_TRACE="${OUT}_dct_trace${SFX}.json" \
       && run_bench raw ACCVLAB_BENCH_WIRE=yuv ACCVLAB_BENCH_WIRE_PACK=0 \
-      && run_bench yuvpacked ACCVLAB_BENCH_WIRE=yuv XLA_FLAGS=--xla_backend_optimization_level=0 \
       && run_bench dct_split12 ACCVLAB_BENCH_DCT_GROUPING=split12 XLA_FLAGS=--xla_backend_optimization_level=0 \
+      && run_bench yuvpacked ACCVLAB_BENCH_WIRE=yuv XLA_FLAGS=--xla_backend_optimization_level=0 \
       || { echo "matrix attempt ${ATTEMPT} aborted early (window closed) $(date -u +%FT%TZ)" >> "${OUTDIR}/status.log"; CHAIN_OK=0; }
     if [ "$CHAIN_OK" = "1" ]; then
       run_script echo python -u scripts/bench_echo.py --factors 1,2 --batches 8 || CHAIN_OK=0
