@@ -76,8 +76,9 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    grouping = os.environ.get("ACCVLAB_BENCH_DCT_GROUPING", "dp16")
     cfg = (
-        "dct-dp16"
+        f"dct-{grouping}"
         if args.wire == "dct"
         else ("yuv-packed" if args.pack != "0" else "raw-yuv")
     )
